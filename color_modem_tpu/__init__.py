@@ -1,0 +1,28 @@
+"""color_modem_tpu — TPU-native analog color-television modem framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+library ``kFYatek/color_modem`` (see SURVEY.md; the reference mount was empty
+during the survey and build sessions, so parity is discharged against the
+frozen in-repo golden oracle in :mod:`color_modem_tpu.golden`, per SURVEY.md
+§0.3 / §4.2).
+
+Architecture (SURVEY.md §7.1):
+
+- ``standards/``  frozen per-standard configs (NTSC / PAL / SECAM / NIIR)
+- ``dsp/``        config-time FIR design (NumPy) + on-device application (jnp),
+                  closed-form subcarrier NCO, colorimetry matrices
+- ``modem/``      pure array functions on ``(lines, samples)`` blocks:
+                  QAM core, SECAM FM, NIIR reference-line normalization
+- ``separate/``   chroma/luma separation variants: notch, 2/3-line comb,
+                  PAL delay-line, chroma averaging
+- ``frame/``      batched ``(frames, lines, samples)`` pipeline under ``jit``
+- ``parallel/``   device mesh builders + halo-exchange collectives
+                  (``shard_map`` + ``ppermute`` over a ``lineblk`` ring)
+- ``kernels/``    Pallas TPU kernels for the hot paths, each with a pure-jnp twin
+- ``golden/``     frozen NumPy per-scanline oracle (the accuracy reference)
+- ``compat/``     reference-style per-line ``modulate``/``demodulate`` OO API
+"""
+
+__version__ = "0.1.0"
+
+from color_modem_tpu.standards import NTSC, PAL, SECAM, NIIR  # noqa: F401

@@ -1,0 +1,181 @@
+"""GOLDEN ORACLE frame layer — sequential per-line loops (SURVEY.md §4.2).
+
+Mirrors the reference's image layer (SURVEY.md §1 L4, §3.1-3.4): a Python
+``for line in range(height)`` loop over the per-line modems, with the 1-line
+cross-line dependencies (SECAM/NIIR pairing, PAL delay-line, combs) expressed
+as explicit neighbor-index logic.  NumPy float64 only; FROZEN (see
+golden/modems.py header).
+
+Arrays are channels-first ``(3, L, N)`` to match the JAX pipeline layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from color_modem_tpu.golden.modems import (
+    GoldenQamModem,
+    GoldenSecamModem,
+    conv_same,
+)
+from color_modem_tpu.modem.plan import ModemPlan
+from color_modem_tpu.standards.base import FmParams, QamParams
+
+#: Decoder variants (SURVEY.md K13, A.6).  'delayline' is the PAL-D decoder
+#: realized as baseband U/V averaging over adjacent lines — equivalent to the
+#: hardware subcarrier delay-line trick under ideal demodulation; 'avg' is the
+#: reference's chroma-averaging wrapper, the same operation applied to any
+#: standard [MEM-M].
+QAM_DECODERS = ("notch", "comb2", "comb3", "delayline", "avg")
+FM_DECODERS = ("notch",)
+
+
+def comb_spacing(cfg) -> int:
+    """Line spacing at which the chroma phase flips ~180 deg (A.6).
+
+    NTSC: frac(cpl)=0.5 -> 1 line.  PAL: frac(2*cpl)=0.5032 -> 2 lines.
+    """
+    best_p, best_err = 1, 1.0
+    for p in (1, 2):
+        frac = (p * cfg.cpl_num / cfg.cpl_den) % 1.0
+        err = abs(frac - 0.5)
+        if err < best_err:
+            best_p, best_err = p, err
+    return best_p
+
+
+def _reflect(idx: int, n: int) -> int:
+    if idx < 0:
+        return -idx
+    if idx >= n:
+        return 2 * (n - 1) - idx
+    return idx
+
+
+def _neighbor(l: int, n_lines: int) -> int:
+    """Opposite-parity partner line: previous, except the first line pairs
+    with the next (both choices always have opposite parity)."""
+    return l - 1 if l >= 1 else l + 1
+
+
+def encode_frame(plan: ModemPlan, rgb: np.ndarray, frame: int = 0) -> np.ndarray:
+    """(3, L, N) gamma-corrected RGB in [0,1] -> (L, N) composite."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    _, n_lines, _ = rgb.shape
+    ycc = np.einsum("dc,cln->dln", plan.rgb_to_ycc, rgb)
+    cfg = plan.cfg
+    if isinstance(cfg.chroma, QamParams):
+        modem = GoldenQamModem(plan)
+    else:
+        modem = GoldenSecamModem(plan)
+    comp = np.empty((n_lines, plan.n_samples), dtype=np.float64)
+    for l in range(n_lines):
+        g = frame * cfg.total_lines + l
+        comp[l] = modem.modulate_components(g, ycc[0, l], ycc[1, l], ycc[2, l])
+    return comp
+
+
+def decode_frame(
+    plan: ModemPlan, comp: np.ndarray, frame: int = 0, decoder: str = "notch"
+) -> np.ndarray:
+    """(L, N) composite -> (3, L, N) RGB, clamped to [0,1]."""
+    comp = np.asarray(comp, dtype=np.float64)
+    cfg = plan.cfg
+    if isinstance(cfg.chroma, FmParams):
+        if decoder not in FM_DECODERS:
+            raise ValueError(f"secam supports decoders {FM_DECODERS}, got {decoder}")
+        ycc = _decode_secam(plan, comp, frame)
+    else:
+        if decoder not in QAM_DECODERS:
+            raise ValueError(f"unknown decoder {decoder!r}")
+        ycc = _decode_qam(plan, comp, frame, decoder)
+    rgb = np.einsum("cd,dln->cln", plan.ycc_to_rgb, ycc)
+    return np.clip(rgb, 0.0, 1.0)
+
+
+def _decode_qam(plan, comp, frame, decoder):
+    cfg = plan.cfg
+    modem = GoldenQamModem(plan)
+    n_lines = comp.shape[0]
+    p = comb_spacing(cfg)
+
+    luma = np.empty_like(comp)
+    c1 = np.empty_like(comp)
+    c2 = np.empty_like(comp)
+    for l in range(n_lines):
+        g = frame * cfg.total_lines + l
+        if decoder == "comb2":
+            prev = comp[_reflect(l - p, n_lines)]
+            chroma_band = conv_same((comp[l] - prev) / 2.0, plan.chroma_bpf)
+            y = comp[l] - chroma_band
+        elif decoder == "comb3":
+            prev = comp[_reflect(l - p, n_lines)]
+            nxt = comp[_reflect(l + p, n_lines)]
+            chroma_band = conv_same(
+                (2.0 * comp[l] - prev - nxt) / 4.0, plan.chroma_bpf
+            )
+            y = comp[l] - chroma_band
+        else:  # notch / delayline / avg all separate with the sample-axis notch
+            y, chroma_band = modem.separate_notch(comp[l])
+        luma[l] = y
+        c1[l], c2[l] = modem.demodulate_carrier(g, chroma_band)
+
+    if decoder in ("delayline", "avg"):
+        c1a = np.empty_like(c1)
+        c2a = np.empty_like(c2)
+        for l in range(n_lines):
+            m = _neighbor(l, n_lines)
+            c1a[l] = 0.5 * (c1[l] + c1[m])
+            c2a[l] = 0.5 * (c2[l] + c2[m])
+        c1, c2 = c1a, c2a
+
+    qp: QamParams = cfg.chroma
+    if qp.reference_amplitude is not None:
+        c1, c2 = _niir_normalize(plan, c1, c2, frame)
+    return np.stack([luma, c1, c2])
+
+
+def _niir_normalize(plan, c1, c2, frame):
+    """NIIR reference-line normalization (SURVEY.md A.5, K10).
+
+    Even global lines carry chroma, odd lines the unmodulated reference
+    carrier (demodulating to (A_ref, 0)).  Each output line takes the chroma
+    measurement from the nearest chroma line and divides by the complex
+    reference measurement from the nearest reference line, cancelling channel
+    gain/phase errors.
+    """
+    cfg = plan.cfg
+    a_ref = cfg.chroma.reference_amplitude
+    n_lines = c1.shape[0]
+    z = c1 + 1j * c2
+    out = np.empty_like(z)
+    for l in range(n_lines):
+        g = frame * cfg.total_lines + l
+        m = _neighbor(l, n_lines)
+        if g % 2 == 0:  # chroma line; neighbor is reference
+            zc, zr = z[l], z[m]
+        else:
+            zc, zr = z[m], z[l]
+        denom = np.where(np.abs(zr) < 1e-6, a_ref, zr)
+        out[l] = zc * (a_ref / denom)
+    return out.real.copy(), out.imag.copy()
+
+
+def _decode_secam(plan, comp, frame):
+    cfg = plan.cfg
+    modem = GoldenSecamModem(plan)
+    n_lines = comp.shape[0]
+    luma = np.empty_like(comp)
+    v = np.empty_like(comp)       # this line's demodulated component
+    is_r = np.empty(n_lines, dtype=bool)
+    for l in range(n_lines):
+        g = frame * cfg.total_lines + l
+        luma[l], v[l] = modem.demodulate_component(g, comp[l])
+        is_r[l] = modem.is_r_line(g)
+    dr = np.empty_like(comp)
+    db = np.empty_like(comp)
+    for l in range(n_lines):
+        m = _neighbor(l, n_lines)  # opposite-parity partner (A.4: 1-line memory)
+        dr[l] = v[l] if is_r[l] else v[m]
+        db[l] = v[m] if is_r[l] else v[l]
+    return np.stack([luma, dr, db])

@@ -1,0 +1,151 @@
+"""ModemPlan — everything derived from (StandardConfig, line width) at build time.
+
+The reference re-designs SciPy filters inside its modem constructors
+(SURVEY.md C8 [MEM-M]).  Here all filter taps, phase ramps, and scalar
+constants are derived **once** on the host into a plain NumPy bundle that the
+JAX pipeline closes over as compile-time constants.
+
+The frozen golden oracle (:mod:`color_modem_tpu.golden`) consumes the same
+plan: taps are *data* derived from spec constants, so sharing them keeps the
+golden comparison about the pipeline math (phase laws, vectorization,
+stencils, sharding) rather than about two filter designs — the deliberate
+tradeoff recorded in SURVEY.md §7.3 item 2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from color_modem_tpu.dsp import design
+from color_modem_tpu.dsp.nco import sample_phase_ramp
+from color_modem_tpu.standards.base import FmParams, QamParams, StandardConfig
+
+#: SECAM quadrature-mix LPF cutoff: passes the Carson-band baseband FM
+#: content (~±0.6 MHz deviation + 1.3 MHz modulation), rejects the
+#: sum-frequency mixing image (aliased to ~4.8 MHz at fs = 13.5 MHz).
+SECAM_MIX_LPF = 2.0e6
+#: Half-width of the SECAM chroma takeoff / luma-notch band around bell_f0.
+SECAM_TAKEOFF_HALFWIDTH = 2.0e6
+SECAM_BAND_TRANSITION = 0.4e6
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ModemPlan:
+    """Host-side constant bundle for one (standard, line-width) pair.
+
+    All arrays are NumPy float64 taps / float32 ramps; the JAX pipeline casts
+    on capture.  ``eq=False`` keeps the object hashable by identity so it can
+    be a ``jax.jit`` static argument.
+    """
+
+    cfg: StandardConfig
+    n_samples: int
+    fs: float
+    rgb_to_ycc: np.ndarray
+    ycc_to_rgb: np.ndarray
+
+    # --- QAM family (NTSC / PAL / NIIR); None for FM standards ------------
+    ramp: Optional[np.ndarray] = None          # (N,) within-line phase, rad
+    theta: float = 0.0                         # carrier phase offset, rad
+    c1_lpf: Optional[np.ndarray] = None
+    c2_lpf: Optional[np.ndarray] = None
+    chroma_bpf: Optional[np.ndarray] = None
+
+    # --- SECAM FM family; None for QAM standards ---------------------------
+    comp_lpf: Optional[np.ndarray] = None      # baseband D'R/D'B LPF
+    preemph: Optional[np.ndarray] = None       # A(f) FIR
+    deemph: Optional[np.ndarray] = None        # 1/A(f) FIR
+    anticloche: Optional[np.ndarray] = None    # G(f) FIR, carrier-band masked
+    bell_takeoff: Optional[np.ndarray] = None  # cloche * band mask FIR
+    luma_notch: Optional[np.ndarray] = None    # chroma-band BPF for Y = c - BPF(c)
+    mix_lpf: Optional[np.ndarray] = None       # post-quadrature-mix LPF
+    diff: Optional[np.ndarray] = None          # FIR differentiator
+    demod_lpf: Optional[np.ndarray] = None     # final component LPF
+    mix_ramp: Optional[np.ndarray] = None      # (N,) 2*pi*frac(fc/fs*n)
+    f_center: float = 0.0                      # quadrature mix frequency
+
+
+def make_plan(
+    cfg: StandardConfig,
+    n_samples: int,
+    *,
+    ntaps: int = 129,
+    bell_ntaps: int = 193,
+    diff_ntaps: int = 31,
+) -> ModemPlan:
+    fs = cfg.sample_rate(n_samples)
+    common = dict(
+        cfg=cfg,
+        n_samples=n_samples,
+        fs=fs,
+        rgb_to_ycc=cfg.rgb_to_ycc_np(),
+        ycc_to_rgb=cfg.ycc_to_rgb_np(),
+    )
+    ch = cfg.chroma
+    if isinstance(ch, QamParams):
+        if fs < 2.5 * ch.fsc:
+            raise ValueError(
+                f"{cfg.name}: fs={fs/1e6:.2f} MHz < 2.5*fsc; use a wider line"
+            )
+        return ModemPlan(
+            ramp=sample_phase_ramp(ch.fsc, fs, n_samples),
+            theta=float(np.deg2rad(ch.phase_offset_deg)),
+            c1_lpf=design.lowpass_taps(fs, ch.c1_bandwidth, ntaps),
+            c2_lpf=design.lowpass_taps(fs, ch.c2_bandwidth, ntaps),
+            chroma_bpf=design.bandpass_taps(
+                fs, ch.fsc - ch.chroma_band, ch.fsc + ch.chroma_band, ntaps
+            ),
+            **common,
+        )
+    assert isinstance(ch, FmParams)
+    f_center = 0.5 * (ch.f0r + ch.f0b)
+    band_lo = ch.bell_f0 - SECAM_TAKEOFF_HALFWIDTH
+    band_hi = ch.bell_f0 + SECAM_TAKEOFF_HALFWIDTH
+    if fs < 2.0 * (band_hi + SECAM_BAND_TRANSITION):
+        raise ValueError(
+            f"secam: fs={fs/1e6:.2f} MHz too low for the chroma band; "
+            "use a wider line (e.g. 720+ samples)"
+        )
+
+    def band_mask(f):
+        return design.raised_cosine_bandpass_response(
+            f, band_lo, band_hi, SECAM_BAND_TRANSITION
+        )
+
+    def anticloche_resp(f):
+        return (
+            design.secam_anticloche_response(
+                f, ch.bell_f0, ch.bell_m0, ch.bell_k_num, ch.bell_k_den
+            )
+            * band_mask(f)
+        )
+
+    def takeoff_resp(f):
+        return (
+            design.secam_cloche_response(
+                f, ch.bell_f0, ch.bell_m0, ch.bell_k_num, ch.bell_k_den
+            )
+            * band_mask(f)
+        )
+
+    return ModemPlan(
+        comp_lpf=design.lowpass_taps(fs, ch.component_bandwidth, ntaps),
+        preemph=design.freq_sampled_taps(
+            fs, lambda f: design.secam_preemph_response(f, ch.preemph_f1), ntaps
+        ),
+        deemph=design.freq_sampled_taps(
+            fs, lambda f: design.secam_deemph_response(f, ch.preemph_f1), ntaps
+        ),
+        anticloche=design.freq_sampled_taps(fs, anticloche_resp, bell_ntaps),
+        bell_takeoff=design.freq_sampled_taps(fs, takeoff_resp, bell_ntaps),
+        luma_notch=design.freq_sampled_taps(fs, band_mask, bell_ntaps),
+        mix_lpf=design.lowpass_taps(fs, SECAM_MIX_LPF, ntaps),
+        diff=design.differentiator_taps(fs, diff_ntaps),
+        demod_lpf=design.lowpass_taps(fs, ch.demod_lpf, ntaps),
+        mix_ramp=sample_phase_ramp(f_center, fs, n_samples),
+        f_center=f_center,
+        **common,
+    )
