@@ -47,6 +47,9 @@ def fir_same(x: jax.Array, taps) -> jax.Array:
         window_strides=(1,),
         padding=[(pad_lo, pad_hi)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        # default precision accumulates in bf16 on TPU (~1e-3 error — fails
+        # golden parity); HIGHEST keeps true fp32 accumulation
+        precision=lax.Precision.HIGHEST,
     )
     return out.reshape(lead + (n,))
 

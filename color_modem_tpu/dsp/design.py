@@ -60,6 +60,22 @@ def bandpass_taps(
     return h / gain
 
 
+def tukey(ntaps: int, alpha: float = 0.7) -> np.ndarray:
+    """Tukey window: flat over the central ``alpha`` fraction, cosine edges.
+
+    Frequency-sampled designs need the flat center: the SECAM pre-emphasis
+    shelf has an exponential tail ~40 samples long at fs=13.5 MHz, and a Hann
+    window attenuates it enough to shift the DC gain by ~15% — the Tukey
+    window leaves the tail untouched and only tapers the truncation edge.
+    """
+    x = np.abs(np.arange(ntaps, dtype=np.float64) - (ntaps - 1) / 2.0)
+    x /= (ntaps - 1) / 2.0
+    w = np.ones(ntaps)
+    edge = x > alpha
+    w[edge] = 0.5 * (1.0 + np.cos(np.pi * (x[edge] - alpha) / (1.0 - alpha)))
+    return w
+
+
 def freq_sampled_taps(
     fs: float,
     response,
@@ -70,8 +86,8 @@ def freq_sampled_taps(
 
     ``response(f_hz) -> complex`` is sampled on the dense rfft grid, inverse-
     transformed, the impulse response centered at ``(ntaps-1)//2`` (so that
-    the 'same'-mode application in dsp/apply is delay-free), windowed, and
-    truncated.  Works for non-linear-phase responses (SECAM pre-emphasis,
+    the 'same'-mode application in dsp/apply is delay-free), Tukey-windowed,
+    and truncated.  Works for non-linear-phase responses (SECAM pre-emphasis,
     anti-cloche) because only Hermitian symmetry — not phase linearity — is
     assumed.
     """
@@ -83,7 +99,7 @@ def freq_sampled_taps(
     # negative-time half to the front and cut a centered window of ntaps
     half = (ntaps - 1) // 2
     h = np.concatenate([h_full[-half:], h_full[: half + 1]])
-    h *= np.hanning(ntaps)
+    h *= tukey(ntaps)
     return h
 
 

@@ -1,0 +1,110 @@
+"""Batched frame pipeline: RGB <-> composite <-> RGB under jit (K12).
+
+The reference's image layer loops Python-side over scanlines (SURVEY.md §3.1
+hot loop); here a whole ``(frames, lines, samples)`` batch is one traced
+computation — the line loop is gone, frames and lines are just array axes,
+and XLA fuses the chain (matrix -> LPF -> NCO mix -> add) into a few
+HBM passes.
+
+Layer split:
+
+* ``encode_block`` / ``decode_block`` — pure functions on blocks + absolute
+  line indices.  Everything above (jit wrappers here, shard_map wrappers in
+  parallel/sharded.py, per-line compat in compat/) composes these.
+* ``make_pipeline`` — jitted single-device convenience closures.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from color_modem_tpu.dsp.colorimetry import apply_mat3, clamp01
+from color_modem_tpu.dsp.nco import global_line_index
+from color_modem_tpu.golden.frame import allowed_decoders
+from color_modem_tpu.modem import niir, qam
+from color_modem_tpu.modem import secam as secam_mod
+from color_modem_tpu.modem.plan import ModemPlan
+from color_modem_tpu.separate.comb import separate
+from color_modem_tpu.separate.delayline import average_with_neighbor
+from color_modem_tpu.standards.base import QamParams
+
+
+def check_decoder(plan: ModemPlan, decoder: str) -> None:
+    allowed = allowed_decoders(plan.cfg)
+    if decoder not in allowed:
+        raise ValueError(
+            f"{plan.cfg.name} supports decoders {allowed}, got {decoder!r}"
+        )
+
+
+def encode_block(plan: ModemPlan, rgb: jax.Array, gline: jax.Array) -> jax.Array:
+    """(..., 3, L, N) RGB in [0,1] + (..., L) absolute lines -> (..., L, N)."""
+    ycc = apply_mat3(plan.rgb_to_ycc, rgb.astype(jnp.float32))
+    if plan.cfg.is_fm:
+        return secam_mod.encode(plan, ycc, gline)
+    return qam.encode(plan, ycc, gline)
+
+
+def decode_block(
+    plan: ModemPlan, comp: jax.Array, gline: jax.Array, decoder: str = "notch"
+) -> jax.Array:
+    """(..., L, N) composite -> (..., 3, L, N) RGB, clamped to [0,1]."""
+    check_decoder(plan, decoder)
+    comp = comp.astype(jnp.float32)
+    if plan.cfg.is_fm:
+        ycc = secam_mod.decode(plan, comp, gline)
+    else:
+        luma, chroma_band = separate(plan, comp, decoder)
+        c1, c2 = qam.demodulate_carrier(plan, chroma_band, gline)
+        if decoder in ("delayline", "avg"):
+            c1 = average_with_neighbor(c1)
+            c2 = average_with_neighbor(c2)
+        p: QamParams = plan.cfg.chroma
+        if p.reference_amplitude is not None:
+            c1, c2 = niir.normalize(plan, c1, c2, gline)
+        ycc = jnp.stack([luma, c1, c2], axis=-3)
+    return clamp01(apply_mat3(plan.ycc_to_rgb, ycc))
+
+
+def roundtrip_block(
+    plan: ModemPlan, rgb: jax.Array, gline: jax.Array, decoder: str = "notch"
+) -> jax.Array:
+    return decode_block(plan, encode_block(plan, rgb, gline), gline, decoder)
+
+
+def frame_line_index(plan: ModemPlan, frame0, n_frames: int, n_lines: int):
+    """(B, L) absolute line index array for a frame batch starting at frame0."""
+    return global_line_index(frame0, n_frames, n_lines, plan.cfg.total_lines)
+
+
+def make_pipeline(plan: ModemPlan, decoder: str = "notch"):
+    """Jitted single-device closures over a fixed plan.
+
+    Returns ``(encode, decode, roundtrip)``, each taking a ``(B, ...)`` batch
+    and a scalar ``frame0`` (the index of the first frame, which drives the
+    NTSC 4-field / PAL 8-field phase sequence across batches).
+    """
+    check_decoder(plan, decoder)
+
+    @partial(jax.jit, static_argnames=())
+    def encode(rgb, frame0=0):
+        b, _, l, _ = rgb.shape
+        g = frame_line_index(plan, frame0, b, l)
+        return encode_block(plan, rgb, g)
+
+    @jax.jit
+    def decode(comp, frame0=0):
+        b, l, _ = comp.shape
+        g = frame_line_index(plan, frame0, b, l)
+        return decode_block(plan, comp, g, decoder)
+
+    @jax.jit
+    def roundtrip(rgb, frame0=0):
+        b, _, l, _ = rgb.shape
+        g = frame_line_index(plan, frame0, b, l)
+        return roundtrip_block(plan, rgb, g, decoder)
+
+    return encode, decode, roundtrip

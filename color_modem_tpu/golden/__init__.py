@@ -7,6 +7,7 @@ No JAX imports allowed anywhere in this package.
 from color_modem_tpu.golden.frame import (  # noqa: F401
     FM_DECODERS,
     QAM_DECODERS,
+    allowed_decoders,
     comb_spacing,
     decode_frame,
     encode_frame,

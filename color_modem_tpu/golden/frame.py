@@ -30,6 +30,21 @@ QAM_DECODERS = ("notch", "comb2", "comb3", "delayline", "avg")
 FM_DECODERS = ("notch",)
 
 
+def allowed_decoders(cfg) -> tuple:
+    """Decoders meaningful for a standard (K13).
+
+    SECAM is FM — only the notch path applies.  NIIR alternates chroma and
+    reference-carrier lines, so cross-line combs/averaging would mix the two
+    streams (and its fsc gives no 180-deg flip at spacing 2 either): notch
+    only.
+    """
+    if isinstance(cfg.chroma, FmParams):
+        return FM_DECODERS
+    if cfg.chroma.reference_amplitude is not None:
+        return FM_DECODERS
+    return QAM_DECODERS
+
+
 def comb_spacing(cfg) -> int:
     """Line spacing at which the chroma phase flips ~180 deg (A.6).
 
@@ -81,13 +96,14 @@ def decode_frame(
     """(L, N) composite -> (3, L, N) RGB, clamped to [0,1]."""
     comp = np.asarray(comp, dtype=np.float64)
     cfg = plan.cfg
+    allowed = allowed_decoders(cfg)
+    if decoder not in allowed:
+        raise ValueError(
+            f"{cfg.name} supports decoders {allowed}, got {decoder!r}"
+        )
     if isinstance(cfg.chroma, FmParams):
-        if decoder not in FM_DECODERS:
-            raise ValueError(f"secam supports decoders {FM_DECODERS}, got {decoder}")
         ycc = _decode_secam(plan, comp, frame)
     else:
-        if decoder not in QAM_DECODERS:
-            raise ValueError(f"unknown decoder {decoder!r}")
         ycc = _decode_qam(plan, comp, frame, decoder)
     rgb = np.einsum("cd,dln->cln", plan.ycc_to_rgb, ycc)
     return np.clip(rgb, 0.0, 1.0)

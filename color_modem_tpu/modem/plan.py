@@ -66,6 +66,11 @@ class ModemPlan:
     demod_lpf: Optional[np.ndarray] = None     # final component LPF
     mix_ramp: Optional[np.ndarray] = None      # (N,) 2*pi*frac(fc/fs*n)
     f_center: float = 0.0                      # quadrature mix frequency
+    # carrier phase base 2*pi*frac(fc*(n+1)/fs): the inclusive-cumsum FM
+    # integral splits as phi = base[n] + 2*pi/fs * cumsum(f_inst - fc), so the
+    # on-device float32 cumsum only ever sees the small deviation term
+    # (|sum| < ~250 rad) instead of the 3e9-magnitude raw integral.
+    fm_carrier_ramp: Optional[np.ndarray] = None
 
 
 def make_plan(
@@ -75,6 +80,7 @@ def make_plan(
     ntaps: int = 129,
     bell_ntaps: int = 193,
     diff_ntaps: int = 31,
+    emph_ntaps: int = 257,
 ) -> ModemPlan:
     fs = cfg.sample_rate(n_samples)
     common = dict(
@@ -133,11 +139,13 @@ def make_plan(
 
     return ModemPlan(
         comp_lpf=design.lowpass_taps(fs, ch.component_bandwidth, ntaps),
+        # the de-emphasis pole at f1=85 kHz has a ~1.9 us exponential tail
+        # (~75 samples at 13.5 MHz) — these two need the longer window
         preemph=design.freq_sampled_taps(
-            fs, lambda f: design.secam_preemph_response(f, ch.preemph_f1), ntaps
+            fs, lambda f: design.secam_preemph_response(f, ch.preemph_f1), emph_ntaps
         ),
         deemph=design.freq_sampled_taps(
-            fs, lambda f: design.secam_deemph_response(f, ch.preemph_f1), ntaps
+            fs, lambda f: design.secam_deemph_response(f, ch.preemph_f1), emph_ntaps
         ),
         anticloche=design.freq_sampled_taps(fs, anticloche_resp, bell_ntaps),
         bell_takeoff=design.freq_sampled_taps(fs, takeoff_resp, bell_ntaps),
@@ -147,5 +155,6 @@ def make_plan(
         demod_lpf=design.lowpass_taps(fs, ch.demod_lpf, ntaps),
         mix_ramp=sample_phase_ramp(f_center, fs, n_samples),
         f_center=f_center,
+        fm_carrier_ramp=sample_phase_ramp(f_center, fs, n_samples + 1)[1:],
         **common,
     )

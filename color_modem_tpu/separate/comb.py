@@ -1,0 +1,39 @@
+"""Chroma/luma separation: notch and line-axis comb stencils (K4, K5).
+
+The comb exploits the standard's line phase law: at spacing ``p`` lines
+(1 for NTSC/NIIR, 2 for PAL — see golden.frame.comb_spacing) the subcarrier
+is ~180 deg out of phase, so a difference cancels luma and a sum cancels
+chroma (SURVEY.md A.6, §3.3).  The reference buffers previous composite lines
+as instance state; here the "state" is a shifted array — and under line-block
+sharding, a 1-2 line halo exchange.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from color_modem_tpu.dsp.apply import fir_same
+from color_modem_tpu.golden.frame import comb_spacing
+from color_modem_tpu.modem.plan import ModemPlan
+from color_modem_tpu.separate.stencil import next_reflect, prev_reflect
+
+SEPARATORS = ("notch", "comb2", "comb3")
+
+
+def separate(plan: ModemPlan, comp: jax.Array, decoder: str):
+    """(..., L, N) composite -> (luma, chroma_band).
+
+    'delayline'/'avg' use the notch separation (their averaging happens after
+    demodulation — separate/delayline.py), matching the golden oracle.
+    """
+    p = comb_spacing(plan.cfg)
+    if decoder == "comb2":
+        chroma_band = fir_same((comp - prev_reflect(comp, p)) / 2.0, plan.chroma_bpf)
+    elif decoder == "comb3":
+        chroma_band = fir_same(
+            (2.0 * comp - prev_reflect(comp, p) - next_reflect(comp, p)) / 4.0,
+            plan.chroma_bpf,
+        )
+    else:  # notch / delayline / avg
+        chroma_band = fir_same(comp, plan.chroma_bpf)
+    return comp - chroma_band, chroma_band

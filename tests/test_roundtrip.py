@@ -1,0 +1,85 @@
+"""Golden round-trip tests (SURVEY.md §4.3 'Golden round-trip', K14).
+
+Two kinds of bound per (standard, decoder):
+
+* **parity**: the JAX pipeline must match the frozen float64 golden oracle to
+  >= 60 dB PSNR — loose enough for any float32 backend (measured: ~150 dB on
+  CPU and TPU), tight enough to catch any algorithmic divergence.
+* **round-trip**: decoded-vs-input PSNR must meet the recorded threshold
+  (measured values minus ~1.5 dB margin; recorded 2026-08-16 on the 64x720
+  smooth_scene fixture).  These are the BASELINE.md accuracy numbers.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from conftest import TEST_SAMPLES, get_plan
+from color_modem_tpu import golden
+from color_modem_tpu.frame.pipeline import make_pipeline
+from color_modem_tpu.utils.metrics import psnr
+
+# (standard, decoder) -> minimum round-trip PSNR in dB
+ROUNDTRIP_BOUNDS = {
+    ("ntsc", "notch"): 37.5,
+    ("ntsc", "comb2"): 36.0,
+    ("ntsc", "comb3"): 43.5,
+    ("ntsc", "delayline"): 36.0,
+    ("ntsc", "avg"): 36.0,
+    ("pal", "notch"): 38.0,
+    ("pal", "comb2"): 29.5,
+    ("pal", "comb3"): 30.0,
+    ("pal", "delayline"): 36.0,
+    ("pal", "avg"): 36.0,
+    ("secam", "notch"): 28.5,
+    ("niir", "notch"): 33.0,
+}
+
+PARITY_BOUND = 60.0
+
+
+@pytest.fixture(scope="module")
+def batches(scene):
+    return scene[None]  # (1, 3, L, N)
+
+
+@pytest.mark.parametrize(
+    "name,decoder", sorted(ROUNDTRIP_BOUNDS), ids=lambda v: str(v)
+)
+def test_roundtrip_and_parity(name, decoder, batches):
+    plan = get_plan(name)
+    enc, dec, _ = make_pipeline(plan, decoder)
+    comp_j = np.asarray(enc(batches))
+    rgb_j = np.asarray(dec(jnp.asarray(comp_j)))
+
+    comp_g = golden.encode_frame(plan, batches[0], frame=0)
+    rgb_g = golden.decode_frame(plan, comp_j[0], frame=0, decoder=decoder)
+
+    p_enc = psnr(comp_j[0], comp_g)
+    p_dec = psnr(rgb_j[0], rgb_g)
+    assert p_enc >= PARITY_BOUND, f"encode parity {p_enc:.1f} dB"
+    assert p_dec >= PARITY_BOUND, f"decode parity {p_dec:.1f} dB"
+
+    p_rt = psnr(rgb_j[0], np.asarray(batches[0]))
+    bound = ROUNDTRIP_BOUNDS[(name, decoder)]
+    assert p_rt >= bound, f"round-trip {p_rt:.1f} dB < {bound} dB"
+
+
+def test_batched_encode_matches_per_frame(scene):
+    """Frame batching must reproduce per-frame encodes with the right
+    frame phase sequence (NTSC 4-field cycle etc.)."""
+    plan = get_plan("ntsc")
+    enc, _, _ = make_pipeline(plan, "notch")
+    batch = np.stack([scene, scene[:, ::-1, :]])
+    comp_b = np.asarray(enc(batch, 3))
+    for b in range(2):
+        comp_1 = np.asarray(enc(batch[b : b + 1], 3 + b))
+        assert np.allclose(comp_b[b], comp_1[0], atol=1e-6)
+
+
+def test_decoder_validation():
+    plan = get_plan("secam")
+    with pytest.raises(ValueError):
+        make_pipeline(plan, "comb2")
+    with pytest.raises(ValueError):
+        make_pipeline(get_plan("ntsc"), "nonsense")

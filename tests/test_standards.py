@@ -1,0 +1,71 @@
+"""Unit tests: standard configs and colorimetry (SURVEY.md §4.3 'Unit')."""
+
+import numpy as np
+import pytest
+
+from color_modem_tpu.standards import NIIR, NTSC, PAL, SECAM
+
+ALL = [NTSC(), PAL(), SECAM(), NIIR()]
+
+
+@pytest.mark.parametrize("cfg", ALL, ids=lambda c: c.name)
+def test_matrix_roundtrip_exact(cfg):
+    fwd = cfg.rgb_to_ycc_np()
+    inv = cfg.ycc_to_rgb_np()
+    assert np.allclose(inv @ fwd, np.eye(3), atol=1e-12)
+
+
+@pytest.mark.parametrize("cfg", ALL, ids=lambda c: c.name)
+def test_luma_row_is_bt470(cfg):
+    assert np.allclose(cfg.rgb_to_ycc_np()[0], [0.299, 0.587, 0.114])
+
+
+def test_ntsc_constants():
+    cfg = NTSC()
+    # fsc = 315/88 MHz exactly (SURVEY.md A.2)
+    fsc = cfg.chroma.fsc
+    assert abs(fsc - 315e6 / 88.0) < 1e-3
+    assert cfg.cpl_num / cfg.cpl_den == 227.5
+    assert cfg.fh * 227.5 == pytest.approx(fsc, rel=1e-12)
+
+
+def test_pal_constants():
+    cfg = PAL()
+    # fsc = 4.43361875 MHz exactly, including the +25 Hz offset (A.3)
+    assert cfg.chroma.fsc == pytest.approx(4433618.75, abs=1e-6)
+    assert cfg.cpl_num / cfg.cpl_den == pytest.approx(1135 / 4 + 1 / 625, rel=1e-15)
+    assert cfg.chroma.v_switch
+
+
+def test_secam_constants():
+    cfg = SECAM()
+    assert cfg.chroma.f0r == pytest.approx(4.40625e6)
+    assert cfg.chroma.f0b == pytest.approx(4.25e6)
+    assert cfg.chroma.dev_r == 280e3 and cfg.chroma.dev_b == 230e3
+    assert cfg.is_fm
+
+
+def test_secam_chroma_rows():
+    cfg = SECAM()
+    m = cfg.rgb_to_ycc_np()
+    # D'R = -1.902 (R - Y), D'B = 1.505 (B - Y) (A.4)
+    r = np.array([1.0, 0, 0])
+    b = np.array([0, 0, 1.0])
+    y = m[0]
+    assert np.allclose(m[1], -1.902 * (r - y))
+    assert np.allclose(m[2], 1.505 * (b - y))
+
+
+def test_sample_rate_601_convention():
+    assert NTSC().sample_rate(720) == pytest.approx(13.5e6)
+    assert PAL().sample_rate(1440) == pytest.approx(27e6)
+
+
+def test_equiband_ntsc():
+    cfg = NTSC(equiband=True)
+    assert cfg.chroma.c1_bandwidth == cfg.chroma.c2_bandwidth == 0.6e6
+
+
+def test_configs_hashable():
+    # jit-static requirement: frozen + hashable
+    assert len({NTSC(), NTSC(), PAL()}) == 2
