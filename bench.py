@@ -1,0 +1,82 @@
+"""Single-chip benchmark — prints ONE JSON line for the driver.
+
+Metric: encode+decode round-trip throughput in Mpix/s on one chip for the
+flagship config (BASELINE.json config 2: NTSC, 2D-comb decoder, batched
+720x480 frames).  ``vs_baseline`` is the speedup over the reference's
+estimated throughput ceiling of 1 Mpix/s (a per-scanline Python/NumPy loop;
+the reference publishes no numbers — BASELINE.md), i.e. value/1.0.
+
+Run: python bench.py [--batch B] [--iters K] [--standard ntsc] [--decoder comb3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--standard", default="ntsc")
+    ap.add_argument("--decoder", default="comb3")
+    ap.add_argument("--lines", type=int, default=0, help="0 = standard active lines")
+    ap.add_argument("--samples", type=int, default=720)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from color_modem_tpu.frame.pipeline import make_pipeline
+    from color_modem_tpu.modem.plan import make_plan
+    from color_modem_tpu.standards import ALL_STANDARDS
+    from color_modem_tpu.utils.metrics import psnr
+
+    cfg = ALL_STANDARDS[args.standard]()
+    lines = args.lines or cfg.active_lines
+    plan = make_plan(cfg, args.samples)
+    _, _, roundtrip = make_pipeline(plan, args.decoder)
+
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    # band-limited scene: makes the reported PSNR a meaningful health check
+    # (raw random noise cannot round-trip a band-limited analog channel)
+    one = smooth_scene(lines, args.samples, seed=0)
+    rgb = jnp.asarray(
+        np.broadcast_to(one, (args.batch, 3, lines, args.samples)), jnp.float32
+    )
+
+    # warmup / compile
+    out = jax.block_until_ready(roundtrip(rgb, 0))
+    quality = psnr(np.asarray(out), np.asarray(rgb))
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = roundtrip(rgb, i)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pixels = args.batch * lines * args.samples * args.iters
+    mpix_s = pixels / dt / 1e6
+    scanlines_s = args.batch * lines * args.iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.standard}-{args.decoder} roundtrip throughput (1 chip, "
+                f"{args.batch}x{lines}x{args.samples}, psnr={quality:.1f}dB, "
+                f"{scanlines_s:,.0f} scanlines/s)",
+                "value": round(mpix_s, 1),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_s / 1.0, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

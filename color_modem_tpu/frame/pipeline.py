@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from color_modem_tpu.dsp.colorimetry import apply_mat3, clamp01
 from color_modem_tpu.dsp.nco import global_line_index
-from color_modem_tpu.golden.frame import allowed_decoders
+from color_modem_tpu.standards.decoders import allowed_decoders
 from color_modem_tpu.modem import niir, qam
 from color_modem_tpu.modem import secam as secam_mod
 from color_modem_tpu.modem.plan import ModemPlan

@@ -20,43 +20,12 @@ from color_modem_tpu.golden.modems import (
 )
 from color_modem_tpu.modem.plan import ModemPlan
 from color_modem_tpu.standards.base import FmParams, QamParams
-
-#: Decoder variants (SURVEY.md K13, A.6).  'delayline' is the PAL-D decoder
-#: realized as baseband U/V averaging over adjacent lines — equivalent to the
-#: hardware subcarrier delay-line trick under ideal demodulation; 'avg' is the
-#: reference's chroma-averaging wrapper, the same operation applied to any
-#: standard [MEM-M].
-QAM_DECODERS = ("notch", "comb2", "comb3", "delayline", "avg")
-FM_DECODERS = ("notch",)
-
-
-def allowed_decoders(cfg) -> tuple:
-    """Decoders meaningful for a standard (K13).
-
-    SECAM is FM — only the notch path applies.  NIIR alternates chroma and
-    reference-carrier lines, so cross-line combs/averaging would mix the two
-    streams (and its fsc gives no 180-deg flip at spacing 2 either): notch
-    only.
-    """
-    if isinstance(cfg.chroma, FmParams):
-        return FM_DECODERS
-    if cfg.chroma.reference_amplitude is not None:
-        return FM_DECODERS
-    return QAM_DECODERS
-
-
-def comb_spacing(cfg) -> int:
-    """Line spacing at which the chroma phase flips ~180 deg (A.6).
-
-    NTSC: frac(cpl)=0.5 -> 1 line.  PAL: frac(2*cpl)=0.5032 -> 2 lines.
-    """
-    best_p, best_err = 1, 1.0
-    for p in (1, 2):
-        frac = (p * cfg.cpl_num / cfg.cpl_den) % 1.0
-        err = abs(frac - 0.5)
-        if err < best_err:
-            best_p, best_err = p, err
-    return best_p
+from color_modem_tpu.standards.decoders import (  # noqa: F401  (re-export)
+    FM_DECODERS,
+    QAM_DECODERS,
+    allowed_decoders,
+    comb_spacing,
+)
 
 
 def _reflect(idx: int, n: int) -> int:

@@ -1,0 +1,78 @@
+"""Halo exchange over the line-block ring (SURVEY.md §5.7/§5.8, K5 sharded).
+
+Every cross-line dependency in the decode path is a stencil of depth <= 2
+lines, plus <= 1 line of post-demod averaging/pairing — so a device that owns
+a contiguous block of lines needs at most a few neighbor lines ("halo") from
+the adjacent blocks.  ``halo_extend`` fetches them with a single neighbor
+``ppermute`` in each direction — the ring-attention communication skeleton
+without the attention (SURVEY.md §2.4) — and fixes up the two global edges
+with the same reflection rule the unsharded stencils use, so sharded and
+unsharded pipelines are *bit-identical* (tests/test_sharding.py).
+
+The absolute-line-index array is extended with the same function: at global
+edges the reflected indices make halo lines demodulate exactly like the
+in-frame lines the unsharded reflection would read (phase law included).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _take_lines(x: jax.Array, sl: slice) -> jax.Array:
+    """Slice along the line axis (second-to-last)."""
+    return x[..., sl, :]
+
+
+def _reflect_top(x: jax.Array, h: int) -> jax.Array:
+    # lines 1..h reversed — matches separate.stencil.prev_reflect at l < h
+    return _take_lines(x, slice(1, h + 1))[..., ::-1, :]
+
+
+def _reflect_bot(x: jax.Array, h: int) -> jax.Array:
+    n = x.shape[-2]
+    return _take_lines(x, slice(n - h - 1, n - 1))[..., ::-1, :]
+
+
+def halo_extend(x: jax.Array, h: int, axis_name: str) -> jax.Array:
+    """Extend a per-device line block with ``h`` neighbor lines on each side.
+
+    Must be called inside ``shard_map``.  ``x`` is the device-local block
+    ``(..., L_blk, N)``; the result is ``(..., L_blk + 2h, N)``.  Interior
+    block boundaries receive true neighbor lines via ring ``ppermute``;
+    the global top/bottom edges receive locally reflected lines.
+    """
+    if h < 1:
+        raise ValueError("halo must be >= 1")
+    if x.shape[-2] < h + 1:
+        raise ValueError(
+            f"line block of {x.shape[-2]} lines too small for halo {h}"
+        )
+    n_blk = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    if n_blk == 1:
+        top, bot = _reflect_top(x, h), _reflect_bot(x, h)
+        return jnp.concatenate([top, x, bot], axis=-2)
+
+    down = [(i, (i + 1) % n_blk) for i in range(n_blk)]  # send toward larger idx
+    up = [(i, (i - 1) % n_blk) for i in range(n_blk)]    # send toward smaller idx
+    # my bottom h lines become the NEXT block's top halo
+    from_prev = lax.ppermute(_take_lines(x, slice(-h, None)), axis_name, down)
+    # my top h lines become the PREVIOUS block's bottom halo
+    from_next = lax.ppermute(_take_lines(x, slice(0, h)), axis_name, up)
+
+    top = jnp.where(idx == 0, _reflect_top(x, h), from_prev)
+    bot = jnp.where(idx == n_blk - 1, _reflect_bot(x, h), from_next)
+    return jnp.concatenate([top, x, bot], axis=-2)
+
+
+def halo_extend_lines(v: jax.Array, h: int, axis_name: str) -> jax.Array:
+    """:func:`halo_extend` for per-line (not per-sample) arrays ``(..., L)``."""
+    return halo_extend(v[..., None], h, axis_name)[..., 0]
+
+
+def crop_halo(x: jax.Array, h: int) -> jax.Array:
+    """Drop the halo lines after block-local processing."""
+    return _take_lines(x, slice(h, x.shape[-2] - h))

@@ -1,0 +1,107 @@
+"""Sharded frame pipeline: DP over frames x CP over line blocks (SURVEY.md §5.7).
+
+Wraps the pure block functions from frame/pipeline.py in ``jax.shard_map``
+over a ``(frame, lineblk)`` mesh:
+
+* encode is line-local — no collectives at all;
+* decode extends each line block with its stencil halo (ring ``ppermute``,
+  parallel/halo.py), runs the *unchanged* block decoder on the extended
+  block, and crops — so the sharded output is bit-identical to the
+  unsharded pipeline (tests/test_sharding.py), which is the only reliable
+  detector for halo off-by-ones (SURVEY.md §7.3 item 3).
+
+Each device recomputes the halo lines' demodulation locally (a few lines of
+redundant VPU work) instead of exchanging post-demod state — one ppermute
+pair per decode, no second round-trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from color_modem_tpu.frame.pipeline import (
+    check_decoder,
+    decode_block,
+    encode_block,
+)
+from color_modem_tpu.standards.decoders import comb_spacing
+from color_modem_tpu.modem.plan import ModemPlan
+from color_modem_tpu.parallel.halo import crop_halo, halo_extend, halo_extend_lines
+from color_modem_tpu.parallel.mesh import FRAME_AXIS, LINE_AXIS
+
+
+def required_halo(plan: ModemPlan, decoder: str) -> int:
+    """Stencil depth of the decode path: comb spacing, else the 1-line
+    pairing/averaging shift (SECAM pairing, NIIR normalize, delay-line)."""
+    if decoder in ("comb2", "comb3"):
+        return comb_spacing(plan.cfg)
+    return 1
+
+
+def _block_gline(plan: ModemPlan, frame0, b_blk: int, l_blk: int):
+    """Absolute line indices for this device's (frame, line) block."""
+    foff = lax.axis_index(FRAME_AXIS) * b_blk
+    loff = lax.axis_index(LINE_AXIS) * l_blk
+    b = jnp.asarray(frame0, jnp.int32) + foff + jnp.arange(b_blk, dtype=jnp.int32)
+    l = loff + jnp.arange(l_blk, dtype=jnp.int32)
+    return b[:, None] * jnp.int32(plan.cfg.total_lines) + l[None, :]
+
+
+def make_sharded_pipeline(plan: ModemPlan, mesh: Mesh, decoder: str = "notch"):
+    """Returns jitted (encode, decode, roundtrip) over the mesh.
+
+    encode: (B, 3, L, N) -> (B, L, N); decode: (B, L, N) -> (B, 3, L, N);
+    B must divide the frame axis, L the lineblk axis (use
+    parallel.mesh.pad_to_multiple when it doesn't).
+    """
+    check_decoder(plan, decoder)
+    h = required_halo(plan, decoder)
+    comp_spec = P(FRAME_AXIS, LINE_AXIS, None)
+    rgb_spec = P(FRAME_AXIS, None, LINE_AXIS, None)
+    scalar = P()
+
+    def _encode_blk(rgb_blk, frame0):
+        b_blk, _, l_blk, _ = rgb_blk.shape
+        g = _block_gline(plan, frame0, b_blk, l_blk)
+        return encode_block(plan, rgb_blk, g)
+
+    def _decode_blk(comp_blk, frame0):
+        b_blk, l_blk, _ = comp_blk.shape
+        g = _block_gline(plan, frame0, b_blk, l_blk)
+        cext = halo_extend(comp_blk, h, LINE_AXIS)
+        gext = halo_extend_lines(g, h, LINE_AXIS)
+        rgb = decode_block(plan, cext, gext, decoder)
+        return crop_halo(rgb, h)
+
+    enc_sm = jax.shard_map(
+        _encode_blk,
+        mesh=mesh,
+        in_specs=(rgb_spec, scalar),
+        out_specs=comp_spec,
+    )
+    dec_sm = jax.shard_map(
+        _decode_blk,
+        mesh=mesh,
+        in_specs=(comp_spec, scalar),
+        out_specs=rgb_spec,
+    )
+
+    @jax.jit
+    def encode(rgb, frame0=0):
+        return enc_sm(rgb, jnp.asarray(frame0, jnp.int32))
+
+    @jax.jit
+    def decode(comp, frame0=0):
+        return dec_sm(comp, jnp.asarray(frame0, jnp.int32))
+
+    @jax.jit
+    def roundtrip(rgb, frame0=0):
+        f0 = jnp.asarray(frame0, jnp.int32)
+        return dec_sm(enc_sm(rgb, f0), f0)
+
+    return encode, decode, roundtrip

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 
 from color_modem_tpu.dsp.apply import fir_same
-from color_modem_tpu.golden.frame import comb_spacing
+from color_modem_tpu.standards.decoders import comb_spacing
 from color_modem_tpu.modem.plan import ModemPlan
 from color_modem_tpu.separate.stencil import next_reflect, prev_reflect
 

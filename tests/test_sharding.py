@@ -1,0 +1,145 @@
+"""Sharding equivalence tests on the fake 8-device CPU mesh (SURVEY.md §4.3).
+
+Sharded (shard_map over (frame, lineblk)) must equal unsharded bit-for-bit —
+the only reliable detector for halo off-by-one errors (SURVEY.md §7.3 item
+3).  Includes the fault-injection test of §5.3: a corrupted halo must make
+the equivalence check fail, proving the tests would catch a broken exchange.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from conftest import TEST_SAMPLES, get_plan
+from color_modem_tpu.frame.pipeline import make_pipeline
+from color_modem_tpu.parallel import (
+    halo_extend,
+    make_mesh,
+    make_sharded_pipeline,
+    required_halo,
+)
+from color_modem_tpu.utils.testimages import smooth_scene
+
+L, N, B = 64, TEST_SAMPLES, 8
+
+CASES = [
+    ("ntsc", "notch"),
+    ("ntsc", "comb2"),
+    ("ntsc", "comb3"),
+    ("pal", "comb3"),
+    ("pal", "delayline"),
+    ("secam", "notch"),
+    ("niir", "notch"),
+]
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return np.stack(
+        [smooth_scene(L, N, seed=s) for s in range(B)], dtype=np.float32
+    )
+
+
+def _meshes():
+    n = len(jax.devices())
+    assert n == 8, f"conftest should provide 8 cpu devices, got {n}"
+    return [make_mesh(2, 4), make_mesh(4, 2), make_mesh(1, 8), make_mesh(8, 1)]
+
+
+@pytest.mark.parametrize("name,decoder", CASES, ids=str)
+def test_sharded_equals_unsharded(name, decoder, batch):
+    plan = get_plan(name)
+    enc_u, dec_u, _ = make_pipeline(plan, decoder)
+    comp_u = np.asarray(enc_u(batch, 5))
+    rgb_u = np.asarray(dec_u(jnp.asarray(comp_u), 5))
+    for mesh in _meshes():
+        enc_s, dec_s, _ = make_sharded_pipeline(plan, mesh, decoder)
+        comp_s = np.asarray(enc_s(batch, 5))
+        np.testing.assert_allclose(comp_s, comp_u, atol=1e-6, rtol=0,
+                                   err_msg=f"encode {mesh.shape}")
+        rgb_s = np.asarray(dec_s(jnp.asarray(comp_u), 5))
+        np.testing.assert_allclose(rgb_s, rgb_u, atol=1e-6, rtol=0,
+                                   err_msg=f"decode {mesh.shape}")
+
+
+def test_roundtrip_composes_sharded(batch):
+    plan = get_plan("pal")
+    mesh = make_mesh(2, 4)
+    _, _, rt_s = make_sharded_pipeline(plan, mesh, "delayline")
+    _, _, rt_u = make_pipeline(plan, "delayline")
+    np.testing.assert_allclose(
+        np.asarray(rt_s(batch)), np.asarray(rt_u(batch)), atol=1e-6
+    )
+
+
+def test_halo_extend_interior_and_edges():
+    """Unit test of the exchange itself on a tiny array (SURVEY.md §5.8)."""
+    mesh = make_mesh(1, 4)
+    x = np.arange(16, dtype=np.float32).reshape(16, 1)  # 16 lines, 1 sample
+
+    def blk(xb):
+        return halo_extend(xb, 2, "lineblk")
+
+    ext = jax.jit(
+        jax.shard_map(
+            blk, mesh=mesh, in_specs=P("lineblk", None),
+            out_specs=P("lineblk", None),
+        )
+    )(x)
+    ext = np.asarray(ext).reshape(4, 8)  # 4 blocks x (4 + 2*2) lines
+    # block 0: reflected top [2,1], own [0..3], neighbor [4,5]
+    assert ext[0].tolist() == [2, 1, 0, 1, 2, 3, 4, 5]
+    # block 1: neighbor [2,3], own [4..7], neighbor [8,9]
+    assert ext[1].tolist() == [2, 3, 4, 5, 6, 7, 8, 9]
+    # block 3: neighbor [10,11], own [12..15], reflected bottom [14,13]
+    assert ext[3].tolist() == [10, 11, 12, 13, 14, 15, 14, 13]
+
+
+def test_corrupted_halo_is_detected(batch):
+    """Fault injection (SURVEY.md §5.3): sabotage the halo and prove the
+    equivalence test catches it."""
+    plan = get_plan("ntsc")
+    mesh = make_mesh(1, 8)
+    _, dec_u, _ = make_pipeline(plan, "comb2")
+    enc_u, _, _ = make_pipeline(plan, "comb2")
+    comp = np.asarray(enc_u(batch[:1]))
+
+    from color_modem_tpu.frame.pipeline import decode_block
+    from color_modem_tpu.parallel.halo import crop_halo, halo_extend_lines
+    from color_modem_tpu.parallel.sharded import _block_gline
+
+    def bad_blk(comp_blk):
+        b_blk, l_blk, _ = comp_blk.shape
+        g = _block_gline(plan, 0, b_blk, l_blk)
+        cext = halo_extend(comp_blk, 1, "lineblk")
+        cext = cext.at[..., 0, :].mul(1.01)  # corrupt the received halo line
+        gext = halo_extend_lines(g, 1, "lineblk")
+        return crop_halo(decode_block(plan, cext, gext, "comb2"), 1)
+
+    rgb_bad = jax.jit(
+        jax.shard_map(
+            bad_blk, mesh=mesh,
+            in_specs=P(None, "lineblk", None),
+            out_specs=P(None, None, "lineblk", None),
+            # _block_gline reads axis_index("frame"), which marks the output
+            # as varying over the (size-1) frame axis; skip the static check
+            check_vma=False,
+        )
+    )(comp)
+    rgb_ok = np.asarray(dec_u(jnp.asarray(comp)))
+    assert not np.allclose(np.asarray(rgb_bad), rgb_ok, atol=1e-6)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(3, 3)
+
+
+def test_uneven_block_raises(batch):
+    plan = get_plan("ntsc")
+    mesh = make_mesh(1, 8)
+    enc_s, _, _ = make_sharded_pipeline(plan, mesh, "notch")
+    with pytest.raises(Exception):
+        jax.block_until_ready(enc_s(batch[:, :, : L - 4, :]))  # 60 % 8 != 0
