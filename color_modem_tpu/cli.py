@@ -1,0 +1,145 @@
+"""Command-line interface (SURVEY.md §5.6): encode | decode | roundtrip | info.
+
+The reference has no packaged CLI [MEM-L]; this one exists so the framework
+is drivable end-to-end without writing code:
+
+    python -m color_modem_tpu.cli roundtrip --standard pal --decoder delayline \
+        --input in.png --output out.png --composite comp.png
+    python -m color_modem_tpu.cli roundtrip --standard secam --demo
+    python -m color_modem_tpu.cli info
+
+Results are printed as one JSON object (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--standard", default="ntsc", choices=["ntsc", "pal", "secam", "niir"])
+    p.add_argument("--decoder", default="notch")
+    p.add_argument("--width", type=int, default=720, help="samples per line")
+    p.add_argument("--frame", type=int, default=0, help="frame index (phase sequence)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="color_modem_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="RGB image -> composite image")
+    _add_common(enc)
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--output", required=True, help="composite PNG (grayscale)")
+    enc.add_argument("--raw", help="also dump float32 composite .npy")
+
+    dec = sub.add_parser("decode", help="float32 composite .npy -> RGB image")
+    _add_common(dec)
+    dec.add_argument("--input", required=True, help="composite .npy from encode --raw")
+    dec.add_argument("--output", required=True)
+
+    rt = sub.add_parser("roundtrip", help="RGB -> composite -> RGB")
+    _add_common(rt)
+    rt.add_argument("--input", help="image file; omit with --demo")
+    rt.add_argument("--demo", action="store_true", help="use generated color bars")
+    rt.add_argument("--lines", type=int, default=0, help="demo height (0=standard)")
+    rt.add_argument("--output", help="decoded PNG")
+    rt.add_argument("--composite", help="composite visualization PNG")
+
+    sub.add_parser("info", help="list standards, decoders, devices")
+    return ap
+
+
+def _load_input(args):
+    import numpy as np
+
+    from color_modem_tpu.frame.image_io import load_rgb
+    from color_modem_tpu.standards import ALL_STANDARDS
+    from color_modem_tpu.utils.testimages import color_bars
+
+    cfg = ALL_STANDARDS[args.standard]()
+    if getattr(args, "demo", False) or not getattr(args, "input", None):
+        lines = getattr(args, "lines", 0) or cfg.active_lines
+        return color_bars(lines, args.width).astype(np.float32), cfg
+    rgb = load_rgb(args.input)
+    if rgb.shape[2] != args.width:
+        rgb = load_rgb(args.input, size=(args.width, rgb.shape[1]))
+    return rgb.astype(np.float32), cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "info":
+        import jax
+
+        from color_modem_tpu.standards import ALL_STANDARDS
+        from color_modem_tpu.standards.decoders import allowed_decoders
+
+        print(
+            json.dumps(
+                {
+                    "standards": {
+                        k: list(allowed_decoders(f())) for k, f in ALL_STANDARDS.items()
+                    },
+                    "backend": jax.default_backend(),
+                    "devices": [str(d) for d in jax.devices()],
+                }
+            )
+        )
+        return 0
+
+    import numpy as np
+    import jax
+
+    from color_modem_tpu.frame.image_io import save_composite, save_rgb
+    from color_modem_tpu.frame.pipeline import make_pipeline
+    from color_modem_tpu.modem.plan import make_plan
+    from color_modem_tpu.utils.metrics import psnr
+
+    if args.cmd == "decode":
+        from color_modem_tpu.standards import ALL_STANDARDS
+
+        rgb, cfg = None, ALL_STANDARDS[args.standard]()
+    else:
+        rgb, cfg = _load_input(args)
+    plan = make_plan(cfg, args.width)
+    encode, decode, _ = make_pipeline(plan, args.decoder)
+    result = {"standard": args.standard, "decoder": args.decoder,
+              "width": args.width, "backend": jax.default_backend()}
+
+    t0 = time.perf_counter()
+    if args.cmd == "encode":
+        comp = np.asarray(jax.block_until_ready(encode(rgb[None], args.frame)))[0]
+        save_composite(args.output, comp)
+        if args.raw:
+            np.save(args.raw, comp)
+        result.update(output=args.output, lines=comp.shape[0])
+    elif args.cmd == "decode":
+        comp = np.load(args.input).astype(np.float32)
+        out = np.asarray(jax.block_until_ready(decode(comp[None], args.frame)))[0]
+        save_rgb(args.output, out)
+        result.update(output=args.output, lines=comp.shape[0])
+    else:  # roundtrip
+        comp = np.asarray(encode(rgb[None], args.frame))[0]
+        out = np.asarray(
+            jax.block_until_ready(decode(comp[None], args.frame))
+        )[0]
+        result["psnr_db"] = round(psnr(out, rgb), 2)
+        result["lines"] = int(rgb.shape[1])
+        if args.output:
+            save_rgb(args.output, out)
+            result["output"] = args.output
+        if args.composite:
+            save_composite(args.composite, comp)
+            result["composite"] = args.composite
+    result["seconds"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
