@@ -40,25 +40,53 @@ def check_decoder(plan: ModemPlan, decoder: str) -> None:
         )
 
 
-def encode_block(plan: ModemPlan, rgb: jax.Array, gline: jax.Array) -> jax.Array:
-    """(..., 3, L, N) RGB in [0,1] + (..., L) absolute lines -> (..., L, N)."""
+def encode_block(
+    plan: ModemPlan, rgb: jax.Array, gline: jax.Array, backend: str = "xla"
+) -> jax.Array:
+    """(..., 3, L, N) RGB in [0,1] + (..., L) absolute lines -> (..., L, N).
+
+    ``backend``: 'xla' composes the modem/ functions (each FIR an MXU
+    matmul); 'pallas' runs the fused VMEM kernels from kernels/ (identical
+    math, tested twins — SURVEY.md §2.3).
+    """
     ycc = apply_mat3(plan.rgb_to_ycc, rgb.astype(jnp.float32))
+    if backend == "pallas":
+        from color_modem_tpu.kernels import qam as qam_k, secam as secam_k
+
+        enc = secam_k.encode if plan.cfg.is_fm else qam_k.encode
+        return enc(plan, ycc, gline)
     if plan.cfg.is_fm:
         return secam_mod.encode(plan, ycc, gline)
     return qam.encode(plan, ycc, gline)
 
 
 def decode_block(
-    plan: ModemPlan, comp: jax.Array, gline: jax.Array, decoder: str = "notch"
+    plan: ModemPlan,
+    comp: jax.Array,
+    gline: jax.Array,
+    decoder: str = "notch",
+    backend: str = "xla",
 ) -> jax.Array:
     """(..., L, N) composite -> (..., 3, L, N) RGB, clamped to [0,1]."""
     check_decoder(plan, decoder)
     comp = comp.astype(jnp.float32)
     if plan.cfg.is_fm:
-        ycc = secam_mod.decode(plan, comp, gline)
+        if backend == "pallas":
+            from color_modem_tpu.kernels import secam as secam_k
+
+            ycc = secam_k.decode(plan, comp, gline)
+        else:
+            ycc = secam_mod.decode(plan, comp, gline)
     else:
-        luma, chroma_band = separate(plan, comp, decoder)
-        c1, c2 = qam.demodulate_carrier(plan, chroma_band, gline)
+        if backend == "pallas":
+            from color_modem_tpu.kernels import qam as qam_k
+            from color_modem_tpu.separate.comb import stencil_signal
+
+            sep = stencil_signal(plan, comp, decoder)
+            luma, c1, c2 = qam_k.demodulate_separated(plan, sep, comp, gline)
+        else:
+            luma, chroma_band = separate(plan, comp, decoder)
+            c1, c2 = qam.demodulate_carrier(plan, chroma_band, gline)
         if decoder in ("delayline", "avg"):
             c1 = average_with_neighbor(c1)
             c2 = average_with_neighbor(c2)
@@ -70,9 +98,14 @@ def decode_block(
 
 
 def roundtrip_block(
-    plan: ModemPlan, rgb: jax.Array, gline: jax.Array, decoder: str = "notch"
+    plan: ModemPlan,
+    rgb: jax.Array,
+    gline: jax.Array,
+    decoder: str = "notch",
+    backend: str = "xla",
 ) -> jax.Array:
-    return decode_block(plan, encode_block(plan, rgb, gline), gline, decoder)
+    comp = encode_block(plan, rgb, gline, backend)
+    return decode_block(plan, comp, gline, decoder, backend)
 
 
 def frame_line_index(plan: ModemPlan, frame0, n_frames: int, n_lines: int):
@@ -80,12 +113,13 @@ def frame_line_index(plan: ModemPlan, frame0, n_frames: int, n_lines: int):
     return global_line_index(frame0, n_frames, n_lines, plan.cfg.total_lines)
 
 
-def make_pipeline(plan: ModemPlan, decoder: str = "notch"):
+def make_pipeline(plan: ModemPlan, decoder: str = "notch", backend: str = "xla"):
     """Jitted single-device closures over a fixed plan.
 
     Returns ``(encode, decode, roundtrip)``, each taking a ``(B, ...)`` batch
     and a scalar ``frame0`` (the index of the first frame, which drives the
     NTSC 4-field / PAL 8-field phase sequence across batches).
+    ``backend``: 'xla' or 'pallas' (fused VMEM kernels).
     """
     check_decoder(plan, decoder)
 
@@ -93,18 +127,18 @@ def make_pipeline(plan: ModemPlan, decoder: str = "notch"):
     def encode(rgb, frame0=0):
         b, _, l, _ = rgb.shape
         g = frame_line_index(plan, frame0, b, l)
-        return encode_block(plan, rgb, g)
+        return encode_block(plan, rgb, g, backend)
 
     @jax.jit
     def decode(comp, frame0=0):
         b, l, _ = comp.shape
         g = frame_line_index(plan, frame0, b, l)
-        return decode_block(plan, comp, g, decoder)
+        return decode_block(plan, comp, g, decoder, backend)
 
     @jax.jit
     def roundtrip(rgb, frame0=0):
         b, _, l, _ = rgb.shape
         g = frame_line_index(plan, frame0, b, l)
-        return roundtrip_block(plan, rgb, g, decoder)
+        return roundtrip_block(plan, rgb, g, decoder, backend)
 
     return encode, decode, roundtrip

@@ -1,0 +1,87 @@
+"""Shared Pallas kernel plumbing (SURVEY.md §2.3).
+
+Layout convention for all kernels: scanlines are flattened to a single
+``(total_lines, N)`` array — lines on the sublane axis, samples on the
+128-lane axis — and the grid walks line blocks.  Per-line scalars (phase,
+V-switch sign, rest frequency) ride as ``(lines, 1)`` columns; FIR filters
+ride as banded ``(N, N)`` Toeplitz matrices hitting the MXU (see
+dsp/apply.py for why matmul is the TPU-native FIR formulation).
+
+Kernels run compiled on TPU and in interpreter mode elsewhere (the
+"sanitizer" role, SURVEY.md §5.2); every kernel has a pure-jnp twin in
+modem/ against which it is tested (§4.3 'Pallas parity').
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def should_interpret() -> bool:
+    """Compiled Mosaic on real TPU; interpreter everywhere else."""
+    return jax.default_backend() != "tpu"
+
+
+def pick_line_block(total: int, target: int = 256) -> int:
+    """Largest divisor of ``total`` that is <= target and a multiple of 8."""
+    best = 8
+    for cand in range(8, min(total, target) + 1, 8):
+        if total % cand == 0:
+            best = cand
+    return best
+
+
+def pad_lines(x: np.ndarray | jax.Array, multiple: int = 8):
+    """Pad the leading (line) axis to a multiple; returns (padded, orig)."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad), n
+
+
+def mxu_dot(a, b, precision=None):
+    """f32 matmul with full-precision (6-pass) accumulation on the MXU."""
+    return lax.dot_general(
+        a,
+        b,
+        (((1,), (0,)), ((), ())),
+        precision=precision or lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def split_bf16_host(m: np.ndarray):
+    """Host-side bf16 hi/lo split of an f32 matrix: m ~= hi + lo.
+
+    Mosaic's HIGHEST dot keeps hi/lo splits of *both* operands live on the
+    kernel's VMEM stack, which blows the 16 MB budget when several (N, N)
+    weight matrices are involved.  Pre-splitting the weights on the host and
+    storing them as bf16 scratch halves the weight footprint AND removes the
+    hidden stack allocations; :func:`dot3` then does the 3-pass product
+    explicitly (~1e-5 relative error; the omitted lo*lo term is ~2^-32).
+    """
+    import ml_dtypes
+
+    m32 = np.asarray(m, dtype=np.float32)
+    hi = m32.astype(ml_dtypes.bfloat16)
+    lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _bdot(a, b):
+    return lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def dot3(x, m_hi, m_lo):
+    """3-pass split-precision matmul: x (f32) @ (m_hi + m_lo) (bf16 pair)."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _bdot(xh, m_hi) + _bdot(xh, m_lo) + _bdot(xl, m_hi)

@@ -1,0 +1,181 @@
+"""Fused QAM encode/decode Pallas kernels (SURVEY.md §2.3 P1/P2/P4).
+
+One kernel invocation per line block does everything between HBM reads and
+writes in VMEM:
+
+* encode: chroma LPFs (2 MXU matmuls) + NCO mix + V-switch + NIIR reference
+  injection + luma add — replaces the reference's per-line chroma LPF +
+  carrier math (C1 [MEM-H]) and the separate XLA passes of modem/qam.py.
+* decode: chroma BPF (1 matmul) + notch luma + product detector + demod LPFs
+  (2 matmuls) — the band-split + mix fusion P1/P4 of SURVEY.md §2.3.
+
+Cross-line work (comb stencils, delay-line averaging, NIIR normalization,
+colorimetry) stays outside: it is one cheap elementwise XLA pass and, when
+sharded, the halo exchange's natural home (parallel/halo.py).
+
+Twins: modem/qam.py `encode` / `separate_notch`+`demodulate_carrier`
+(tested in tests/test_kernels.py, interpret mode off-TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from color_modem_tpu.dsp.apply import toeplitz_same
+from color_modem_tpu.dsp.nco import line_phase0
+from color_modem_tpu.kernels.common import (
+    mxu_dot,
+    pad_lines,
+    pick_line_block,
+    should_interpret,
+)
+from color_modem_tpu.modem.plan import ModemPlan
+from color_modem_tpu.standards.base import QamParams
+
+
+def _phase_cols(plan: ModemPlan, gline: jax.Array):
+    """Per-line (phi0 + theta) and V-switch sign as flat (BL, 1) columns."""
+    cfg = plan.cfg
+    p: QamParams = cfg.chroma
+    phi0 = line_phase0(cfg.cpl_num, cfg.cpl_den, gline) + jnp.float32(plan.theta)
+    if p.v_switch:
+        vs = jnp.where((gline % 2) == 0, 1.0, -1.0).astype(jnp.float32)
+    else:
+        vs = jnp.ones(gline.shape, jnp.float32)
+    if p.reference_amplitude is not None:
+        ref = jnp.where((gline % 2) == 1, 1.0, 0.0).astype(jnp.float32)
+    else:
+        ref = jnp.zeros(gline.shape, jnp.float32)
+    flat = lambda a: a.reshape(-1, 1)
+    return flat(phi0), flat(vs), flat(ref)
+
+
+def _encode_kernel(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
+                   m1_ref, m2_ref, out_ref):
+    phi = col_ref[:, 0:1] + ramp_ref[:]          # (Lb,1)+(1,N) -> (Lb,N)
+    vs = col_ref[:, 1:2]
+    refmask = col_ref[:, 2:3]
+    sin, cos = jnp.sin(phi), jnp.cos(phi)
+    c1f = mxu_dot(c1_ref[:], m1_ref[:])
+    c2f = mxu_dot(c2_ref[:], m2_ref[:])
+    chroma = c1f * sin + vs * c2f * cos
+    a_ref_amp = a_ref[0, 0]
+    chroma = refmask * (a_ref_amp * sin) + (1.0 - refmask) * chroma
+    out_ref[:] = y_ref[:] + chroma
+
+
+def _decode_kernel(sep_ref, comp_ref, col_ref, ramp_ref,
+                   mb_ref, m1_ref, m2_ref, y_ref, c1_ref, c2_ref):
+    phi = col_ref[:, 0:1] + ramp_ref[:]
+    vs = col_ref[:, 1:2]
+    cb = mxu_dot(sep_ref[:], mb_ref[:])
+    # luma = composite minus the separated chroma band (sep == comp for the
+    # notch decoder; the comb stencil signal for comb decoders)
+    y_ref[:] = comp_ref[:] - cb
+    c1_ref[:] = mxu_dot(2.0 * cb * jnp.sin(phi), m1_ref[:])
+    c2_ref[:] = vs * mxu_dot(2.0 * cb * jnp.cos(phi), m2_ref[:])
+
+
+def _line_specs(lb: int, n: int, n_mats: int, n_cols: int):
+    """BlockSpecs: blocked line arrays, constant matrices/ramp."""
+    line = pl.BlockSpec((lb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((lb, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ramp = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return line, col, ramp, [mat] * n_mats
+
+
+def encode_lines(plan: ModemPlan, ycc_flat: jax.Array, cols: jax.Array) -> jax.Array:
+    """(BL, 3, N) components + (BL, 3) [phi0+theta, vsign, refmask] -> (BL, N)."""
+    p: QamParams = plan.cfg.chroma
+    n = plan.n_samples
+    y, c1, c2 = ycc_flat[:, 0], ycc_flat[:, 1], ycc_flat[:, 2]
+    (y, total), (c1, _), (c2, _), (cols, _) = (
+        pad_lines(y), pad_lines(c1), pad_lines(c2), pad_lines(cols)
+    )
+    bl = y.shape[0]
+    lb = pick_line_block(bl)
+    line, col, ramp_spec, mats = _line_specs(lb, n, 2, cols.shape[1])
+    a_ref = jnp.full((1, 1), p.reference_amplitude or 0.0, jnp.float32)
+    out = pl.pallas_call(
+        _encode_kernel,
+        grid=(bl // lb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            line, line, line, col, ramp_spec, *mats,
+        ],
+        out_specs=line,
+        out_shape=jax.ShapeDtypeStruct((bl, n), jnp.float32),
+        interpret=should_interpret(),
+    )(
+        a_ref,
+        y, c1, c2, cols,
+        jnp.asarray(plan.ramp, jnp.float32)[None, :],
+        jnp.asarray(toeplitz_same(plan.c1_lpf, n)),
+        jnp.asarray(toeplitz_same(plan.c2_lpf, n)),
+    )
+    return out[:total]
+
+
+def decode_lines(plan: ModemPlan, sep_flat: jax.Array, comp_flat: jax.Array,
+                 cols: jax.Array):
+    """(BL, N) separated + raw composite -> (y, c1, c2) each (BL, N)."""
+    n = plan.n_samples
+    (sep, total), (comp, _), (cols, _) = (
+        pad_lines(sep_flat), pad_lines(comp_flat), pad_lines(cols)
+    )
+    bl = sep.shape[0]
+    lb = pick_line_block(bl)
+    line, col, ramp_spec, mats = _line_specs(lb, n, 3, cols.shape[1])
+    y, c1, c2 = pl.pallas_call(
+        _decode_kernel,
+        grid=(bl // lb,),
+        in_specs=[line, line, col, ramp_spec, *mats],
+        out_specs=(line, line, line),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((bl, n), jnp.float32) for _ in range(3)
+        ),
+        interpret=should_interpret(),
+    )(
+        sep, comp, cols,
+        jnp.asarray(plan.ramp, jnp.float32)[None, :],
+        jnp.asarray(toeplitz_same(plan.chroma_bpf, n)),
+        jnp.asarray(toeplitz_same(plan.c1_lpf, n)),
+        jnp.asarray(toeplitz_same(plan.c2_lpf, n)),
+    )
+    return y[:total], c1[:total], c2[:total]
+
+
+# --- block-level wrappers mirroring modem/qam.py signatures ----------------
+
+
+def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
+    """Pallas twin of modem.qam.encode: (..., 3, L, N) -> (..., L, N)."""
+    lead = ycc.shape[:-3]
+    l, n = ycc.shape[-2], ycc.shape[-1]
+    phi0, vs, ref = _phase_cols(plan, gline)
+    cols = jnp.concatenate([phi0, vs, ref], axis=1)
+    flat = jnp.moveaxis(ycc, -3, -2).reshape(-1, 3, n)  # (..., L, 3, N) flat
+    out = encode_lines(plan, flat, cols)
+    return out.reshape(lead + (l, n))
+
+
+def demodulate_separated(plan: ModemPlan, sep: jax.Array, comp: jax.Array,
+                         gline: jax.Array):
+    """Pallas twin of separate-notch + demodulate_carrier on a block."""
+    lead = comp.shape[:-2]
+    l, n = comp.shape[-2], comp.shape[-1]
+    phi0, vs, ref = _phase_cols(plan, gline)
+    cols = jnp.concatenate([phi0, vs, ref], axis=1)
+    y, c1, c2 = decode_lines(
+        plan, sep.reshape(-1, n), comp.reshape(-1, n), cols
+    )
+    shape = lead + (l, n)
+    return y.reshape(shape), c1.reshape(shape), c2.reshape(shape)

@@ -1,0 +1,202 @@
+"""Fused SECAM FM Pallas kernels (SURVEY.md §2.3 P3).
+
+Encode kernel, per line block, entirely in VMEM:
+  component select -> baseband LPF + LF pre-emphasis (ONE matmul: composing
+  two 'same' FIRs is exactly the product of their Toeplitz matrices) ->
+  FM phase integral (cumsum as a triangular-matrix MXU matmul) -> carrier ->
+  HF anti-cloche (matmul) -> luma add.
+
+Decode kernel:
+  bell takeoff (matmul) -> quadrature mix (elementwise with host ramps) ->
+  mix LPF and mix LPF∘differentiator (matmuls; composition exact by
+  associativity) -> amplitude-invariant discriminator -> per-line rest
+  frequency/deviation removal.  De-emphasis∘demod-LPF (one matmul) and the
+  luma notch stay outside with the line pairing — single passes XLA fuses.
+
+Twins: modem/secam.py `encode` / `demodulate_lines` (the jnp cumsum vs the
+triangular matmul differ only in fp summation order).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from color_modem_tpu.dsp.apply import fir_same, toeplitz_same
+from color_modem_tpu.dsp.nco import TWO_PI
+from color_modem_tpu.kernels.common import (
+    dot3,
+    split_bf16_host,
+    mxu_dot,
+    pad_lines,
+    pick_line_block,
+    should_interpret,
+)
+from color_modem_tpu.modem.plan import ModemPlan
+from color_modem_tpu.modem.secam import is_r_line, pair_components
+from color_modem_tpu.standards.base import FmParams
+
+
+@lru_cache(maxsize=8)
+def _cumsum_matrix(n: int) -> np.ndarray:
+    """Upper-triangular ones: x @ T == inclusive cumsum along the line."""
+    return np.triu(np.ones((n, n), dtype=np.float32))
+
+
+def _isr_col(gline: jax.Array) -> jax.Array:
+    return jnp.where(is_r_line(gline), 1.0, 0.0).astype(jnp.float32).reshape(-1, 1)
+
+
+def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
+    """Pallas twin of modem.secam.encode: (..., 3, L, N) -> (..., L, N)."""
+    p: FmParams = plan.cfg.chroma
+    n = plan.n_samples
+    lead = ycc.shape[:-3]
+    l = ycc.shape[-2]
+    flat = jnp.moveaxis(ycc, -3, -2).reshape(-1, 3, n)
+    y, dr, db = flat[:, 0], flat[:, 1], flat[:, 2]
+    (y, total), (dr, _), (db, _), (isr, _) = (
+        pad_lines(y), pad_lines(dr), pad_lines(db), pad_lines(_isr_col(gline))
+    )
+    bl = y.shape[0]
+    lb = pick_line_block(bl)
+    k = float(TWO_PI / plan.fs)
+    f0r_c = (p.f0r - plan.f_center) * k
+    f0b_c = (p.f0b - plan.f_center) * k
+    devr, devb = p.dev_r * k, p.dev_b * k
+
+    def kernel(y_ref, dr_ref, db_ref, isr_ref, base_ref,
+               mcomb_ref, tcum_ref, manti_ref, out_ref):
+        isr = isr_ref[:, 0:1]
+        d = isr * dr_ref[:] + (1.0 - isr) * db_ref[:]
+        dpre = mxu_dot(d, mcomb_ref[:])
+        df = (isr * f0r_c + (1.0 - isr) * f0b_c) + (
+            isr * devr + (1.0 - isr) * devb
+        ) * dpre
+        dphi = mxu_dot(df, tcum_ref[:])
+        carrier = jnp.cos(base_ref[:] + dphi)
+        out_ref[:] = y_ref[:] + mxu_dot(carrier, manti_ref[:])
+
+    line = pl.BlockSpec((lb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((lb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ramp = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    m_comb = toeplitz_same(plan.comp_lpf, n) @ toeplitz_same(plan.preemph, n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bl // lb,),
+        in_specs=[line, line, line, col, ramp, mat, mat, mat],
+        out_specs=line,
+        out_shape=jax.ShapeDtypeStruct((bl, n), jnp.float32),
+        interpret=should_interpret(),
+    )(
+        y, dr, db, isr,
+        jnp.asarray(plan.fm_carrier_ramp, jnp.float32)[None, :],
+        jnp.asarray(m_comb),
+        jnp.asarray(_cumsum_matrix(n)),
+        jnp.asarray(toeplitz_same(plan.anticloche, n)),
+    )
+    return out[:total].reshape(lead + (l, n))
+
+
+def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
+    """Pallas twin of modem.secam.demodulate_lines -> (luma, v)."""
+    p: FmParams = plan.cfg.chroma
+    n = plan.n_samples
+    lead = comp.shape[:-2]
+    l = comp.shape[-2]
+    (flat, total) = pad_lines(comp.reshape(-1, n))
+    (isr, _) = pad_lines(_isr_col(gline))
+    bl = flat.shape[0]
+    lb = pick_line_block(bl, target=64)
+    fs, fc = float(plan.fs), float(plan.f_center)
+    f0r, f0b = float(p.f0r), float(p.f0b)
+    devr, devb = float(p.dev_r), float(p.dev_b)
+    inv2pi = float(fs / TWO_PI)
+
+    mix = np.asarray(plan.mix_ramp, dtype=np.float64)
+    mixcos = np.cos(mix).astype(np.float32)[None, :]
+    mixsin = np.sin(mix).astype(np.float32)[None, :]
+    m_mix = toeplitz_same(plan.mix_lpf, n)
+    m_mixdiff = m_mix @ toeplitz_same(plan.diff, n)
+
+    # Weight handling: three (N, N) weight matrices do not fit the 16 MB
+    # VMEM budget if Mosaic double-buffers them as f32 blocked operands, and
+    # its HIGHEST dot additionally keeps hi/lo operand splits on the kernel
+    # stack.  So the weights ship as host-pre-split bf16 hi/lo pairs (half
+    # the bytes, no hidden stack splits), stay in HBM, and are DMA'd once
+    # into persistent scratch on grid step 0; dot3 does the 3-pass product.
+    weights = [
+        split_bf16_host(toeplitz_same(plan.bell_takeoff, n)),
+        split_bf16_host(m_mix),
+        split_bf16_host(m_mixdiff),
+    ]
+
+    def kernel(c_ref, isr_ref, cos_ref, sin_ref,
+               *rest):
+        hbm_refs = rest[:6]
+        v_ref = rest[6]
+        vmem_refs = rest[7:13]
+        sems = rest[13]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _load_weights():
+            for k in range(6):
+                cp = pltpu.make_async_copy(hbm_refs[k], vmem_refs[k], sems.at[k])
+                cp.start()
+            for k in range(6):
+                pltpu.make_async_copy(hbm_refs[k], vmem_refs[k], sems.at[k]).wait()
+
+        bell_hi, bell_lo, mix_hi, mix_lo, diff_hi, diff_lo = (
+            r[:] for r in vmem_refs
+        )
+        takeoff = dot3(c_ref[:], bell_hi, bell_lo)
+        a = 2.0 * takeoff * cos_ref[:]
+        b = -2.0 * takeoff * sin_ref[:]
+        i = dot3(a, mix_hi, mix_lo)
+        q = dot3(b, mix_hi, mix_lo)
+        di = dot3(a, diff_hi, diff_lo)
+        dq = dot3(b, diff_hi, diff_lo)
+        a2 = jnp.maximum(i * i + q * q, 1e-9)
+        f_inst = fc + (i * dq - q * di) / a2 * inv2pi
+        isr = isr_ref[:, 0:1]
+        f0 = isr * f0r + (1.0 - isr) * f0b
+        dev = isr * devr + (1.0 - isr) * devb
+        v_ref[:] = (f_inst - f0) / dev
+
+    line = pl.BlockSpec((lb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((lb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ramp = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    v = pl.pallas_call(
+        kernel,
+        grid=(bl // lb,),
+        in_specs=[line, col, ramp, ramp] + [hbm] * 6,
+        out_specs=line,
+        out_shape=jax.ShapeDtypeStruct((bl, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n, n), jnp.bfloat16) for _ in range(6)]
+        + [pltpu.SemaphoreType.DMA((6,))],
+        interpret=should_interpret(),
+    )(
+        flat, isr, jnp.asarray(mixcos), jnp.asarray(mixsin),
+        *[jnp.asarray(w) for pair in weights for w in pair],
+    )[:total]
+    # single XLA passes: de-emphasis ∘ demod LPF (exact composition) + notch
+    m_out = toeplitz_same(plan.deemph, n) @ toeplitz_same(plan.demod_lpf, n)
+    v = jnp.matmul(v, jnp.asarray(m_out),
+                   precision=jax.lax.Precision.HIGHEST)
+    luma = comp - fir_same(comp, plan.luma_notch)
+    return luma, v.reshape(lead + (l, n))
+
+
+def decode(plan: ModemPlan, comp: jax.Array, gline: jax.Array) -> jax.Array:
+    """Full SECAM decode (Pallas core + XLA pairing), twin of secam.decode."""
+    luma, v = demodulate_lines(plan, comp, gline)
+    dr, db = pair_components(v, gline)
+    return jnp.stack([luma, dr, db], axis=-3)

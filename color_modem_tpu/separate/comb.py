@@ -20,20 +20,20 @@ from color_modem_tpu.separate.stencil import next_reflect, prev_reflect
 SEPARATORS = ("notch", "comb2", "comb3")
 
 
-def separate(plan: ModemPlan, comp: jax.Array, decoder: str):
-    """(..., L, N) composite -> (luma, chroma_band).
-
-    'delayline'/'avg' use the notch separation (their averaging happens after
-    demodulation — separate/delayline.py), matching the golden oracle.
-    """
+def stencil_signal(plan: ModemPlan, comp: jax.Array, decoder: str) -> jax.Array:
+    """The line-axis stencil part of the separation: the signal whose
+    sample-axis BPF yields the chroma band.  'notch'/'delayline'/'avg' pass
+    the composite through (their averaging happens after demodulation,
+    matching the golden oracle); combs take line differences."""
     p = comb_spacing(plan.cfg)
     if decoder == "comb2":
-        chroma_band = fir_same((comp - prev_reflect(comp, p)) / 2.0, plan.chroma_bpf)
-    elif decoder == "comb3":
-        chroma_band = fir_same(
-            (2.0 * comp - prev_reflect(comp, p) - next_reflect(comp, p)) / 4.0,
-            plan.chroma_bpf,
-        )
-    else:  # notch / delayline / avg
-        chroma_band = fir_same(comp, plan.chroma_bpf)
+        return (comp - prev_reflect(comp, p)) / 2.0
+    if decoder == "comb3":
+        return (2.0 * comp - prev_reflect(comp, p) - next_reflect(comp, p)) / 4.0
+    return comp
+
+
+def separate(plan: ModemPlan, comp: jax.Array, decoder: str):
+    """(..., L, N) composite -> (luma, chroma_band)."""
+    chroma_band = fir_same(stencil_signal(plan, comp, decoder), plan.chroma_bpf)
     return comp - chroma_band, chroma_band

@@ -1,0 +1,67 @@
+"""Chunked video runs: checkpoint/resume manifest (SURVEY.md §5.4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import TEST_SAMPLES, get_plan
+from color_modem_tpu.frame.video import process_video, synthetic_source
+from color_modem_tpu.parallel import make_mesh
+from color_modem_tpu.utils.manifest import ChunkManifest
+
+L = 32
+
+
+def test_video_run_and_resume(tmp_path):
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    out = str(tmp_path / "run")
+    s1 = process_video(plan, src, 6, out, decoder="notch", chunk=2)
+    assert s1["frames_processed_this_run"] == 6
+    assert s1["min_psnr_db"] > 35
+
+    # resume: everything already done -> nothing processed
+    s2 = process_video(plan, src, 6, out, decoder="notch", chunk=2)
+    assert s2["frames_processed_this_run"] == 0
+
+    m = ChunkManifest(out)
+    assert m.summary() == {"chunks_done": 3, "frames_done": 6}
+    # results JSON written (SURVEY.md §5.5)
+    results = os.listdir(os.path.join(out, "results"))
+    assert len(results) == 2
+    with open(os.path.join(out, "results", results[0])) as f:
+        assert json.load(f)["standard"] == "ntsc"
+
+
+def test_resume_rejects_config_change(tmp_path):
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    out = str(tmp_path / "run")
+    process_video(plan, src, 2, out, decoder="notch", chunk=2)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        process_video(plan, src, 2, out, decoder="comb3", chunk=2)
+
+
+def test_video_sharded(tmp_path):
+    plan = get_plan("pal")
+    src = synthetic_source(L, TEST_SAMPLES)
+    mesh = make_mesh(2, 4)
+    s = process_video(
+        plan, src, 4, str(tmp_path / "sharded"),
+        decoder="delayline", chunk=2, mesh=mesh,
+    )
+    assert s["frames_processed_this_run"] == 4
+    assert s["mesh"] == {"frame": 2, "lineblk": 4}
+    assert s["min_psnr_db"] > 33
+
+
+def test_chunk_hashes_are_deterministic(tmp_path):
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    process_video(plan, src, 2, str(tmp_path / "a"), chunk=2)
+    process_video(plan, src, 2, str(tmp_path / "b"), chunk=2)
+    ha = ChunkManifest(str(tmp_path / "a")).data["chunks"]["0-2"]["hash"]
+    hb = ChunkManifest(str(tmp_path / "b")).data["chunks"]["0-2"]["hash"]
+    assert ha == hb
