@@ -19,11 +19,15 @@ import sys
 import time
 
 
+STANDARD_NAMES = ["ntsc", "pal", "secam", "niir", "ntsc443", "pal_m", "pal_n"]
+
+
 def _add_common(p):
-    p.add_argument("--standard", default="ntsc", choices=["ntsc", "pal", "secam", "niir"])
+    p.add_argument("--standard", default="ntsc", choices=STANDARD_NAMES)
     p.add_argument("--decoder", default="notch")
     p.add_argument("--width", type=int, default=720, help="samples per line")
     p.add_argument("--frame", type=int, default=0, help="frame index (phase sequence)")
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -48,6 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--lines", type=int, default=0, help="demo height (0=standard)")
     rt.add_argument("--output", help="decoded PNG")
     rt.add_argument("--composite", help="composite visualization PNG")
+
+    vid = sub.add_parser(
+        "video", help="chunked, resumable synthetic-video roundtrip run"
+    )
+    _add_common(vid)
+    vid.add_argument("--frames", type=int, default=32)
+    vid.add_argument("--lines", type=int, default=0, help="0 = standard active lines")
+    vid.add_argument("--chunk", type=int, default=8)
+    vid.add_argument("--out", required=True, help="output/manifest directory")
+    vid.add_argument(
+        "--mesh", default="", help="FxL device mesh, e.g. 2x4 (empty = unsharded)"
+    )
+    vid.add_argument("--no-resume", action="store_true")
 
     sub.add_parser("info", help="list standards, decoders, devices")
     return ap
@@ -100,6 +117,34 @@ def main(argv=None) -> int:
     from color_modem_tpu.modem.plan import make_plan
     from color_modem_tpu.utils.metrics import psnr
 
+    if args.cmd == "video":
+        from color_modem_tpu.frame.video import process_video, synthetic_source
+        from color_modem_tpu.standards import ALL_STANDARDS
+
+        cfg = ALL_STANDARDS[args.standard]()
+        lines = args.lines or cfg.active_lines
+        plan = make_plan(cfg, args.width)
+        mesh = None
+        if args.mesh:
+            from color_modem_tpu.parallel import init_distributed, make_mesh
+
+            init_distributed()
+            f, l = (int(v) for v in args.mesh.split("x"))
+            mesh = make_mesh(f, l)
+        summary = process_video(
+            plan,
+            synthetic_source(lines, args.width),
+            args.frames,
+            args.out,
+            decoder=args.decoder,
+            chunk=args.chunk,
+            mesh=mesh,
+            backend=args.backend,
+            resume=not args.no_resume,
+        )
+        print(json.dumps(summary))
+        return 0
+
     if args.cmd == "decode":
         from color_modem_tpu.standards import ALL_STANDARDS
 
@@ -107,7 +152,7 @@ def main(argv=None) -> int:
     else:
         rgb, cfg = _load_input(args)
     plan = make_plan(cfg, args.width)
-    encode, decode, _ = make_pipeline(plan, args.decoder)
+    encode, decode, _ = make_pipeline(plan, args.decoder, args.backend)
     result = {"standard": args.standard, "decoder": args.decoder,
               "width": args.width, "backend": jax.default_backend()}
 

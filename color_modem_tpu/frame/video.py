@@ -101,7 +101,7 @@ def process_video(
         **config,
         "n_frames": n_frames,
         "frames_processed_this_run": frames_done,
-        "mpix_per_s": round(pixels / wall / 1e6, 1) if pixels else 0.0,
+        "mpix_per_s": round(pixels / wall / 1e6, 3) if pixels else 0.0,
         "min_psnr_db": round(min(psnrs), 2) if psnrs else None,
         "seconds": round(wall, 2),
     }

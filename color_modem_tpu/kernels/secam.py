@@ -173,7 +173,7 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     line = pl.BlockSpec((lb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((lb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ramp = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     v = pl.pallas_call(
         kernel,
         grid=(bl // lb,),

@@ -52,12 +52,16 @@ def _block_gline(plan: ModemPlan, frame0, b_blk: int, l_blk: int):
     return b[:, None] * jnp.int32(plan.cfg.total_lines) + l[None, :]
 
 
-def make_sharded_pipeline(plan: ModemPlan, mesh: Mesh, decoder: str = "notch"):
+def make_sharded_pipeline(
+    plan: ModemPlan, mesh: Mesh, decoder: str = "notch", backend: str = "xla"
+):
     """Returns jitted (encode, decode, roundtrip) over the mesh.
 
     encode: (B, 3, L, N) -> (B, L, N); decode: (B, L, N) -> (B, 3, L, N);
     B must divide the frame axis, L the lineblk axis (use
-    parallel.mesh.pad_to_multiple when it doesn't).
+    parallel.mesh.pad_to_multiple when it doesn't).  ``backend`` selects the
+    per-device compute path ('xla' or 'pallas' fused kernels) — the sharding
+    and halo logic is identical either way.
     """
     check_decoder(plan, decoder)
     h = required_halo(plan, decoder)
@@ -68,27 +72,32 @@ def make_sharded_pipeline(plan: ModemPlan, mesh: Mesh, decoder: str = "notch"):
     def _encode_blk(rgb_blk, frame0):
         b_blk, _, l_blk, _ = rgb_blk.shape
         g = _block_gline(plan, frame0, b_blk, l_blk)
-        return encode_block(plan, rgb_blk, g)
+        return encode_block(plan, rgb_blk, g, backend)
 
     def _decode_blk(comp_blk, frame0):
         b_blk, l_blk, _ = comp_blk.shape
         g = _block_gline(plan, frame0, b_blk, l_blk)
         cext = halo_extend(comp_blk, h, LINE_AXIS)
         gext = halo_extend_lines(g, h, LINE_AXIS)
-        rgb = decode_block(plan, cext, gext, decoder)
+        rgb = decode_block(plan, cext, gext, decoder, backend)
         return crop_halo(rgb, h)
 
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the static check requires; both outputs are fully
+    # sharded over (frame, lineblk) so nothing needs replication analysis
     enc_sm = jax.shard_map(
         _encode_blk,
         mesh=mesh,
         in_specs=(rgb_spec, scalar),
         out_specs=comp_spec,
+        check_vma=False,
     )
     dec_sm = jax.shard_map(
         _decode_blk,
         mesh=mesh,
         in_specs=(comp_spec, scalar),
         out_specs=rgb_spec,
+        check_vma=False,
     )
 
     @jax.jit

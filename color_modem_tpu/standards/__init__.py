@@ -13,6 +13,8 @@ setting for SECAM where the FM sidebands reach ~6.2 MHz.
 
 from __future__ import annotations
 
+import dataclasses
+
 from color_modem_tpu.standards.base import (
     FmParams,
     QamParams,
@@ -184,13 +186,76 @@ def NIIR(*, reference_amplitude: float = 0.30) -> StandardConfig:
     )
 
 
-ALL_STANDARDS = {"ntsc": NTSC, "pal": PAL, "secam": SECAM, "niir": NIIR}
+def NTSC443() -> StandardConfig:
+    """NTSC-4.43 hybrid: NTSC 525/29.97 scan + YIQ colorimetry with the PAL
+    subcarrier frequency (used by multi-standard VCRs/monitors).
+
+    cpl = fsc/fh = 4433618.75 / (4.5e6/286) = 2254249/8000 exactly.
+    """
+    base = NTSC()
+    cpl_num, cpl_den = 2254249, 8000
+    fsc = cpl_num / cpl_den * base.fh           # 4.43361875 MHz
+    return dataclasses.replace(
+        base,
+        name="ntsc443",
+        cpl_num=cpl_num,
+        cpl_den=cpl_den,
+        chroma=dataclasses.replace(base.chroma, fsc=fsc),
+    )
+
+
+def PAL_M() -> StandardConfig:
+    """PAL-M (Brazil): 525/29.97 scan, PAL chroma at fsc = 227.25 * fh =
+    3.57561187 MHz (cpl = 909/4)."""
+    fh = 4.5e6 / 286.0
+    cpl_num, cpl_den = 909, 4
+    fsc = cpl_num / cpl_den * fh
+    base = PAL()
+    return dataclasses.replace(
+        base,
+        name="pal_m",
+        fh=fh,
+        total_lines=525,
+        active_lines=480,
+        cpl_num=cpl_num,
+        cpl_den=cpl_den,
+        chroma=dataclasses.replace(base.chroma, fsc=fsc),
+    )
+
+
+def PAL_N() -> StandardConfig:
+    """PAL-N (Argentina/Paraguay/Uruguay): 625/25 scan, fsc = 3.58205625 MHz
+    (cpl = 573129/2500, the same +25 Hz-style offset trick as PAL-B/G)."""
+    base = PAL()
+    cpl_num, cpl_den = 573129, 2500
+    fsc = cpl_num / cpl_den * base.fh
+    return dataclasses.replace(
+        base,
+        name="pal_n",
+        cpl_num=cpl_num,
+        cpl_den=cpl_den,
+        chroma=dataclasses.replace(base.chroma, fsc=fsc),
+    )
+
+
+ALL_STANDARDS = {
+    "ntsc": NTSC,
+    "pal": PAL,
+    "secam": SECAM,
+    "niir": NIIR,
+    "ntsc443": NTSC443,
+    "pal_m": PAL_M,
+    "pal_n": PAL_N,
+}
 
 __all__ = [
     "NTSC",
     "PAL",
     "SECAM",
     "NIIR",
+    "NTSC443",
+    "PAL_M",
+    "PAL_N",
     "ALL_STANDARDS",
     "StandardConfig",
     "QamParams",

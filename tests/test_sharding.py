@@ -143,3 +143,14 @@ def test_uneven_block_raises(batch):
     enc_s, _, _ = make_sharded_pipeline(plan, mesh, "notch")
     with pytest.raises(Exception):
         jax.block_until_ready(enc_s(batch[:, :, : L - 4, :]))  # 60 % 8 != 0
+
+
+def test_sharded_pallas_backend_matches(batch):
+    """Pallas kernels inside shard_map (interpret mode on CPU)."""
+    plan = get_plan("ntsc")
+    mesh = make_mesh(2, 4)
+    _, _, rt_x = make_sharded_pipeline(plan, mesh, "comb3", "xla")
+    _, _, rt_p = make_sharded_pipeline(plan, mesh, "comb3", "pallas")
+    np.testing.assert_allclose(
+        np.asarray(rt_p(batch)), np.asarray(rt_x(batch)), atol=5e-4
+    )

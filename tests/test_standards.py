@@ -69,3 +69,32 @@ def test_equiband_ntsc():
 def test_configs_hashable():
     # jit-static requirement: frozen + hashable
     assert len({NTSC(), NTSC(), PAL()}) == 2
+
+
+def test_variant_constants():
+    from color_modem_tpu.standards import NTSC443, PAL_M, PAL_N
+
+    v = NTSC443()
+    assert v.chroma.fsc == pytest.approx(4.43361875e6, rel=1e-6)
+    assert v.total_lines == 525 and not v.chroma.v_switch
+    m = PAL_M()
+    assert m.chroma.fsc == pytest.approx(227.25 * 4.5e6 / 286.0, rel=1e-12)
+    assert m.total_lines == 525 and m.chroma.v_switch
+    n = PAL_N()
+    assert n.chroma.fsc == pytest.approx(3.58205625e6, abs=1e-6)
+    assert n.total_lines == 625
+
+
+def test_variant_roundtrip():
+    import jax.numpy as jnp
+
+    from color_modem_tpu.frame.pipeline import make_pipeline
+    from color_modem_tpu.modem.plan import make_plan
+    from color_modem_tpu.standards import PAL_M
+    from color_modem_tpu.utils.metrics import psnr
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    plan = make_plan(PAL_M(), 720)
+    img = smooth_scene(32, 720, seed=5).astype(np.float32)[None]
+    _, _, rt = make_pipeline(plan, "delayline")
+    assert psnr(np.asarray(rt(jnp.asarray(img))), img) > 34
