@@ -127,6 +127,26 @@ def differentiator_taps(
     return freq_sampled_taps(fs, resp, ntaps=ntaps)
 
 
+def hilbert_taps(
+    fs: float,
+    f_lo: float,
+    f_hi: float,
+    ntaps: int = DEFAULT_NTAPS,
+) -> np.ndarray:
+    """FIR 90-degree phase shifter over [f_lo, f_hi] (band-limited Hilbert).
+
+    Used by the channel simulator to rotate the chroma carrier's phase:
+    ``cos(t)*x + sin(t)*H(x)`` shifts a bandpass signal by ``t`` degrees.
+    Designed by frequency sampling of -j*sign(f), masked to the band.
+    """
+
+    def resp(f):
+        mask = raised_cosine_bandpass_response(f, f_lo, f_hi, 0.2e6)
+        return -1j * mask  # f >= 0 half; Hermitian extension handles f < 0
+
+    return freq_sampled_taps(fs, resp, ntaps)
+
+
 def freqz(taps: np.ndarray, fs: float, freqs: np.ndarray) -> np.ndarray:
     """Complex response of ``taps`` at ``freqs`` Hz, **after** 'same' centering.
 
