@@ -31,10 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 from color_modem_tpu.dsp.apply import toeplitz_same
 from color_modem_tpu.dsp.nco import line_phase0
 from color_modem_tpu.kernels.common import (
-    mxu_dot,
+    dot3,
     pad_lines,
     pick_line_block,
     should_interpret,
+    split_bf16_host,
 )
 from color_modem_tpu.modem.plan import ModemPlan
 from color_modem_tpu.standards.base import QamParams
@@ -58,13 +59,13 @@ def _phase_cols(plan: ModemPlan, gline: jax.Array):
 
 
 def _encode_kernel(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
-                   m1_ref, m2_ref, out_ref):
+                   m1h_ref, m1l_ref, m2h_ref, m2l_ref, out_ref):
     phi = col_ref[:, 0:1] + ramp_ref[:]          # (Lb,1)+(1,N) -> (Lb,N)
     vs = col_ref[:, 1:2]
     refmask = col_ref[:, 2:3]
     sin, cos = jnp.sin(phi), jnp.cos(phi)
-    c1f = mxu_dot(c1_ref[:], m1_ref[:])
-    c2f = mxu_dot(c2_ref[:], m2_ref[:])
+    c1f = dot3(c1_ref[:], m1h_ref[:], m1l_ref[:])
+    c2f = dot3(c2_ref[:], m2h_ref[:], m2l_ref[:])
     chroma = c1f * sin + vs * c2f * cos
     a_ref_amp = a_ref[0, 0]
     chroma = refmask * (a_ref_amp * sin) + (1.0 - refmask) * chroma
@@ -72,15 +73,16 @@ def _encode_kernel(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
 
 
 def _decode_kernel(sep_ref, comp_ref, col_ref, ramp_ref,
-                   mb_ref, m1_ref, m2_ref, y_ref, c1_ref, c2_ref):
+                   mbh_ref, mbl_ref, m1h_ref, m1l_ref, m2h_ref, m2l_ref,
+                   y_ref, c1_ref, c2_ref):
     phi = col_ref[:, 0:1] + ramp_ref[:]
     vs = col_ref[:, 1:2]
-    cb = mxu_dot(sep_ref[:], mb_ref[:])
+    cb = dot3(sep_ref[:], mbh_ref[:], mbl_ref[:])
     # luma = composite minus the separated chroma band (sep == comp for the
     # notch decoder; the comb stencil signal for comb decoders)
     y_ref[:] = comp_ref[:] - cb
-    c1_ref[:] = mxu_dot(2.0 * cb * jnp.sin(phi), m1_ref[:])
-    c2_ref[:] = vs * mxu_dot(2.0 * cb * jnp.cos(phi), m2_ref[:])
+    c1_ref[:] = dot3(2.0 * cb * jnp.sin(phi), m1h_ref[:], m1l_ref[:])
+    c2_ref[:] = vs * dot3(2.0 * cb * jnp.cos(phi), m2h_ref[:], m2l_ref[:])
 
 
 def _line_specs(lb: int, n: int, n_mats: int, n_cols: int):
@@ -102,8 +104,10 @@ def encode_lines(plan: ModemPlan, ycc_flat: jax.Array, cols: jax.Array) -> jax.A
     )
     bl = y.shape[0]
     lb = pick_line_block(bl)
-    line, col, ramp_spec, mats = _line_specs(lb, n, 2, cols.shape[1])
+    line, col, ramp_spec, mats = _line_specs(lb, n, 4, cols.shape[1])
     a_ref = jnp.full((1, 1), p.reference_amplitude or 0.0, jnp.float32)
+    m1h, m1l = split_bf16_host(toeplitz_same(plan.c1_lpf, n))
+    m2h, m2l = split_bf16_host(toeplitz_same(plan.c2_lpf, n))
     out = pl.pallas_call(
         _encode_kernel,
         grid=(bl // lb,),
@@ -118,8 +122,8 @@ def encode_lines(plan: ModemPlan, ycc_flat: jax.Array, cols: jax.Array) -> jax.A
         a_ref,
         y, c1, c2, cols,
         jnp.asarray(plan.ramp, jnp.float32)[None, :],
-        jnp.asarray(toeplitz_same(plan.c1_lpf, n)),
-        jnp.asarray(toeplitz_same(plan.c2_lpf, n)),
+        jnp.asarray(m1h), jnp.asarray(m1l),
+        jnp.asarray(m2h), jnp.asarray(m2l),
     )
     return out[:total]
 
@@ -133,7 +137,10 @@ def decode_lines(plan: ModemPlan, sep_flat: jax.Array, comp_flat: jax.Array,
     )
     bl = sep.shape[0]
     lb = pick_line_block(bl)
-    line, col, ramp_spec, mats = _line_specs(lb, n, 3, cols.shape[1])
+    line, col, ramp_spec, mats = _line_specs(lb, n, 6, cols.shape[1])
+    mbh, mbl = split_bf16_host(toeplitz_same(plan.chroma_bpf, n))
+    m1h, m1l = split_bf16_host(toeplitz_same(plan.c1_lpf, n))
+    m2h, m2l = split_bf16_host(toeplitz_same(plan.c2_lpf, n))
     y, c1, c2 = pl.pallas_call(
         _decode_kernel,
         grid=(bl // lb,),
@@ -146,9 +153,9 @@ def decode_lines(plan: ModemPlan, sep_flat: jax.Array, comp_flat: jax.Array,
     )(
         sep, comp, cols,
         jnp.asarray(plan.ramp, jnp.float32)[None, :],
-        jnp.asarray(toeplitz_same(plan.chroma_bpf, n)),
-        jnp.asarray(toeplitz_same(plan.c1_lpf, n)),
-        jnp.asarray(toeplitz_same(plan.c2_lpf, n)),
+        jnp.asarray(mbh), jnp.asarray(mbl),
+        jnp.asarray(m1h), jnp.asarray(m1l),
+        jnp.asarray(m2h), jnp.asarray(m2l),
     )
     return y[:total], c1[:total], c2[:total]
 

@@ -72,35 +72,40 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
     devr, devb = p.dev_r * k, p.dev_b * k
 
     def kernel(y_ref, dr_ref, db_ref, isr_ref, base_ref,
-               mcomb_ref, tcum_ref, manti_ref, out_ref):
+               mcombh_ref, mcombl_ref, tcum_ref, mantih_ref, mantil_ref,
+               out_ref):
         isr = isr_ref[:, 0:1]
         d = isr * dr_ref[:] + (1.0 - isr) * db_ref[:]
-        dpre = mxu_dot(d, mcomb_ref[:])
+        dpre = dot3(d, mcombh_ref[:], mcombl_ref[:])
         df = (isr * f0r_c + (1.0 - isr) * f0b_c) + (
             isr * devr + (1.0 - isr) * devb
         ) * dpre
+        # phase integral: dphi accumulates to ~+-250 rad, so a 1e-5 relative
+        # error becomes a visible carrier phase error — keep the 6-pass dot
         dphi = mxu_dot(df, tcum_ref[:])
         carrier = jnp.cos(base_ref[:] + dphi)
-        out_ref[:] = y_ref[:] + mxu_dot(carrier, manti_ref[:])
+        out_ref[:] = y_ref[:] + dot3(carrier, mantih_ref[:], mantil_ref[:])
 
     line = pl.BlockSpec((lb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((lb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ramp = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     m_comb = toeplitz_same(plan.comp_lpf, n) @ toeplitz_same(plan.preemph, n)
+    mch, mcl = split_bf16_host(m_comb)
+    mah, mal = split_bf16_host(toeplitz_same(plan.anticloche, n))
     out = pl.pallas_call(
         kernel,
         grid=(bl // lb,),
-        in_specs=[line, line, line, col, ramp, mat, mat, mat],
+        in_specs=[line, line, line, col, ramp, mat, mat, mat, mat, mat],
         out_specs=line,
         out_shape=jax.ShapeDtypeStruct((bl, n), jnp.float32),
         interpret=should_interpret(),
     )(
         y, dr, db, isr,
         jnp.asarray(plan.fm_carrier_ramp, jnp.float32)[None, :],
-        jnp.asarray(m_comb),
+        jnp.asarray(mch), jnp.asarray(mcl),
         jnp.asarray(_cumsum_matrix(n)),
-        jnp.asarray(toeplitz_same(plan.anticloche, n)),
+        jnp.asarray(mah), jnp.asarray(mal),
     )
     return out[:total].reshape(lead + (l, n))
 
@@ -190,7 +195,7 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     # single XLA passes: de-emphasis ∘ demod LPF (exact composition) + notch
     m_out = toeplitz_same(plan.deemph, n) @ toeplitz_same(plan.demod_lpf, n)
     v = jnp.matmul(v, jnp.asarray(m_out),
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=jax.lax.Precision.HIGH)
     luma = comp - fir_same(comp, plan.luma_notch)
     return luma, v.reshape(lead + (l, n))
 
