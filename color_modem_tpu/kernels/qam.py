@@ -32,6 +32,8 @@ from color_modem_tpu.dsp.apply import toeplitz_same
 from color_modem_tpu.dsp.nco import line_phase0
 from color_modem_tpu.kernels.common import (
     dot3,
+    lane_mask,
+    pad_lanes,
     pad_lines,
     pick_line_block,
     should_interpret,
@@ -72,17 +74,57 @@ def _encode_kernel(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
     out_ref[:] = y_ref[:] + chroma
 
 
+def _encode_kernel_shared(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
+                          mh_ref, ml_ref, out_ref):
+    """Shared-taps variant (PAL/NIIR: c1_lpf == c2_lpf): since dot time at
+    these (K, N) is nearly flat in M, stacking both chroma components on the
+    sublane axis does two filter applications for the price of one."""
+    lb = y_ref.shape[0]
+    phi = col_ref[:, 0:1] + ramp_ref[:]
+    vs = col_ref[:, 1:2]
+    refmask = col_ref[:, 2:3]
+    sin, cos = jnp.sin(phi), jnp.cos(phi)
+    both = jnp.concatenate([c1_ref[:], c2_ref[:]], axis=0)
+    f = dot3(both, mh_ref[:], ml_ref[:])
+    chroma = f[:lb] * sin + vs * f[lb:] * cos
+    a_ref_amp = a_ref[0, 0]
+    chroma = refmask * (a_ref_amp * sin) + (1.0 - refmask) * chroma
+    out_ref[:] = y_ref[:] + chroma
+
+
+def _decode_kernel_shared(sep_ref, comp_ref, col_ref, ramp_ref,
+                          mbh_ref, mbl_ref, mh_ref, ml_ref,
+                          y_ref, c1_ref, c2_ref, *, n_valid):
+    lb = comp_ref.shape[0]
+    phi = col_ref[:, 0:1] + ramp_ref[:]
+    vs = col_ref[:, 1:2]
+    cb = dot3(sep_ref[:], mbh_ref[:], mbl_ref[:])
+    y_ref[:] = comp_ref[:] - cb
+    # mask lane padding: sin/cos of the padded phase is garbage the demod
+    # LPF would otherwise smear into the last half-tap of real columns
+    mask = lane_mask(n_valid, comp_ref.shape[-1])
+    mixed = jnp.concatenate(
+        [2.0 * cb * jnp.sin(phi), 2.0 * cb * jnp.cos(phi)], axis=0
+    ) * mask
+    f = dot3(mixed, mh_ref[:], ml_ref[:])
+    c1_ref[:] = f[:lb]
+    c2_ref[:] = vs * f[lb:]
+
+
 def _decode_kernel(sep_ref, comp_ref, col_ref, ramp_ref,
                    mbh_ref, mbl_ref, m1h_ref, m1l_ref, m2h_ref, m2l_ref,
-                   y_ref, c1_ref, c2_ref):
+                   y_ref, c1_ref, c2_ref, *, n_valid):
     phi = col_ref[:, 0:1] + ramp_ref[:]
     vs = col_ref[:, 1:2]
     cb = dot3(sep_ref[:], mbh_ref[:], mbl_ref[:])
     # luma = composite minus the separated chroma band (sep == comp for the
     # notch decoder; the comb stencil signal for comb decoders)
     y_ref[:] = comp_ref[:] - cb
-    c1_ref[:] = dot3(2.0 * cb * jnp.sin(phi), m1h_ref[:], m1l_ref[:])
-    c2_ref[:] = vs * dot3(2.0 * cb * jnp.cos(phi), m2h_ref[:], m2l_ref[:])
+    mask = lane_mask(n_valid, comp_ref.shape[-1])  # see shared variant
+    c1_ref[:] = dot3(mask * 2.0 * cb * jnp.sin(phi), m1h_ref[:], m1l_ref[:])
+    c2_ref[:] = vs * dot3(
+        mask * 2.0 * cb * jnp.cos(phi), m2h_ref[:], m2l_ref[:]
+    )
 
 
 def _line_specs(lb: int, n: int, n_mats: int, n_cols: int):
@@ -102,30 +144,42 @@ def encode_lines(plan: ModemPlan, ycc_flat: jax.Array, cols: jax.Array) -> jax.A
     (y, total), (c1, _), (c2, _), (cols, _) = (
         pad_lines(y), pad_lines(c1), pad_lines(c2), pad_lines(cols)
     )
+    (y, _), (c1, _), (c2, _) = pad_lanes(y), pad_lanes(c1), pad_lanes(c2)
+    np_ = y.shape[-1]
     bl = y.shape[0]
     lb = pick_line_block(bl)
-    line, col, ramp_spec, mats = _line_specs(lb, n, 4, cols.shape[1])
+    shared = np.array_equal(plan.c1_lpf, plan.c2_lpf)
+    n_mats = 2 if shared else 4
+    line, col, ramp_spec, mats = _line_specs(lb, np_, n_mats, cols.shape[1])
     a_ref = jnp.full((1, 1), p.reference_amplitude or 0.0, jnp.float32)
-    m1h, m1l = split_bf16_host(toeplitz_same(plan.c1_lpf, n))
-    m2h, m2l = split_bf16_host(toeplitz_same(plan.c2_lpf, n))
+    m1h, m1l = split_bf16_host(toeplitz_same(plan.c1_lpf, np_))
+    if shared:
+        mat_args = (jnp.asarray(m1h), jnp.asarray(m1l))
+    else:
+        m2h, m2l = split_bf16_host(toeplitz_same(plan.c2_lpf, np_))
+        mat_args = (
+            jnp.asarray(m1h), jnp.asarray(m1l),
+            jnp.asarray(m2h), jnp.asarray(m2l),
+        )
+    ramp = np.zeros(np_, np.float32)
+    ramp[:n] = plan.ramp
     out = pl.pallas_call(
-        _encode_kernel,
+        _encode_kernel_shared if shared else _encode_kernel,
         grid=(bl // lb,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             line, line, line, col, ramp_spec, *mats,
         ],
         out_specs=line,
-        out_shape=jax.ShapeDtypeStruct((bl, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bl, np_), jnp.float32),
         interpret=should_interpret(),
     )(
         a_ref,
         y, c1, c2, cols,
-        jnp.asarray(plan.ramp, jnp.float32)[None, :],
-        jnp.asarray(m1h), jnp.asarray(m1l),
-        jnp.asarray(m2h), jnp.asarray(m2l),
+        jnp.asarray(ramp)[None, :],
+        *mat_args,
     )
-    return out[:total]
+    return out[:total, :n]
 
 
 def decode_lines(plan: ModemPlan, sep_flat: jax.Array, comp_flat: jax.Array,
@@ -135,29 +189,38 @@ def decode_lines(plan: ModemPlan, sep_flat: jax.Array, comp_flat: jax.Array,
     (sep, total), (comp, _), (cols, _) = (
         pad_lines(sep_flat), pad_lines(comp_flat), pad_lines(cols)
     )
+    (sep, _), (comp, _) = pad_lanes(sep), pad_lanes(comp)
+    np_ = sep.shape[-1]
     bl = sep.shape[0]
     lb = pick_line_block(bl)
-    line, col, ramp_spec, mats = _line_specs(lb, n, 6, cols.shape[1])
-    mbh, mbl = split_bf16_host(toeplitz_same(plan.chroma_bpf, n))
-    m1h, m1l = split_bf16_host(toeplitz_same(plan.c1_lpf, n))
-    m2h, m2l = split_bf16_host(toeplitz_same(plan.c2_lpf, n))
+    shared = np.array_equal(plan.c1_lpf, plan.c2_lpf)
+    n_mats = 4 if shared else 6
+    line, col, ramp_spec, mats = _line_specs(lb, np_, n_mats, cols.shape[1])
+    mbh, mbl = split_bf16_host(toeplitz_same(plan.chroma_bpf, np_))
+    m1h, m1l = split_bf16_host(toeplitz_same(plan.c1_lpf, np_))
+    mat_args = [jnp.asarray(mbh), jnp.asarray(mbl),
+                jnp.asarray(m1h), jnp.asarray(m1l)]
+    if not shared:
+        m2h, m2l = split_bf16_host(toeplitz_same(plan.c2_lpf, np_))
+        mat_args += [jnp.asarray(m2h), jnp.asarray(m2l)]
+    kernel = _decode_kernel_shared if shared else _decode_kernel
+    ramp = np.zeros(np_, np.float32)
+    ramp[:n] = plan.ramp
     y, c1, c2 = pl.pallas_call(
-        _decode_kernel,
+        partial(kernel, n_valid=n),
         grid=(bl // lb,),
         in_specs=[line, line, col, ramp_spec, *mats],
         out_specs=(line, line, line),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((bl, n), jnp.float32) for _ in range(3)
+            jax.ShapeDtypeStruct((bl, np_), jnp.float32) for _ in range(3)
         ),
         interpret=should_interpret(),
     )(
         sep, comp, cols,
-        jnp.asarray(plan.ramp, jnp.float32)[None, :],
-        jnp.asarray(mbh), jnp.asarray(mbl),
-        jnp.asarray(m1h), jnp.asarray(m1l),
-        jnp.asarray(m2h), jnp.asarray(m2l),
+        jnp.asarray(ramp)[None, :],
+        *mat_args,
     )
-    return y[:total], c1[:total], c2[:total]
+    return y[:total, :n], c1[:total, :n], c2[:total, :n]
 
 
 # --- block-level wrappers mirroring modem/qam.py signatures ----------------

@@ -32,11 +32,13 @@ from color_modem_tpu.dsp.apply import fir_same, toeplitz_same
 from color_modem_tpu.dsp.nco import TWO_PI
 from color_modem_tpu.kernels.common import (
     dot3,
-    split_bf16_host,
+    lane_mask,
     mxu_dot,
+    pad_lanes,
     pad_lines,
     pick_line_block,
     should_interpret,
+    split_bf16_host,
 )
 from color_modem_tpu.modem.plan import ModemPlan
 from color_modem_tpu.modem.secam import is_r_line, pair_components
@@ -47,6 +49,20 @@ from color_modem_tpu.standards.base import FmParams
 def _cumsum_matrix(n: int) -> np.ndarray:
     """Upper-triangular ones: x @ T == inclusive cumsum along the line."""
     return np.triu(np.ones((n, n), dtype=np.float32))
+
+
+def _compose_same(taps_a, taps_b, n_valid: int, n_total: int) -> np.ndarray:
+    """x @ M == fir_same(fir_same(x, a), b) at width n_valid, built at n_total.
+
+    Composing at the padded width alone is NOT equivalent: the first filter's
+    spill into the padded columns would feed back into real columns through
+    the second filter.  Zeroing the second matrix's padded rows truncates the
+    intermediate exactly like the unpadded 'same' convolution does.
+    """
+    a = toeplitz_same(taps_a, n_total)
+    b = np.array(toeplitz_same(taps_b, n_total))  # copy: toeplitz is cached
+    b[n_valid:, :] = 0.0
+    return a @ b
 
 
 def _isr_col(gline: jax.Array) -> jax.Array:
@@ -64,6 +80,8 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
     (y, total), (dr, _), (db, _), (isr, _) = (
         pad_lines(y), pad_lines(dr), pad_lines(db), pad_lines(_isr_col(gline))
     )
+    (y, _), (dr, _), (db, _) = pad_lanes(y), pad_lanes(dr), pad_lanes(db)
+    np_ = y.shape[-1]
     bl = y.shape[0]
     lb = pick_line_block(bl)
     k = float(TWO_PI / plan.fs)
@@ -83,31 +101,35 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
         # phase integral: dphi accumulates to ~+-250 rad, so a 1e-5 relative
         # error becomes a visible carrier phase error — keep the 6-pass dot
         dphi = mxu_dot(df, tcum_ref[:])
-        carrier = jnp.cos(base_ref[:] + dphi)
+        # mask lane padding: cos of the unpadded carrier ramp is garbage the
+        # anti-cloche filter would smear into the last half-tap of real cols
+        carrier = jnp.cos(base_ref[:] + dphi) * lane_mask(n, np_)
         out_ref[:] = y_ref[:] + dot3(carrier, mantih_ref[:], mantil_ref[:])
 
-    line = pl.BlockSpec((lb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    line = pl.BlockSpec((lb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((lb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ramp = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    m_comb = toeplitz_same(plan.comp_lpf, n) @ toeplitz_same(plan.preemph, n)
+    ramp = pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((np_, np_), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    m_comb = _compose_same(plan.comp_lpf, plan.preemph, n, np_)
     mch, mcl = split_bf16_host(m_comb)
-    mah, mal = split_bf16_host(toeplitz_same(plan.anticloche, n))
+    mah, mal = split_bf16_host(toeplitz_same(plan.anticloche, np_))
+    base = np.zeros(np_, np.float32)
+    base[:n] = plan.fm_carrier_ramp
     out = pl.pallas_call(
         kernel,
         grid=(bl // lb,),
         in_specs=[line, line, line, col, ramp, mat, mat, mat, mat, mat],
         out_specs=line,
-        out_shape=jax.ShapeDtypeStruct((bl, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bl, np_), jnp.float32),
         interpret=should_interpret(),
     )(
         y, dr, db, isr,
-        jnp.asarray(plan.fm_carrier_ramp, jnp.float32)[None, :],
+        jnp.asarray(base)[None, :],
         jnp.asarray(mch), jnp.asarray(mcl),
-        jnp.asarray(_cumsum_matrix(n)),
+        jnp.asarray(_cumsum_matrix(np_)),
         jnp.asarray(mah), jnp.asarray(mal),
     )
-    return out[:total].reshape(lead + (l, n))
+    return out[:total, :n].reshape(lead + (l, n))
 
 
 def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
@@ -118,6 +140,8 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     l = comp.shape[-2]
     (flat, total) = pad_lines(comp.reshape(-1, n))
     (isr, _) = pad_lines(_isr_col(gline))
+    (flat, _) = pad_lanes(flat)
+    np_ = flat.shape[-1]
     bl = flat.shape[0]
     lb = pick_line_block(bl, target=64)
     fs, fc = float(plan.fs), float(plan.f_center)
@@ -125,11 +149,14 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     devr, devb = float(p.dev_r), float(p.dev_b)
     inv2pi = float(fs / TWO_PI)
 
-    mix = np.asarray(plan.mix_ramp, dtype=np.float64)
+    mix = np.zeros(np_, dtype=np.float64)
+    mix[:n] = np.asarray(plan.mix_ramp, dtype=np.float64)
     mixcos = np.cos(mix).astype(np.float32)[None, :]
     mixsin = np.sin(mix).astype(np.float32)[None, :]
-    m_mix = toeplitz_same(plan.mix_lpf, n)
-    m_mixdiff = m_mix @ toeplitz_same(plan.diff, n)
+    mixcos[:, n:] = 0.0  # mask lane padding out of the demod mix inputs
+    mixsin[:, n:] = 0.0
+    m_mix = toeplitz_same(plan.mix_lpf, np_)
+    m_mixdiff = _compose_same(plan.mix_lpf, plan.diff, n, np_)
 
     # Weight handling: three (N, N) weight matrices do not fit the 16 MB
     # VMEM budget if Mosaic double-buffers them as f32 blocked operands, and
@@ -138,7 +165,7 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     # the bytes, no hidden stack splits), stay in HBM, and are DMA'd once
     # into persistent scratch on grid step 0; dot3 does the 3-pass product.
     weights = [
-        split_bf16_host(toeplitz_same(plan.bell_takeoff, n)),
+        split_bf16_host(toeplitz_same(plan.bell_takeoff, np_)),
         split_bf16_host(m_mix),
         split_bf16_host(m_mixdiff),
     ]
@@ -175,23 +202,23 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
         dev = isr * devr + (1.0 - isr) * devb
         v_ref[:] = (f_inst - f0) / dev
 
-    line = pl.BlockSpec((lb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    line = pl.BlockSpec((lb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((lb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    ramp = pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ramp = pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     v = pl.pallas_call(
         kernel,
         grid=(bl // lb,),
         in_specs=[line, col, ramp, ramp] + [hbm] * 6,
         out_specs=line,
-        out_shape=jax.ShapeDtypeStruct((bl, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n, n), jnp.bfloat16) for _ in range(6)]
+        out_shape=jax.ShapeDtypeStruct((bl, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((np_, np_), jnp.bfloat16) for _ in range(6)]
         + [pltpu.SemaphoreType.DMA((6,))],
         interpret=should_interpret(),
     )(
         flat, isr, jnp.asarray(mixcos), jnp.asarray(mixsin),
         *[jnp.asarray(w) for pair in weights for w in pair],
-    )[:total]
+    )[:total, :n]
     # single XLA passes: de-emphasis ∘ demod LPF (exact composition) + notch
     m_out = toeplitz_same(plan.deemph, n) @ toeplitz_same(plan.demod_lpf, n)
     v = jnp.matmul(v, jnp.asarray(m_out),
