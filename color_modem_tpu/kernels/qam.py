@@ -19,8 +19,6 @@ Twins: modem/qam.py `encode` / `separate_notch`+`demodulate_carrier`
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax
@@ -32,7 +30,6 @@ from color_modem_tpu.dsp.apply import toeplitz_same
 from color_modem_tpu.dsp.nco import line_phase0
 from color_modem_tpu.kernels.common import (
     dot3,
-    lane_mask,
     pad_lanes,
     pad_lines,
     pick_line_block,
@@ -60,12 +57,24 @@ def _phase_cols(plan: ModemPlan, gline: jax.Array):
     return flat(phi0), flat(vs), flat(ref)
 
 
-def _encode_kernel(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
+def _carrier(col_phi, rc, rs):
+    """sin/cos of (per-line phase + per-sample ramp) by angle addition.
+
+    sin(phi0+r) = sin(phi0)cos(r) + cos(phi0)sin(r): the per-sample cos(r)/
+    sin(r) rows are exact f64 host constants, so the kernel does Lb
+    transcendentals (one per line) instead of Lb*N — the full-grid sin/cos
+    used to rival a filter matmul in VPU time.  The ramp rows are zeroed in
+    the lane padding, which also zeroes everything downstream of the mix
+    there (no separate mask needed)."""
+    s0, c0 = jnp.sin(col_phi), jnp.cos(col_phi)  # (Lb, 1)
+    return s0 * rc + c0 * rs, c0 * rc - s0 * rs
+
+
+def _encode_kernel(a_ref, y_ref, c1_ref, c2_ref, col_ref, rc_ref, rs_ref,
                    m1h_ref, m1l_ref, m2h_ref, m2l_ref, out_ref):
-    phi = col_ref[:, 0:1] + ramp_ref[:]          # (Lb,1)+(1,N) -> (Lb,N)
+    sin, cos = _carrier(col_ref[:, 0:1], rc_ref[:], rs_ref[:])
     vs = col_ref[:, 1:2]
     refmask = col_ref[:, 2:3]
-    sin, cos = jnp.sin(phi), jnp.cos(phi)
     c1f = dot3(c1_ref[:], m1h_ref[:], m1l_ref[:])
     c2f = dot3(c2_ref[:], m2h_ref[:], m2l_ref[:])
     chroma = c1f * sin + vs * c2f * cos
@@ -74,16 +83,15 @@ def _encode_kernel(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
     out_ref[:] = y_ref[:] + chroma
 
 
-def _encode_kernel_shared(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
-                          mh_ref, ml_ref, out_ref):
-    """Shared-taps variant (PAL/NIIR: c1_lpf == c2_lpf): since dot time at
-    these (K, N) is nearly flat in M, stacking both chroma components on the
-    sublane axis does two filter applications for the price of one."""
+def _encode_kernel_shared(a_ref, y_ref, c1_ref, c2_ref, col_ref, rc_ref,
+                          rs_ref, mh_ref, ml_ref, out_ref):
+    """Shared-taps variant (PAL/NIIR: c1_lpf == c2_lpf): stacking both
+    chroma components on the sublane axis does two filter applications in
+    one dot."""
     lb = y_ref.shape[0]
-    phi = col_ref[:, 0:1] + ramp_ref[:]
+    sin, cos = _carrier(col_ref[:, 0:1], rc_ref[:], rs_ref[:])
     vs = col_ref[:, 1:2]
     refmask = col_ref[:, 2:3]
-    sin, cos = jnp.sin(phi), jnp.cos(phi)
     both = jnp.concatenate([c1_ref[:], c2_ref[:]], axis=0)
     f = dot3(both, mh_ref[:], ml_ref[:])
     chroma = f[:lb] * sin + vs * f[lb:] * cos
@@ -92,39 +100,43 @@ def _encode_kernel_shared(a_ref, y_ref, c1_ref, c2_ref, col_ref, ramp_ref,
     out_ref[:] = y_ref[:] + chroma
 
 
-def _decode_kernel_shared(sep_ref, comp_ref, col_ref, ramp_ref,
+def _decode_kernel_shared(sep_ref, comp_ref, col_ref, rc_ref, rs_ref,
                           mbh_ref, mbl_ref, mh_ref, ml_ref,
-                          y_ref, c1_ref, c2_ref, *, n_valid):
+                          y_ref, c1_ref, c2_ref):
     lb = comp_ref.shape[0]
-    phi = col_ref[:, 0:1] + ramp_ref[:]
+    sin, cos = _carrier(col_ref[:, 0:1], rc_ref[:], rs_ref[:])
     vs = col_ref[:, 1:2]
     cb = dot3(sep_ref[:], mbh_ref[:], mbl_ref[:])
     y_ref[:] = comp_ref[:] - cb
-    # mask lane padding: sin/cos of the padded phase is garbage the demod
-    # LPF would otherwise smear into the last half-tap of real columns
-    mask = lane_mask(n_valid, comp_ref.shape[-1])
-    mixed = jnp.concatenate(
-        [2.0 * cb * jnp.sin(phi), 2.0 * cb * jnp.cos(phi)], axis=0
-    ) * mask
+    mixed = jnp.concatenate([2.0 * cb * sin, 2.0 * cb * cos], axis=0)
     f = dot3(mixed, mh_ref[:], ml_ref[:])
     c1_ref[:] = f[:lb]
     c2_ref[:] = vs * f[lb:]
 
 
-def _decode_kernel(sep_ref, comp_ref, col_ref, ramp_ref,
+def _decode_kernel(sep_ref, comp_ref, col_ref, rc_ref, rs_ref,
                    mbh_ref, mbl_ref, m1h_ref, m1l_ref, m2h_ref, m2l_ref,
-                   y_ref, c1_ref, c2_ref, *, n_valid):
-    phi = col_ref[:, 0:1] + ramp_ref[:]
+                   y_ref, c1_ref, c2_ref):
+    sin, cos = _carrier(col_ref[:, 0:1], rc_ref[:], rs_ref[:])
     vs = col_ref[:, 1:2]
     cb = dot3(sep_ref[:], mbh_ref[:], mbl_ref[:])
     # luma = composite minus the separated chroma band (sep == comp for the
     # notch decoder; the comb stencil signal for comb decoders)
     y_ref[:] = comp_ref[:] - cb
-    mask = lane_mask(n_valid, comp_ref.shape[-1])  # see shared variant
-    c1_ref[:] = dot3(mask * 2.0 * cb * jnp.sin(phi), m1h_ref[:], m1l_ref[:])
-    c2_ref[:] = vs * dot3(
-        mask * 2.0 * cb * jnp.cos(phi), m2h_ref[:], m2l_ref[:]
-    )
+    c1_ref[:] = dot3(2.0 * cb * sin, m1h_ref[:], m1l_ref[:])
+    c2_ref[:] = vs * dot3(2.0 * cb * cos, m2h_ref[:], m2l_ref[:])
+
+
+def _ramp_rows(ramp, n: int, n_total: int):
+    """(1, n_total) f32 cos/sin rows of the per-sample phase ramp, computed
+    in f64 on the host and zeroed in the lane padding (see _carrier)."""
+    r64 = np.zeros(n_total, np.float64)
+    r64[:n] = np.asarray(ramp, np.float64)
+    rc = np.cos(r64).astype(np.float32)[None, :]
+    rs = np.sin(r64).astype(np.float32)[None, :]
+    rc[:, n:] = 0.0
+    rs[:, n:] = 0.0
+    return rc, rs
 
 
 def _line_specs(lb: int, n: int, n_mats: int, n_cols: int):
@@ -161,14 +173,13 @@ def encode_lines(plan: ModemPlan, ycc_flat: jax.Array, cols: jax.Array) -> jax.A
             jnp.asarray(m1h), jnp.asarray(m1l),
             jnp.asarray(m2h), jnp.asarray(m2l),
         )
-    ramp = np.zeros(np_, np.float32)
-    ramp[:n] = plan.ramp
+    rc, rs = _ramp_rows(plan.ramp, n, np_)
     out = pl.pallas_call(
         _encode_kernel_shared if shared else _encode_kernel,
         grid=(bl // lb,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            line, line, line, col, ramp_spec, *mats,
+            line, line, line, col, ramp_spec, ramp_spec, *mats,
         ],
         out_specs=line,
         out_shape=jax.ShapeDtypeStruct((bl, np_), jnp.float32),
@@ -176,7 +187,7 @@ def encode_lines(plan: ModemPlan, ycc_flat: jax.Array, cols: jax.Array) -> jax.A
     )(
         a_ref,
         y, c1, c2, cols,
-        jnp.asarray(ramp)[None, :],
+        jnp.asarray(rc), jnp.asarray(rs),
         *mat_args,
     )
     return out[:total, :n]
@@ -204,12 +215,11 @@ def decode_lines(plan: ModemPlan, sep_flat: jax.Array, comp_flat: jax.Array,
         m2h, m2l = split_bf16_host(toeplitz_same(plan.c2_lpf, np_))
         mat_args += [jnp.asarray(m2h), jnp.asarray(m2l)]
     kernel = _decode_kernel_shared if shared else _decode_kernel
-    ramp = np.zeros(np_, np.float32)
-    ramp[:n] = plan.ramp
+    rc, rs = _ramp_rows(plan.ramp, n, np_)
     y, c1, c2 = pl.pallas_call(
-        partial(kernel, n_valid=n),
+        kernel,
         grid=(bl // lb,),
-        in_specs=[line, line, col, ramp_spec, *mats],
+        in_specs=[line, line, col, ramp_spec, ramp_spec, *mats],
         out_specs=(line, line, line),
         out_shape=tuple(
             jax.ShapeDtypeStruct((bl, np_), jnp.float32) for _ in range(3)
@@ -217,7 +227,7 @@ def decode_lines(plan: ModemPlan, sep_flat: jax.Array, comp_flat: jax.Array,
         interpret=should_interpret(),
     )(
         sep, comp, cols,
-        jnp.asarray(ramp)[None, :],
+        jnp.asarray(rc), jnp.asarray(rs),
         *mat_args,
     )
     return y[:total, :n], c1[:total, :n], c2[:total, :n]
