@@ -93,18 +93,37 @@ def main() -> None:
     mpix_s = pixels / dt / 1e6
     scanlines_s = args.batch * lines * args.iters / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.standard}-{args.decoder} roundtrip throughput (1 chip, "
-                f"{backend}, {args.batch}x{lines}x{args.samples}, "
-                f"psnr={quality:.1f}dB, {scanlines_s:,.0f} scanlines/s)",
-                "value": round(mpix_s, 1),
-                "unit": "Mpix/s",
-                "vs_baseline": round(mpix_s / 1.0, 1),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": f"{args.standard}-{args.decoder} roundtrip throughput (1 chip, "
+            f"{backend}, {args.batch}x{lines}x{args.samples}, "
+            f"psnr={quality:.1f}dB, {scanlines_s:,.0f} scanlines/s)",
+            "value": round(mpix_s, 1),
+            "unit": "Mpix/s",
+            "vs_baseline": round(mpix_s / 1.0, 1),
+        }
     )
+    print(line)
+
+    # structured record for results/ (SURVEY.md §5.5)
+    import os
+
+    os.makedirs("results", exist_ok=True)
+    record = {
+        "ts": time.time(),
+        "standard": args.standard,
+        "decoder": args.decoder,
+        "backend": backend,
+        "device": jax.default_backend(),
+        "shape": [args.batch, lines, args.samples],
+        "iters": args.iters,
+        "mpix_per_s": round(mpix_s, 1),
+        "scanlines_per_s": round(scanlines_s),
+        "roundtrip_psnr_db": round(float(quality), 2),
+    }
+    path = f"results/bench_{args.standard}_{args.decoder}_{backend}.json"
+    with open(path, "w") as f:
+        json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

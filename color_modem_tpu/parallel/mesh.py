@@ -13,6 +13,15 @@ The mesh has two named axes:
 The reference is strictly sequential single-process [SURVEY.md §2.4]; all of
 this is new capability.  TP/EP are consciously out of scope (3x3 matrices,
 no MoE — SURVEY.md §2.4); PP is subsumed by DP for this workload.
+
+Ulysses-style ``all_to_all`` re-sharding (flipping between line-sharded and
+sample-sharded layouts per stage) is consciously NOT used — the decision
+SURVEY.md §2.4 asks to be documented: every FIR in the pipeline runs along
+the sample axis and every stencil along the line axis, so the line-sharded
+layout is optimal for *all* stages simultaneously; an ``all_to_all`` would
+add two full-array ICI transposes per stage to save halos that are only 1-4
+lines deep.  The ring ``ppermute`` halo exchange (halo.py) moves ~1000x
+fewer bytes at the target geometries.
 """
 
 from __future__ import annotations
