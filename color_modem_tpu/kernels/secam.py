@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from color_modem_tpu.dsp.apply import fir_same, toeplitz_same
+from color_modem_tpu.dsp.apply import toeplitz_same
 from color_modem_tpu.dsp.nco import TWO_PI
 from color_modem_tpu.kernels.common import (
     dot3,
@@ -158,73 +158,98 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     m_mix = toeplitz_same(plan.mix_lpf, np_)
     m_mixdiff = _compose_same(plan.mix_lpf, plan.diff, n, np_)
 
-    # Weight handling: three (N, N) weight matrices do not fit the 16 MB
+    # Weight handling: five (N, N) weight matrices do not fit the 16 MB
     # VMEM budget if Mosaic double-buffers them as f32 blocked operands, and
     # its HIGHEST dot additionally keeps hi/lo operand splits on the kernel
     # stack.  So the weights ship as host-pre-split bf16 hi/lo pairs (half
     # the bytes, no hidden stack splits), stay in HBM, and are DMA'd once
     # into persistent scratch on grid step 0; dot3 does the 3-pass product.
+    # The output chain (de-emphasis then demod LPF, composed) and the luma
+    # notch are folded in too — keeping them as separate XLA matmuls cost
+    # two extra HBM round-trips of the whole block.
+    m_out = _compose_same(plan.deemph, plan.demod_lpf, n, np_)
+    # same-input dots share one wide matmul: concatenating the weight
+    # matrices along N costs identical FLOPs but runs wider (better-tiled)
+    # MXU passes — [bell | luma_notch] both filter the composite,
+    # [m_mix | m_mixdiff] both filter each quadrature mix arm.
+    m_bell_notch = np.concatenate(
+        [toeplitz_same(plan.bell_takeoff, np_),
+         toeplitz_same(plan.luma_notch, np_)], axis=1
+    )
+    m_mix2 = np.concatenate([m_mix, m_mixdiff], axis=1)
     weights = [
-        split_bf16_host(toeplitz_same(plan.bell_takeoff, np_)),
-        split_bf16_host(m_mix),
-        split_bf16_host(m_mixdiff),
+        split_bf16_host(m_bell_notch),
+        split_bf16_host(m_mix2),
+        split_bf16_host(m_out),
     ]
+    n_w = 2 * len(weights)
 
     def kernel(c_ref, isr_ref, cos_ref, sin_ref,
                *rest):
-        hbm_refs = rest[:6]
-        v_ref = rest[6]
-        vmem_refs = rest[7:13]
-        sems = rest[13]
+        hbm_refs = rest[:n_w]
+        v_ref, luma_ref = rest[n_w], rest[n_w + 1]
+        vmem_refs = rest[n_w + 2 : 2 * n_w + 2]
+        sems = rest[2 * n_w + 2]
 
         @pl.when(pl.program_id(0) == 0)
         def _load_weights():
-            for k in range(6):
+            for k in range(n_w):
                 cp = pltpu.make_async_copy(hbm_refs[k], vmem_refs[k], sems.at[k])
                 cp.start()
-            for k in range(6):
+            for k in range(n_w):
                 pltpu.make_async_copy(hbm_refs[k], vmem_refs[k], sems.at[k]).wait()
 
-        bell_hi, bell_lo, mix_hi, mix_lo, diff_hi, diff_lo = (
+        (bn_hi, bn_lo, mix2_hi, mix2_lo, out_hi, out_lo) = (
             r[:] for r in vmem_refs
         )
-        takeoff = dot3(c_ref[:], bell_hi, bell_lo)
+        tn = dot3(c_ref[:], bn_hi, bn_lo)           # [takeoff | notch-band]
+        takeoff = tn[:, :np_]
+        luma_ref[:] = c_ref[:] - tn[:, np_:]
         a = 2.0 * takeoff * cos_ref[:]
         b = -2.0 * takeoff * sin_ref[:]
-        i = dot3(a, mix_hi, mix_lo)
-        q = dot3(b, mix_hi, mix_lo)
-        di = dot3(a, diff_hi, diff_lo)
-        dq = dot3(b, diff_hi, diff_lo)
+        fa = dot3(a, mix2_hi, mix2_lo)              # [i | di]
+        fb = dot3(b, mix2_hi, mix2_lo)              # [q | dq]
+        i, di = fa[:, :np_], fa[:, np_:]
+        q, dq = fb[:, :np_], fb[:, np_:]
         a2 = jnp.maximum(i * i + q * q, 1e-9)
         f_inst = fc + (i * dq - q * di) / a2 * inv2pi
         isr = isr_ref[:, 0:1]
         f0 = isr * f0r + (1.0 - isr) * f0b
         dev = isr * devr + (1.0 - isr) * devb
-        v_ref[:] = (f_inst - f0) / dev
+        # mask lane padding out of f_inst garbage before the output filter
+        v = (f_inst - f0) / dev * lane_mask(n, np_)
+        v_ref[:] = dot3(v, out_hi, out_lo)
 
     line = pl.BlockSpec((lb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col = pl.BlockSpec((lb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ramp = pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
-    v = pl.pallas_call(
+    v, luma = pl.pallas_call(
         kernel,
         grid=(bl // lb,),
-        in_specs=[line, col, ramp, ramp] + [hbm] * 6,
-        out_specs=line,
-        out_shape=jax.ShapeDtypeStruct((bl, np_), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((np_, np_), jnp.bfloat16) for _ in range(6)]
-        + [pltpu.SemaphoreType.DMA((6,))],
+        in_specs=[line, col, ramp, ramp] + [hbm] * n_w,
+        out_specs=(line, line),
+        out_shape=(
+            jax.ShapeDtypeStruct((bl, np_), jnp.float32),
+            jax.ShapeDtypeStruct((bl, np_), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(w.shape, jnp.bfloat16)
+            for pair in weights for w in pair
+        ]
+        + [pltpu.SemaphoreType.DMA((n_w,))],
+        # 11.25 MB of resident weights + line buffers lands ~50 KB over the
+        # default 16 MB scoped budget; v5e VMEM is larger, raise the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024
+        ),
         interpret=should_interpret(),
     )(
         flat, isr, jnp.asarray(mixcos), jnp.asarray(mixsin),
         *[jnp.asarray(w) for pair in weights for w in pair],
-    )[:total, :n]
-    # single XLA passes: de-emphasis ∘ demod LPF (exact composition) + notch
-    m_out = toeplitz_same(plan.deemph, n) @ toeplitz_same(plan.demod_lpf, n)
-    v = jnp.matmul(v, jnp.asarray(m_out),
-                   precision=jax.lax.Precision.HIGH)
-    luma = comp - fir_same(comp, plan.luma_notch)
-    return luma, v.reshape(lead + (l, n))
+    )
+    shape = lead + (l, n)
+    return luma[:total, :n].reshape(shape), v[:total, :n].reshape(shape)
 
 
 def decode(plan: ModemPlan, comp: jax.Array, gline: jax.Array) -> jax.Array:
