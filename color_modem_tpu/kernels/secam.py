@@ -3,23 +3,22 @@
 Encode kernel, per line block, entirely in VMEM:
   component select -> baseband LPF + LF pre-emphasis (ONE matmul: composing
   two 'same' FIRs is exactly the product of their Toeplitz matrices) ->
-  FM phase integral (cumsum as a triangular-matrix MXU matmul) -> carrier ->
+  FM phase integral (Kogge-Stone lane scan on the VPU) -> carrier ->
   HF anti-cloche (matmul) -> luma add.
 
-Decode kernel:
-  bell takeoff (matmul) -> quadrature mix (elementwise with host ramps) ->
-  mix LPF and mix LPF∘differentiator (matmuls; composition exact by
-  associativity) -> amplitude-invariant discriminator -> per-line rest
-  frequency/deviation removal.  De-emphasis∘demod-LPF (one matmul) and the
-  luma notch stay outside with the line pairing — single passes XLA fuses.
+Decode kernel (4 wide dots, everything else elementwise):
+  [bell takeoff | luma notch] (one N-concatenated matmul on the composite)
+  -> quadrature mix (elementwise with host ramps) -> [mix LPF | mix
+  LPF∘differentiator] per arm (compositions exact by associativity) ->
+  amplitude-invariant discriminator -> per-line rest frequency/deviation
+  removal -> de-emphasis∘demod-LPF (one matmul).  Only the cross-line
+  pairing stays outside (it is the sharded path's 1-line halo).
 
 Twins: modem/secam.py `encode` / `demodulate_lines` (the jnp cumsum vs the
-triangular matmul differ only in fp summation order).
+lane scan differ only in fp summation order).
 """
 
 from __future__ import annotations
-
-from functools import lru_cache
 
 import numpy as np
 
@@ -33,7 +32,6 @@ from color_modem_tpu.dsp.nco import TWO_PI
 from color_modem_tpu.kernels.common import (
     dot3,
     lane_mask,
-    mxu_dot,
     pad_lanes,
     pad_lines,
     pick_line_block,
@@ -45,10 +43,22 @@ from color_modem_tpu.modem.secam import is_r_line, pair_components
 from color_modem_tpu.standards.base import FmParams
 
 
-@lru_cache(maxsize=8)
-def _cumsum_matrix(n: int) -> np.ndarray:
-    """Upper-triangular ones: x @ T == inclusive cumsum along the line."""
-    return np.triu(np.ones((n, n), dtype=np.float32))
+def _cumsum_lanes(x):
+    """Inclusive cumsum along the lane axis: Kogge-Stone log-step scan.
+
+    Mosaic has no cumsum lowering; the reference/golden use np.cumsum.  The
+    previous formulation (x @ triu(ones) on the MXU at 6-pass precision) is
+    both slower and *less* accurate than log2(N) masked roll-adds on the
+    VPU (fp32 adds, log-depth rounding: 5e-7 vs 8e-7 max error on the
+    SECAM deviation integral).
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    s = 1
+    while s < x.shape[-1]:
+        xs = pltpu.roll(x, s, x.ndim - 1)
+        x = x + jnp.where(col >= s, xs, 0.0)
+        s *= 2
+    return x
 
 
 def _compose_same(taps_a, taps_b, n_valid: int, n_total: int) -> np.ndarray:
@@ -90,7 +100,7 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
     devr, devb = p.dev_r * k, p.dev_b * k
 
     def kernel(y_ref, dr_ref, db_ref, isr_ref, base_ref,
-               mcombh_ref, mcombl_ref, tcum_ref, mantih_ref, mantil_ref,
+               mcombh_ref, mcombl_ref, mantih_ref, mantil_ref,
                out_ref):
         isr = isr_ref[:, 0:1]
         d = isr * dr_ref[:] + (1.0 - isr) * db_ref[:]
@@ -98,9 +108,9 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
         df = (isr * f0r_c + (1.0 - isr) * f0b_c) + (
             isr * devr + (1.0 - isr) * devb
         ) * dpre
-        # phase integral: dphi accumulates to ~+-250 rad, so a 1e-5 relative
-        # error becomes a visible carrier phase error — keep the 6-pass dot
-        dphi = mxu_dot(df, tcum_ref[:])
+        # phase integral: dphi accumulates to ~+-250 rad — the log-depth
+        # fp32 scan is the most accurate formulation available (see above)
+        dphi = _cumsum_lanes(df)
         # mask lane padding: cos of the unpadded carrier ramp is garbage the
         # anti-cloche filter would smear into the last half-tap of real cols
         carrier = jnp.cos(base_ref[:] + dphi) * lane_mask(n, np_)
@@ -118,7 +128,7 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
     out = pl.pallas_call(
         kernel,
         grid=(bl // lb,),
-        in_specs=[line, line, line, col, ramp, mat, mat, mat, mat, mat],
+        in_specs=[line, line, line, col, ramp, mat, mat, mat, mat],
         out_specs=line,
         out_shape=jax.ShapeDtypeStruct((bl, np_), jnp.float32),
         interpret=should_interpret(),
@@ -126,7 +136,6 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
         y, dr, db, isr,
         jnp.asarray(base)[None, :],
         jnp.asarray(mch), jnp.asarray(mcl),
-        jnp.asarray(_cumsum_matrix(np_)),
         jnp.asarray(mah), jnp.asarray(mal),
     )
     return out[:total, :n].reshape(lead + (l, n))
