@@ -30,23 +30,33 @@ def _add_common(p):
     p.add_argument("--backend", default="xla", choices=["xla", "pallas"])
 
 
+def _add_raster(p):
+    p.add_argument(
+        "--raster", action="store_true",
+        help="full rastered lines: sync pulse + color burst in blanking",
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="color_modem_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     enc = sub.add_parser("encode", help="RGB image -> composite image")
     _add_common(enc)
+    _add_raster(enc)
     enc.add_argument("--input", required=True)
     enc.add_argument("--output", required=True, help="composite PNG (grayscale)")
     enc.add_argument("--raw", help="also dump float32 composite .npy")
 
     dec = sub.add_parser("decode", help="float32 composite .npy -> RGB image")
     _add_common(dec)
+    _add_raster(dec)
     dec.add_argument("--input", required=True, help="composite .npy from encode --raw")
     dec.add_argument("--output", required=True)
 
     rt = sub.add_parser("roundtrip", help="RGB -> composite -> RGB")
     _add_common(rt)
+    _add_raster(rt)
     rt.add_argument("--input", help="image file; omit with --demo")
     rt.add_argument("--demo", action="store_true", help="use generated color bars")
     rt.add_argument("--lines", type=int, default=0, help="demo height (0=standard)")
@@ -152,9 +162,12 @@ def main(argv=None) -> int:
     else:
         rgb, cfg = _load_input(args)
     plan = make_plan(cfg, args.width)
-    encode, decode, _ = make_pipeline(plan, args.decoder, args.backend)
+    encode, decode, _ = make_pipeline(
+        plan, args.decoder, args.backend, raster=args.raster
+    )
     result = {"standard": args.standard, "decoder": args.decoder,
-              "width": args.width, "backend": jax.default_backend()}
+              "width": args.width, "backend": jax.default_backend(),
+              "raster": args.raster}
 
     t0 = time.perf_counter()
     if args.cmd == "encode":

@@ -113,26 +113,44 @@ def frame_line_index(plan: ModemPlan, frame0, n_frames: int, n_lines: int):
     return global_line_index(frame0, n_frames, n_lines, plan.cfg.total_lines)
 
 
-def make_pipeline(plan: ModemPlan, decoder: str = "notch", backend: str = "xla"):
+def make_pipeline(plan: ModemPlan, decoder: str = "notch", backend: str = "xla",
+                  raster: bool = False):
     """Jitted single-device closures over a fixed plan.
 
     Returns ``(encode, decode, roundtrip)``, each taking a ``(B, ...)`` batch
     and a scalar ``frame0`` (the index of the first frame, which drives the
     NTSC 4-field / PAL 8-field phase sequence across batches).
     ``backend``: 'xla' or 'pallas' (fused VMEM kernels).
+    ``raster``: emit/consume full rastered lines with sync + color burst in
+    the blanking interval (SURVEY.md A.1 — optional, default off); the
+    decoder strips the blanking before demodulation.
     """
     check_decoder(plan, decoder)
+    rp = None
+    if raster:
+        from color_modem_tpu.frame.raster import make_raster
+
+        rp = make_raster(plan)
 
     @partial(jax.jit, static_argnames=())
     def encode(rgb, frame0=0):
         b, _, l, _ = rgb.shape
         g = frame_line_index(plan, frame0, b, l)
-        return encode_block(plan, rgb, g, backend)
+        comp = encode_block(plan, rgb, g, backend)
+        if rp is not None:
+            from color_modem_tpu.frame.raster import add_raster
+
+            comp = add_raster(plan, rp, comp, g)
+        return comp
 
     @jax.jit
     def decode(comp, frame0=0):
-        b, l, _ = comp.shape
+        b, l = comp.shape[0], comp.shape[1]
         g = frame_line_index(plan, frame0, b, l)
+        if rp is not None:
+            from color_modem_tpu.frame.raster import strip_raster
+
+            comp = strip_raster(rp, comp)
         return decode_block(plan, comp, g, decoder, backend)
 
     @jax.jit

@@ -1,0 +1,103 @@
+"""Raster (sync + burst) layer: geometry, spec phases, round-trip identity.
+
+SURVEY.md A.1: sync/burst are optional, default off, flag-gated; A.2/A.3 give
+the burst angles (NTSC 180 deg on -U; PAL swinging +-135 deg with the
+V-switch); SECAM has no burst (A.4 — line identification is by FM).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import TEST_LINES, TEST_SAMPLES, get_plan
+
+from color_modem_tpu.frame.pipeline import frame_line_index, make_pipeline
+from color_modem_tpu.frame.raster import (
+    BURST_AMP,
+    SYNC_LEVEL,
+    add_raster,
+    make_raster,
+    measure_burst_phase,
+    strip_raster,
+)
+from color_modem_tpu.utils.testimages import smooth_scene
+
+
+def _rastered(name):
+    plan = get_plan(name)
+    rp = make_raster(plan)
+    rgb = jnp.asarray(smooth_scene(TEST_LINES, TEST_SAMPLES, seed=3)[None])
+    g = frame_line_index(plan, 0, 1, TEST_LINES)
+    from color_modem_tpu.frame.pipeline import encode_block
+
+    comp = encode_block(plan, rgb, g)
+    return plan, rp, comp, add_raster(plan, rp, comp, g), g
+
+
+@pytest.mark.parametrize("name,total", [("ntsc", 858), ("pal", 864), ("secam", 864)])
+def test_geometry_matches_bt470(name, total):
+    """fs/fh at 720 active samples gives the BT.601 total line lengths."""
+    rp = make_raster(get_plan(name))
+    assert rp.n_total == total
+    assert rp.n_active == TEST_SAMPLES
+
+
+@pytest.mark.parametrize("name", ["ntsc", "pal", "secam"])
+def test_strip_is_exact_inverse(name):
+    _, rp, comp, rastered, _ = _rastered(name)
+    assert rastered.shape[-1] == rp.n_total
+    np.testing.assert_array_equal(np.asarray(strip_raster(rp, rastered)),
+                                  np.asarray(comp))
+
+
+@pytest.mark.parametrize("name", ["ntsc", "pal", "secam"])
+def test_sync_pulse_level_and_quiet_porch(name):
+    _, rp, _, rastered, _ = _rastered(name)
+    blank = np.asarray(rastered)[..., : rp.n_blank]
+    sync = blank[..., rp.sync_start : rp.sync_start + rp.sync_len]
+    np.testing.assert_allclose(sync, SYNC_LEVEL, atol=1e-6)
+    # front porch (before sync) is at blanking level on every line
+    np.testing.assert_allclose(blank[..., : rp.sync_start], 0.0, atol=1e-6)
+
+
+def test_ntsc_burst_is_180_on_u():
+    plan, rp, _, rastered, g = _rastered("ntsc")
+    amp, phase = measure_burst_phase(plan, rp, rastered, g)
+    np.testing.assert_allclose(np.asarray(amp), BURST_AMP, rtol=0.02)
+    # 180 deg -> +-pi (wraps); compare the cosine to be branch-free
+    np.testing.assert_allclose(np.cos(np.asarray(phase)), -1.0, atol=1e-3)
+
+
+def test_pal_burst_swings_135_with_vswitch():
+    plan, rp, _, rastered, g = _rastered("pal")
+    amp, phase = measure_burst_phase(plan, rp, rastered, g)
+    # PAL's 10 burst cycles span 30.47 samples, rounded to 30: the
+    # non-integer cycle count leaks ~3% into the quadrature correlation
+    np.testing.assert_allclose(np.asarray(amp), BURST_AMP, rtol=0.05)
+    expected = np.where(np.asarray(g) % 2 == 0, 0.75 * np.pi, -0.75 * np.pi)
+    # fractional-cycle leakage phase rotates with phi0, up to ~1.9 deg
+    np.testing.assert_allclose(np.asarray(phase), expected, atol=0.05)
+
+
+def test_secam_has_sync_but_no_burst():
+    plan, rp, _, rastered, g = _rastered("secam")
+    assert rp.burst_len == 0
+    with pytest.raises(ValueError):
+        measure_burst_phase(plan, rp, rastered, g)
+    # everything outside sync is at blanking level
+    blank = np.array(rastered)[..., : rp.n_blank]
+    blank[..., rp.sync_start : rp.sync_start + rp.sync_len] = 0.0
+    np.testing.assert_allclose(blank, 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("name,decoder", [("ntsc", "comb3"), ("pal", "delayline"),
+                                          ("secam", "notch")])
+def test_rastered_pipeline_roundtrip_identical(name, decoder):
+    """encode(raster)+decode(raster) == plain roundtrip, bit for bit."""
+    plan = get_plan(name)
+    rgb = jnp.asarray(smooth_scene(TEST_LINES, TEST_SAMPLES, seed=4)[None])
+    enc_r, dec_r, _ = make_pipeline(plan, decoder, raster=True)
+    _, _, rt = make_pipeline(plan, decoder)
+    out_r = dec_r(enc_r(rgb, 0), 0)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(rt(rgb, 0)))
