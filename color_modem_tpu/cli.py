@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--mesh", default="", help="FxL device mesh, e.g. 2x4 (empty = unsharded)"
     )
     vid.add_argument("--no-resume", action="store_true")
+    vid.add_argument(
+        "--host-source", action="store_true",
+        help="generate frames on the host (default: on device — the host "
+        "path re-uploads every chunk, which dominates over a slow link)",
+    )
 
     sub.add_parser("info", help="list standards, decoders, devices")
     return ap
@@ -128,7 +133,11 @@ def main(argv=None) -> int:
     from color_modem_tpu.utils.metrics import psnr
 
     if args.cmd == "video":
-        from color_modem_tpu.frame.video import process_video, synthetic_source
+        from color_modem_tpu.frame.video import (
+            process_video,
+            synthetic_device_source,
+            synthetic_source,
+        )
         from color_modem_tpu.standards import ALL_STANDARDS
 
         cfg = ALL_STANDARDS[args.standard]()
@@ -141,9 +150,10 @@ def main(argv=None) -> int:
             init_distributed()
             f, l = (int(v) for v in args.mesh.split("x"))
             mesh = make_mesh(f, l)
+        make_src = synthetic_source if args.host_source else synthetic_device_source
         summary = process_video(
             plan,
-            synthetic_source(lines, args.width),
+            make_src(lines, args.width),
             args.frames,
             args.out,
             decoder=args.decoder,

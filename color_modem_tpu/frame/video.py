@@ -3,10 +3,10 @@
 
 A video run is a sequence of frame chunks pushed through the (optionally
 sharded) round-trip pipeline.  Each finished chunk is recorded in the output
-directory's manifest with output hashes and PSNR; re-running after an
-interruption skips completed chunks (failure recovery = re-running a chunk —
-the honest strategy recorded in SURVEY.md §5.3).  A structured JSON summary
-goes to ``results/`` (§5.5).
+directory's manifest with a device-computed content fingerprint and PSNR;
+re-running after an interruption skips completed chunks (failure recovery =
+re-running a chunk — the honest strategy recorded in SURVEY.md §5.3).  A
+structured JSON summary goes to ``results/`` (§5.5).
 """
 
 from __future__ import annotations
@@ -22,8 +22,7 @@ import jax
 
 from color_modem_tpu.frame.pipeline import make_pipeline
 from color_modem_tpu.modem.plan import ModemPlan
-from color_modem_tpu.utils.manifest import ChunkManifest, array_hash
-from color_modem_tpu.utils.metrics import psnr
+from color_modem_tpu.utils.manifest import ChunkManifest
 
 FrameSource = Callable[[int, int], np.ndarray]  # (start, count) -> (B,3,L,N)
 
@@ -37,6 +36,44 @@ def synthetic_source(lines: int, samples: int) -> FrameSource:
             [smooth_scene(lines, samples, seed=start + i) for i in range(count)],
             dtype=np.float32,
         )
+
+    return src
+
+
+def synthetic_device_source(lines: int, samples: int, seed: int = 0) -> FrameSource:
+    """Device-resident synthetic frames.
+
+    One base scene uploads once; per-frame variants derive on device (sample
+    roll + deterministic brightness modulation keyed on the absolute frame
+    index, so resume reproduces them exactly).  The host source costs
+    ~0.16 s/frame of numpy FFT plus a full upload per chunk — through a
+    ~25 MB/s tunnel to a remote chip that dwarfs the modem compute itself.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    state = {}
+
+    def src(start: int, count: int):
+        if "base" not in state:
+            state["base"] = jnp.asarray(
+                smooth_scene(lines, samples, seed=seed), jnp.float32
+            )
+
+            @jax.jit
+            def variants(base, idx):
+                def one(g):
+                    rolled = jnp.roll(base, (g * 37) % samples, axis=-1)
+                    gain = 0.85 + 0.1 * jnp.cos(0.37 * g.astype(jnp.float32))
+                    return jnp.clip(rolled * gain + 0.05, 0.0, 1.0)
+
+                return jax.vmap(one)(idx)
+
+            state["variants"] = variants
+        idx = jnp.arange(start, start + count)
+        return state["variants"](state["base"], idx)
 
     return src
 
@@ -75,26 +112,63 @@ def process_video(
     else:
         _, _, roundtrip = make_pipeline(plan, decoder, backend)
 
+    from color_modem_tpu.utils.metrics import (
+        fingerprint_hex,
+        fingerprint_jnp,
+        psnr_jnp,
+    )
+
+    # One fused device step per chunk: roundtrip + PSNR + manifest
+    # fingerprint all on device — only two scalars cross back to the host
+    # unless outputs are being saved (the tunnel to a remote chip is the
+    # bottleneck, not the modem).
+    @jax.jit
+    def step(rgb, frame0):
+        out = roundtrip(rgb, frame0)
+        return out, psnr_jnp(out, rgb), fingerprint_jnp(out)
+
+    @jax.jit
+    def step_metrics(rgb, frame0):
+        out = roundtrip(rgb, frame0)
+        return psnr_jnp(out, rgb), fingerprint_jnp(out)
+
     t_start = time.perf_counter()
     pixels = 0
     frames_done = 0
     psnrs = []
+    # submit every chunk before resolving any scalar: a per-chunk
+    # device->host sync would serialize the run on link latency
+    pending = []
     for start in range(0, n_frames, chunk):
         end = min(start + chunk, n_frames)
         if manifest and manifest.is_done(start, end):
             continue
         rgb = source(start, end - start)
-        out = np.asarray(
-            jax.block_until_ready(roundtrip(rgb, start))
-        )
-        q = psnr(out, rgb)
-        psnrs.append(q)
-        frames_done += out.shape[0]
-        pixels += out.shape[0] * out.shape[2] * out.shape[3]
+        pixels += (end - start) * rgb.shape[2] * rgb.shape[3]
         if save_outputs:
-            np.save(os.path.join(out_dir, f"rgb_{start:06d}.npy"), out)
+            out, q, fp = step(rgb, start)
+        else:
+            out, (q, fp) = None, step_metrics(rgb, start)
+        pending.append((start, end, out, q, fp))
+    if pending:
+        # ONE batched device->host fetch for all metrics: per-chunk scalar
+        # readbacks through the tunnel cost ~0.1 s each and would dominate
+        import jax.numpy as jnp
+
+        all_q = np.asarray(jnp.stack([p[3] for p in pending]))
+        all_fp = np.asarray(jnp.stack([p[4] for p in pending]))
+    for k, (start, end, out, _, _) in enumerate(pending):
+        q = float(all_q[k])
+        psnrs.append(q)
+        frames_done += end - start
+        if out is not None:
+            np.save(
+                os.path.join(out_dir, f"rgb_{start:06d}.npy"), np.asarray(out)
+            )
         if manifest:
-            manifest.mark_done(start, end, hash=array_hash(out), psnr=round(q, 2))
+            manifest.mark_done(
+                start, end, fp=fingerprint_hex(all_fp[k]), psnr=round(q, 2)
+            )
     wall = time.perf_counter() - t_start
 
     summary = {

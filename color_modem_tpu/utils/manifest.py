@@ -2,8 +2,9 @@
 
 Processing is stateless per frame chunk (no learned parameters; filter taps
 re-derive deterministically from configs), so checkpoint/resume is a manifest
-of completed chunks with content hashes — not an Orbax training checkpoint.
-Writes are atomic (tmp + rename) so an interrupted run never corrupts it.
+of completed chunks with content fingerprints (device-computed, see
+utils/metrics.fingerprint_jnp) — not an Orbax training checkpoint.  Writes
+are atomic (tmp + rename) so an interrupted run never corrupts it.
 """
 
 from __future__ import annotations

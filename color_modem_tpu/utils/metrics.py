@@ -29,3 +29,30 @@ def psnr_jnp(a, b, peak: float = 1.0):
 
     m = jnp.mean((a - b) ** 2)
     return 10.0 * jnp.log10(peak * peak / jnp.maximum(m, 1e-20))
+
+
+def fingerprint_jnp(x):
+    """On-device content fingerprint -> (2,) f32 (traceable).
+
+    Two pseudo-random-weighted reductions: enough to detect a corrupted or
+    mixed-up chunk in the resume manifest WITHOUT hauling the full output to
+    the host (the tunnel to a remote chip moves ~25 MB/s; a sha256 of a
+    233 MB chunk costs more in transfer than the compute it checks).  NOT
+    cryptographic; deterministic per backend (recorded next to `backend` in
+    the manifest config).
+    """
+    import jax.numpy as jnp
+
+    f = x.astype(jnp.float32).ravel()
+    i = jnp.arange(f.shape[0], dtype=jnp.float32)
+    s1 = jnp.dot(f, jnp.cos(i * 1.7e-3))
+    s2 = jnp.dot(f * f, jnp.cos(i * 0.9e-3 + 1.0))
+    return jnp.stack([s1, s2])
+
+
+def fingerprint_hex(fp) -> str:
+    """Host-side: (2,) f32 fingerprint -> stable 16-char hex string."""
+    import struct
+
+    a, b = (float(v) for v in np.asarray(fp))
+    return struct.pack("<ff", a, b).hex()

@@ -57,11 +57,11 @@ def test_video_sharded(tmp_path):
     assert s["min_psnr_db"] > 33
 
 
-def test_chunk_hashes_are_deterministic(tmp_path):
+def test_chunk_fingerprints_are_deterministic(tmp_path):
     plan = get_plan("ntsc")
     src = synthetic_source(L, TEST_SAMPLES)
     process_video(plan, src, 2, str(tmp_path / "a"), chunk=2)
     process_video(plan, src, 2, str(tmp_path / "b"), chunk=2)
-    ha = ChunkManifest(str(tmp_path / "a")).data["chunks"]["0-2"]["hash"]
-    hb = ChunkManifest(str(tmp_path / "b")).data["chunks"]["0-2"]["hash"]
+    ha = ChunkManifest(str(tmp_path / "a")).data["chunks"]["0-2"]["fp"]
+    hb = ChunkManifest(str(tmp_path / "b")).data["chunks"]["0-2"]["fp"]
     assert ha == hb
