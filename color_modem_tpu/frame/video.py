@@ -108,7 +108,7 @@ def process_video(
     if mesh is not None:
         from color_modem_tpu.parallel.sharded import make_sharded_pipeline
 
-        _, _, roundtrip = make_sharded_pipeline(plan, mesh, decoder)
+        _, _, roundtrip = make_sharded_pipeline(plan, mesh, decoder, backend)
     else:
         _, _, roundtrip = make_pipeline(plan, decoder, backend)
 

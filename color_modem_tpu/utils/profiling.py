@@ -40,15 +40,37 @@ def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
             flops: int | None = None) -> dict:
     """Warmup once, then time ``iters`` calls of a jitted ``fn``.
 
-    ``bytes_moved``/``flops`` are per-call estimates supplied by the caller;
-    when given, the report includes achieved HBM GB/s and TFLOP/s and their
-    fraction of the chip peak (the speed-of-light ratio).
+    Every timed call gets a UNIQUE first-array argument (a tiny deterministic
+    offset): execution relays that cache same-input dispatches (as the axon
+    tunnel here does) would otherwise serve replays and report fantasy
+    throughput.  ``bytes_moved``/``flops`` are per-call estimates supplied by
+    the caller; when given, the report includes achieved HBM GB/s and
+    TFLOP/s and their fraction of the chip peak (the speed-of-light ratio).
     """
+    import jax.numpy as jnp
+
+    def _args_for(i: int):
+        varied = False
+        out_args = []
+        for a in args:
+            if not varied and hasattr(a, "dtype") and jnp.issubdtype(
+                getattr(a, "dtype"), jnp.floating
+            ):
+                out_args.append(a + jnp.asarray(i * 1e-6, a.dtype))
+                varied = True
+            else:
+                out_args.append(a)
+        return out_args
+
+    per_iter = [
+        [jax.block_until_ready(a) if hasattr(a, "dtype") else a
+         for a in _args_for(i)]
+        for i in range(iters)
+    ]
     out = jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*ai) for ai in per_iter]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
     rep = {"seconds_per_call": dt}
     peaks = chip_peaks()
