@@ -72,6 +72,27 @@ def lane_mask(n_valid: int, n_total: int):
     return (col < n_valid).astype(jnp.float32)
 
 
+def compiler_params(*weight_arrays, margin_bytes: int = 32 * 1024 * 1024):
+    """CompilerParams with a VMEM cap sized to the resident weights.
+
+    Mosaic's default 16 MB scoped-VMEM budget predates v5e's 128 MB VMEM;
+    wide lines (1440 samples -> 1536x1536 matrices) need far more than the
+    default but fit the hardware comfortably.  The cap is weights + margin
+    (line blocks, intermediates, double buffers).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    weights = sum(int(np.prod(w.shape)) * w.dtype.itemsize
+                  for w in weight_arrays)
+    limit = max(16 * 1024 * 1024, weights + margin_bytes)
+    if limit > 120 * 1024 * 1024:
+        raise ValueError(
+            f"kernel weights need ~{weights/2**20:.0f} MB of VMEM — beyond "
+            "the chip; use the 'xla' backend for this line width"
+        )
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
 def mxu_dot(a, b, precision=None):
     """f32 matmul with full-precision (6-pass) accumulation on the MXU."""
     return lax.dot_general(

@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from color_modem_tpu.dsp.apply import toeplitz_same
 from color_modem_tpu.dsp.nco import line_phase0
 from color_modem_tpu.kernels.common import (
+    compiler_params,
     dot3,
     pad_lanes,
     pad_lines,
@@ -183,6 +184,7 @@ def encode_lines(plan: ModemPlan, ycc_flat: jax.Array, cols: jax.Array) -> jax.A
         ],
         out_specs=line,
         out_shape=jax.ShapeDtypeStruct((bl, np_), jnp.float32),
+        compiler_params=compiler_params(*mat_args),
         interpret=should_interpret(),
     )(
         a_ref,
@@ -224,6 +226,7 @@ def decode_lines(plan: ModemPlan, sep_flat: jax.Array, comp_flat: jax.Array,
         out_shape=tuple(
             jax.ShapeDtypeStruct((bl, np_), jnp.float32) for _ in range(3)
         ),
+        compiler_params=compiler_params(*mat_args),
         interpret=should_interpret(),
     )(
         sep, comp, cols,

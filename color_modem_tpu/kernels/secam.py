@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from color_modem_tpu.dsp.apply import toeplitz_same
 from color_modem_tpu.dsp.nco import TWO_PI
 from color_modem_tpu.kernels.common import (
+    compiler_params,
     dot3,
     lane_mask,
     pad_lanes,
@@ -125,18 +126,19 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
     mah, mal = split_bf16_host(toeplitz_same(plan.anticloche, np_))
     base = np.zeros(np_, np.float32)
     base[:n] = plan.fm_carrier_ramp
+    mats = [jnp.asarray(m) for m in (mch, mcl, mah, mal)]
     out = pl.pallas_call(
         kernel,
         grid=(bl // lb,),
         in_specs=[line, line, line, col, ramp, mat, mat, mat, mat],
         out_specs=line,
         out_shape=jax.ShapeDtypeStruct((bl, np_), jnp.float32),
+        compiler_params=compiler_params(*mats),
         interpret=should_interpret(),
     )(
         y, dr, db, isr,
         jnp.asarray(base)[None, :],
-        jnp.asarray(mch), jnp.asarray(mcl),
-        jnp.asarray(mah), jnp.asarray(mal),
+        *mats,
     )
     return out[:total, :n].reshape(lead + (l, n))
 
@@ -247,10 +249,8 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
             for pair in weights for w in pair
         ]
         + [pltpu.SemaphoreType.DMA((n_w,))],
-        # 11.25 MB of resident weights + line buffers lands ~50 KB over the
-        # default 16 MB scoped budget; v5e VMEM is larger, raise the cap
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=20 * 1024 * 1024
+        compiler_params=compiler_params(
+            *[jnp.asarray(w) for pair in weights for w in pair]
         ),
         interpret=should_interpret(),
     )(
