@@ -82,13 +82,19 @@ def compiler_params(*weight_arrays, margin_bytes: int = 32 * 1024 * 1024):
     """
     from jax.experimental.pallas import tpu as pltpu
 
+    if should_interpret():
+        # interpreter mode has no VMEM; don't cap (or reject) anything the
+        # CPU sanitizer runs can execute fine
+        return pltpu.CompilerParams()
     weights = sum(int(np.prod(w.shape)) * w.dtype.itemsize
                   for w in weight_arrays)
     limit = max(16 * 1024 * 1024, weights + margin_bytes)
     if limit > 120 * 1024 * 1024:
         raise ValueError(
-            f"kernel weights need ~{weights/2**20:.0f} MB of VMEM — beyond "
-            "the chip; use the 'xla' backend for this line width"
+            f"kernel needs ~{limit/2**20:.0f} MB of VMEM "
+            f"({weights/2**20:.0f} MB weights + {margin_bytes/2**20:.0f} MB "
+            "working margin) — beyond the chip; use the 'xla' backend for "
+            "this line width"
         )
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 

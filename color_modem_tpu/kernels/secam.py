@@ -193,7 +193,8 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
         split_bf16_host(m_mix2),
         split_bf16_host(m_out),
     ]
-    n_w = 2 * len(weights)
+    weight_args = [jnp.asarray(w) for pair in weights for w in pair]
+    n_w = len(weight_args)
 
     def kernel(c_ref, isr_ref, cos_ref, sin_ref,
                *rest):
@@ -249,13 +250,11 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
             for pair in weights for w in pair
         ]
         + [pltpu.SemaphoreType.DMA((n_w,))],
-        compiler_params=compiler_params(
-            *[jnp.asarray(w) for pair in weights for w in pair]
-        ),
+        compiler_params=compiler_params(*weight_args),
         interpret=should_interpret(),
     )(
         flat, isr, jnp.asarray(mixcos), jnp.asarray(mixsin),
-        *[jnp.asarray(w) for pair in weights for w in pair],
+        *weight_args,
     )
     shape = lead + (l, n)
     return luma[:total, :n].reshape(shape), v[:total, :n].reshape(shape)
