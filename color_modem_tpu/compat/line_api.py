@@ -131,9 +131,18 @@ class QamLineModem(_LineModemBase):
             zc, zr = z, prev
         else:
             zc, zr = prev, z
-        den = np.maximum(zr[0] ** 2 + zr[1] ** 2, 1e-12)
-        u = a_ref * (zc[0] * zr[0] + zc[1] * zr[1]) / den
-        v = a_ref * (zc[1] * zr[0] - zc[0] * zr[1]) / den
+        # guard: a vanishing reference measurement falls back to the nominal
+        # (A_ref, 0), i.e. no correction — matches modem.niir.normalize and
+        # golden._niir_normalize (flooring the denominator instead would
+        # blow up the chroma exactly in the degraded-channel regime the
+        # normalization exists for)
+        zr0, zr1 = zr
+        weak = (zr0 ** 2 + zr1 ** 2) < 1e-12
+        zr0 = np.where(weak, a_ref, zr0)
+        zr1 = np.where(weak, 0.0, zr1)
+        den = zr0 ** 2 + zr1 ** 2
+        u = a_ref * (zc[0] * zr0 + zc[1] * zr1) / den
+        v = a_ref * (zc[1] * zr0 - zc[0] * zr1) / den
         return u, v
 
 

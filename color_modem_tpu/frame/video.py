@@ -132,43 +132,72 @@ def process_video(
         out = roundtrip(rgb, frame0)
         return psnr_jnp(out, rgb), fingerprint_jnp(out)
 
+    # the sharded pipeline needs the frame batch to divide the mesh frame
+    # axis; a partial final chunk is padded with repeats of its last frame
+    # (metrics then include the duplicates — a health number, not a result)
+    frame_axis = int(mesh.devices.shape[0]) if mesh is not None else 1
+
+    def _pad_frames(rgb):
+        import jax.numpy as jnp
+
+        b = rgb.shape[0]
+        rem = (-b) % frame_axis
+        if rem == 0:
+            return rgb, b
+        return jnp.concatenate([jnp.asarray(rgb), *([rgb[-1:]] * rem)]), b
+
     t_start = time.perf_counter()
     pixels = 0
     frames_done = 0
     psnrs = []
-    # submit every chunk before resolving any scalar: a per-chunk
-    # device->host sync would serialize the run on link latency
     pending = []
+
+    def _resolve(pending):
+        """Batched device->host fetch + manifest flush for a wave of chunks.
+
+        Per-chunk scalar readbacks through the tunnel cost ~0.1 s each, so
+        metrics come back in one stacked fetch per wave; bounded waves keep
+        resume granularity (the manifest records each finished wave, not
+        only a fully finished run) and cap live output buffers.
+        """
+        nonlocal frames_done
+        import jax.numpy as jnp
+
+        all_q = np.asarray(jnp.stack([p[3] for p in pending]))
+        all_fp = np.asarray(jnp.stack([p[4] for p in pending]))
+        for k, (start, end, out, _, _) in enumerate(pending):
+            q = float(all_q[k])
+            psnrs.append(q)
+            frames_done += end - start
+            if out is not None:
+                np.save(
+                    os.path.join(out_dir, f"rgb_{start:06d}.npy"),
+                    np.asarray(out)[: end - start],
+                )
+            if manifest:
+                manifest.mark_done(
+                    start, end, fp=fingerprint_hex(all_fp[k]), psnr=round(q, 2)
+                )
+
+    # saving holds each wave's full decoded frames alive — keep those waves
+    # short; metric-only waves hold two scalars per chunk
+    wave = 2 if save_outputs else 16
     for start in range(0, n_frames, chunk):
         end = min(start + chunk, n_frames)
         if manifest and manifest.is_done(start, end):
             continue
-        rgb = source(start, end - start)
+        rgb, _ = _pad_frames(source(start, end - start))
         pixels += (end - start) * rgb.shape[2] * rgb.shape[3]
         if save_outputs:
             out, q, fp = step(rgb, start)
         else:
             out, (q, fp) = None, step_metrics(rgb, start)
         pending.append((start, end, out, q, fp))
+        if len(pending) >= wave:
+            _resolve(pending)
+            pending = []
     if pending:
-        # ONE batched device->host fetch for all metrics: per-chunk scalar
-        # readbacks through the tunnel cost ~0.1 s each and would dominate
-        import jax.numpy as jnp
-
-        all_q = np.asarray(jnp.stack([p[3] for p in pending]))
-        all_fp = np.asarray(jnp.stack([p[4] for p in pending]))
-    for k, (start, end, out, _, _) in enumerate(pending):
-        q = float(all_q[k])
-        psnrs.append(q)
-        frames_done += end - start
-        if out is not None:
-            np.save(
-                os.path.join(out_dir, f"rgb_{start:06d}.npy"), np.asarray(out)
-            )
-        if manifest:
-            manifest.mark_done(
-                start, end, fp=fingerprint_hex(all_fp[k]), psnr=round(q, 2)
-            )
+        _resolve(pending)
     wall = time.perf_counter() - t_start
 
     summary = {

@@ -95,10 +95,18 @@ def init_distributed(coordinator: str | None = None, **kw) -> None:
 
 
 def pad_to_multiple(x, axis: int, multiple: int):
-    """Edge-pad ``x`` along ``axis`` so its size divides the mesh axis.
+    """Reflect-pad ``x`` along ``axis`` so its size divides the mesh axis.
 
     Returns (padded, original_size).  Sharded pipelines require the sharded
     axes to divide evenly; callers crop the output back.
+
+    Reflect (not edge) padding on the LINE axis matters for correctness, not
+    just shape: the bottom real line's comb/delay-line stencil reads the
+    first padded line, and reflection supplies exactly the line the
+    unsharded pipeline's edge reflection (separate.stencil.next_reflect)
+    would read — so padded-then-cropped equals unpadded.  Edge padding would
+    hand it a duplicate of itself and halve its chroma estimate.  For the
+    frame axis both modes are fine (frames are independent).
     """
     size = x.shape[axis]
     rem = (-size) % multiple
@@ -106,4 +114,7 @@ def pad_to_multiple(x, axis: int, multiple: int):
         return x, size
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, rem)
-    return np.pad(np.asarray(x), pad, mode="edge"), size
+    # reflect can pad at most size-1; only the first padded line is ever
+    # read by a real line's stencil, so the fallback mode is inconsequential
+    mode = "reflect" if 1 < size > rem else "edge"
+    return np.pad(np.asarray(x), pad, mode=mode), size

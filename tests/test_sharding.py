@@ -64,6 +64,28 @@ def test_sharded_equals_unsharded(name, decoder, batch):
                                    err_msg=f"decode {mesh.shape}")
 
 
+def test_padded_then_cropped_equals_unsharded(batch):
+    """pad_to_multiple on the line axis must not change real lines' values.
+
+    The bottom real line's comb stencil reads the first padded line;
+    reflect padding supplies exactly what the unsharded edge reflection
+    reads.  (Edge padding used to desaturate the bottom line.)
+    """
+    from color_modem_tpu.parallel.mesh import pad_to_multiple
+
+    plan = get_plan("ntsc")
+    lines = 60  # not divisible by lineblk=8
+    x = batch[:, :, :lines, :]
+    _, dec_u, _ = make_pipeline(plan, "comb3")
+    comp_u = np.asarray(make_pipeline(plan, "comb3")[0](x, 0))
+    rgb_u = np.asarray(dec_u(jnp.asarray(comp_u), 0))
+    mesh = make_mesh(1, 8)
+    _, dec_s, _ = make_sharded_pipeline(plan, mesh, "comb3")
+    comp_p, orig = pad_to_multiple(comp_u, axis=1, multiple=8)
+    rgb_s = np.asarray(dec_s(jnp.asarray(comp_p), 0))[:, :, :orig, :]
+    np.testing.assert_allclose(rgb_s, rgb_u, atol=1e-6, rtol=0)
+
+
 def test_roundtrip_composes_sharded(batch):
     plan = get_plan("pal")
     mesh = make_mesh(2, 4)
