@@ -161,6 +161,7 @@ def main(argv=None) -> int:
             mesh=mesh,
             backend=args.backend,
             resume=not args.no_resume,
+            lines=lines,
         )
         print(json.dumps(summary))
         return 0
@@ -176,8 +177,8 @@ def main(argv=None) -> int:
         plan, args.decoder, args.backend, raster=args.raster
     )
     result = {"standard": args.standard, "decoder": args.decoder,
-              "width": args.width, "backend": jax.default_backend(),
-              "raster": args.raster}
+              "width": args.width, "backend": args.backend,
+              "device": jax.default_backend(), "raster": args.raster}
 
     t0 = time.perf_counter()
     if args.cmd == "encode":

@@ -90,14 +90,23 @@ def process_video(
     backend: str = "xla",
     save_outputs: bool = False,
     resume: bool = True,
+    lines: int | None = None,
 ) -> dict:
-    """Round-trip ``n_frames`` frames in chunks; returns the run summary."""
+    """Round-trip ``n_frames`` frames in chunks; returns the run summary.
+
+    ``lines`` (frame height) goes into the resume-manifest config so a
+    re-run at a different resolution refuses to mix with old chunks; when
+    omitted it is probed from the source's first frame.
+    """
     os.makedirs(out_dir, exist_ok=True)
     manifest = ChunkManifest(out_dir) if resume else None
+    if lines is None:
+        lines = int(source(0, 1).shape[2])
     config = {
         "standard": plan.cfg.name,
         "decoder": decoder,
         "samples": plan.n_samples,
+        "lines": lines,
         "chunk": chunk,
         "backend": backend,
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,

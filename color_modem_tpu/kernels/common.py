@@ -99,17 +99,6 @@ def compiler_params(*weight_arrays, margin_bytes: int = 32 * 1024 * 1024):
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
-def mxu_dot(a, b, precision=None):
-    """f32 matmul with full-precision (6-pass) accumulation on the MXU."""
-    return lax.dot_general(
-        a,
-        b,
-        (((1,), (0,)), ((), ())),
-        precision=precision or lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-
-
 def split_bf16_host(m: np.ndarray):
     """Host-side bf16 hi/lo split of an f32 matrix: m ~= hi + lo.
 

@@ -89,6 +89,8 @@ def rgb8_to_chw_f32(rgb8: np.ndarray, out: np.ndarray | None = None) -> np.ndarr
     if out is None:
         out = np.empty((f, 3, l, n), dtype=np.float32)
     assert out.shape == (f, 3, l, n) and out.dtype == np.float32
+    # the C side writes out as one contiguous run from its base pointer
+    assert out.flags["C_CONTIGUOUS"], "out must be C-contiguous"
     lib.cmt_rgb8_hwc_to_chw_f32(
         rgb8.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p),
@@ -113,6 +115,7 @@ def chw_f32_to_rgb8(rgb: np.ndarray, out: np.ndarray | None = None) -> np.ndarra
     if out is None:
         out = np.empty((f, l, n, 3), dtype=np.uint8)
     assert out.shape == (f, l, n, 3) and out.dtype == np.uint8
+    assert out.flags["C_CONTIGUOUS"], "out must be C-contiguous"
     lib.cmt_chw_f32_to_rgb8_hwc(
         rgb.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p),
@@ -150,10 +153,18 @@ def read_ppm(path: str, max_pixels: int = 64 * 1024 * 1024) -> np.ndarray:
                 raise ValueError(f"{path}: not a binary PPM")
             dims = fh.readline().split()
             n, l = int(dims[0]), int(dims[1])
-            fh.readline()  # maxval
+            maxval = int(fh.readline().split()[0])
+            if maxval != 255:
+                # 16-bit samples would be silently misread as 8-bit
+                raise ValueError(f"{path}: maxval {maxval} != 255")
             data = fh.read(l * n * 3)
+        if len(data) != l * n * 3:
+            raise ValueError(f"{path}: truncated pixel data")
         return np.frombuffer(data, np.uint8).reshape(l, n, 3).copy()
-    buf = np.empty(max_pixels * 3, dtype=np.uint8)
+    # size the scratch from the file itself (pixel data <= file size): a
+    # fixed max_pixels*3 buffer would first-touch ~190 MB of pages per call
+    cap = min(max_pixels * 3, os.path.getsize(path))
+    buf = np.empty(cap, dtype=np.uint8)
     lines = ctypes.c_int64()
     samples = ctypes.c_int64()
     rc = lib.cmt_read_ppm(

@@ -29,7 +29,9 @@ constexpr int kVersion = 1;
 
 inline uint8_t clamp_u8(float v) {
     v = v * 255.0f + 0.5f;
-    if (v <= 0.0f) return 0;
+    // NaN fails both ordered comparisons below and casting NaN to an
+    // integer type is UB — map it to 0 like the NumPy fallback's clip
+    if (!(v > 0.0f)) return 0;
     if (v >= 255.0f) return 255;
     return static_cast<uint8_t>(v);
 }

@@ -190,11 +190,16 @@ def NTSC443() -> StandardConfig:
     """NTSC-4.43 hybrid: NTSC 525/29.97 scan + YIQ colorimetry with the PAL
     subcarrier frequency (used by multi-standard VCRs/monitors).
 
-    cpl = fsc/fh = 4433618.75 / (4.5e6/286) = 2254249/8000 exactly.
+    Exact cpl = fsc/fh = 4433618.75 / (4.5e6/286) = 101441197/360000, but
+    that denominator overflows the NCO's int32 modular phase law (den must
+    stay <= 46341, dsp/nco.line_phase0).  The stored rational is the best
+    int32-safe continued-fraction approximant: error 1.05e-10 cycles/line,
+    i.e. ~2.1 degrees of accumulated subcarrier phase per HOUR of video
+    (the previously used 2254249/8000 drifted 126 deg/second).
     """
     base = NTSC()
-    cpl_num, cpl_den = 2254249, 8000
-    fsc = cpl_num / cpl_den * base.fh           # 4.43361875 MHz
+    cpl_num, cpl_den = 7476498, 26533
+    fsc = 4433618.75
     return dataclasses.replace(
         base,
         name="ntsc443",

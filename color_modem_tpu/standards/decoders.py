@@ -17,18 +17,36 @@ QAM_DECODERS = ("notch", "comb2", "comb3", "delayline", "avg")
 FM_DECODERS = ("notch",)
 
 
+#: Combs require the chroma phase to flip ~180 deg at the comb spacing; past
+#: this error (in cycles, 0.05 = 18 deg) a comb corrupts hue instead of
+#: separating, so it is excluded rather than offered as a footgun.
+COMB_FLIP_TOL = 0.05
+
+
+def comb_flip_error(cfg: StandardConfig) -> float:
+    """Distance (cycles) of the best comb spacing's phase step from 180 deg."""
+    return min(
+        abs((p * cfg.cpl_num / cfg.cpl_den) % 1.0 - 0.5) for p in (1, 2)
+    )
+
+
 def allowed_decoders(cfg: StandardConfig) -> tuple:
     """Decoders meaningful for a standard (SURVEY.md K13, A.6).
 
     SECAM is FM — only the notch path applies.  NIIR alternates chroma and
     reference-carrier lines, so cross-line combs/averaging would mix the two
     streams (and its fsc gives no 180-deg flip at spacing 2 either): notch
-    only.
+    only.  Standards whose phase law never flips ~180 deg at 1- or 2-line
+    spacing (NTSC-4.43: 22.4 deg off at best — measured 7.5 dB WORSE than
+    notch) get no comb variants; baseband averaging (delayline/avg) doesn't
+    depend on the carrier phase law and stays.
     """
     if isinstance(cfg.chroma, FmParams):
         return FM_DECODERS
     if cfg.chroma.reference_amplitude is not None:
         return FM_DECODERS
+    if comb_flip_error(cfg) > COMB_FLIP_TOL:
+        return tuple(d for d in QAM_DECODERS if not d.startswith("comb"))
     return QAM_DECODERS
 
 

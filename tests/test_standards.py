@@ -98,3 +98,52 @@ def test_variant_roundtrip():
     img = smooth_scene(32, 720, seed=5).astype(np.float32)[None]
     _, _, rt = make_pipeline(plan, "delayline")
     assert psnr(np.asarray(rt(jnp.asarray(img))), img) > 34
+
+
+def test_variant_phase_laws_exact():
+    """cpl rationals reproduce the documented fsc and stay int32-safe."""
+    from color_modem_tpu.standards import NTSC443, PAL_M, PAL_N
+
+    for cfg, fsc_doc in [
+        (NTSC443(), 4433618.75),
+        (PAL_M(), 227.25 * 4.5e6 / 286.0),
+        (PAL_N(), 3582056.25),
+    ]:
+        # den must keep (num % den) * (g % den) below 2^31 (dsp/nco)
+        assert cfg.cpl_den <= 46341, cfg.name
+        # phase-law frequency: drift below 1e-9 cycles/line (NTSC-4.43's
+        # exact den overflows int32 — its approximant drifts 2 deg/hour)
+        cpl_err = abs(cfg.cpl_num / cfg.cpl_den - fsc_doc / cfg.fh)
+        assert cpl_err < 1e-9, f"{cfg.name}: {cpl_err}"
+
+
+def test_variant_decoders_gated_by_phase_law():
+    """NTSC-4.43's phase law flips only 158 deg at best — combs corrupt hue
+    (measured 7.5 dB worse than notch) and must not be offered."""
+    from color_modem_tpu.standards import NTSC443, PAL_M, PAL_N
+    from color_modem_tpu.standards.decoders import allowed_decoders
+
+    assert allowed_decoders(NTSC443()) == ("notch", "delayline", "avg")
+    assert "comb2" in allowed_decoders(PAL_M())
+    assert "comb2" in allowed_decoders(PAL_N())
+
+
+@pytest.mark.parametrize("name", ["ntsc443", "pal_m", "pal_n"])
+def test_variant_roundtrip_and_golden_parity(name):
+    import jax.numpy as jnp
+
+    from color_modem_tpu import golden
+    from color_modem_tpu.frame.pipeline import make_pipeline
+    from color_modem_tpu.modem.plan import make_plan
+    from color_modem_tpu.standards import ALL_STANDARDS
+    from color_modem_tpu.utils.metrics import psnr
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    plan = make_plan(ALL_STANDARDS[name](), 720)
+    img = smooth_scene(32, 720, seed=6).astype(np.float32)[None]
+    enc, dec, rt = make_pipeline(plan, "notch")
+    comp = np.asarray(enc(jnp.asarray(img)))
+    comp_g = golden.encode_frame(plan, img[0], frame=0)[None]
+    assert psnr(comp, comp_g) > 60, "encode parity vs golden"
+    out = np.asarray(rt(jnp.asarray(img)))
+    assert psnr(out, img) > 28
