@@ -10,4 +10,5 @@ from color_modem_tpu.compat.line_api import (  # noqa: F401
     SecamModem,
     Simple3DCombModem,
     SimpleCombModem,
+    make_line_modem,
 )

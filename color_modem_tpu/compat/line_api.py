@@ -146,6 +146,21 @@ class QamLineModem(_LineModemBase):
         return u, v
 
 
+def make_line_modem(standard: str, samples: int = 720):
+    """Per-line modem for any registered standard, variants included.
+
+    ``make_line_modem('pal_m')`` etc. — the named classes below cover the
+    four core standards; variants (ntsc443, pal_m, pal_n) share their
+    machinery and differ only in config.  SECAM routes to its FM modem.
+    """
+    from color_modem_tpu.standards import ALL_STANDARDS
+
+    cfg = ALL_STANDARDS[standard]()
+    if cfg.is_fm:  # secam is the only FM standard
+        return SecamModem(samples)
+    return QamLineModem(make_plan(cfg, samples))
+
+
 class NtscModem(QamLineModem):
     """NTSC parameterization of the QAM core (SURVEY.md C2, A.2)."""
 

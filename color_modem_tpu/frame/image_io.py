@@ -1,14 +1,20 @@
-"""Image file I/O (SURVEY.md C7): PIL <-> channels-first float arrays.
+"""Image file I/O (SURVEY.md C7): PIL/native codec <-> channels-first floats.
 
 The reference's image layer loads stills with Pillow, runs the modem, and
 saves the decoded result to visualize the standard's artifacts [MEM-H].
 Arrays here are ``(3, L, N)`` float32 in [0, 1] (gamma-corrected R'G'B' as
 stored in the file — the modems operate on gamma-corrected signals, A.1).
+
+``.ppm`` paths route through the native C++ codec (color_modem_tpu.native):
+threaded uint8<->f32 layout conversion + PPM (de)serialization without PIL —
+the production video feeder path.  Other formats use Pillow.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from color_modem_tpu import native
 
 try:
     from PIL import Image
@@ -30,6 +36,8 @@ def load_rgb(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
     image is resampled (the reference resamples rows to the composite grid,
     SURVEY.md C7 [MEM-L]).
     """
+    if path.endswith(".ppm") and size is None:
+        return native.rgb8_to_chw_f32(native.read_ppm(path)[None])[0]
     _require_pil()
     img = Image.open(path).convert("RGB")
     if size is not None:
@@ -40,8 +48,12 @@ def load_rgb(path: str, size: tuple[int, int] | None = None) -> np.ndarray:
 
 def save_rgb(path: str, rgb: np.ndarray) -> None:
     """(3, L, N) float in [0,1] -> image file."""
+    rgb = np.asarray(rgb, dtype=np.float32)
+    if path.endswith(".ppm"):
+        native.write_ppm(path, native.chw_f32_to_rgb8(rgb[None])[0])
+        return
     _require_pil()
-    arr = np.clip(np.asarray(rgb), 0.0, 1.0)
+    arr = np.clip(rgb, 0.0, 1.0)
     arr = (arr.transpose(1, 2, 0) * 255.0 + 0.5).astype(np.uint8)
     Image.fromarray(arr).save(path)
 
