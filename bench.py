@@ -32,6 +32,8 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -70,8 +72,6 @@ def main() -> None:
     # inflated this bench 25x), but dispatches are submitted back-to-back
     # and synchronized once at the end — the steady-state video-pipeline
     # pattern, where host submission overlaps device compute.
-    import jax.numpy as _jnp
-
     # best-of-3 windows: the tunnel to the chip adds bursty latency noise
     # (+-20% run to run); the fastest window is the least-perturbed one.
     # Every dispatch in every window gets a UNIQUE input so the relay's
@@ -80,7 +80,7 @@ def main() -> None:
     for w in range(3):
         inputs = [
             jax.block_until_ready(
-                _jnp.clip(rgb + _jnp.float32((w * args.iters + i) * 1e-4), 0.0, 1.0)
+                jnp.clip(rgb + jnp.float32((w * args.iters + i) * 1e-4), 0.0, 1.0)
             )
             for i in range(args.iters)
         ]
@@ -106,8 +106,6 @@ def main() -> None:
     print(line)
 
     # structured record for results/ (SURVEY.md §5.5)
-    import os
-
     os.makedirs("results", exist_ok=True)
     record = {
         "ts": time.time(),

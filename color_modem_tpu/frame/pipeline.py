@@ -128,7 +128,11 @@ def make_pipeline(plan: ModemPlan, decoder: str = "notch", backend: str = "xla",
     check_decoder(plan, decoder)
     rp = None
     if raster:
-        from color_modem_tpu.frame.raster import make_raster
+        from color_modem_tpu.frame.raster import (
+            add_raster,
+            make_raster,
+            strip_raster,
+        )
 
         rp = make_raster(plan)
 
@@ -138,8 +142,6 @@ def make_pipeline(plan: ModemPlan, decoder: str = "notch", backend: str = "xla",
         g = frame_line_index(plan, frame0, b, l)
         comp = encode_block(plan, rgb, g, backend)
         if rp is not None:
-            from color_modem_tpu.frame.raster import add_raster
-
             comp = add_raster(plan, rp, comp, g)
         return comp
 
@@ -148,13 +150,13 @@ def make_pipeline(plan: ModemPlan, decoder: str = "notch", backend: str = "xla",
         b, l = comp.shape[0], comp.shape[1]
         g = frame_line_index(plan, frame0, b, l)
         if rp is not None:
-            from color_modem_tpu.frame.raster import strip_raster
-
             comp = strip_raster(rp, comp)
         return decode_block(plan, comp, g, decoder, backend)
 
     @jax.jit
     def roundtrip(rgb, frame0=0):
+        # raster is deliberately skipped here: strip(add(x)) == x exactly,
+        # so the round trip is identical and cheaper without it
         b, _, l, _ = rgb.shape
         g = frame_line_index(plan, frame0, b, l)
         return roundtrip_block(plan, rgb, g, decoder, backend)

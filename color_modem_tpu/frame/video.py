@@ -19,6 +19,7 @@ from typing import Callable
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from color_modem_tpu.frame.pipeline import make_pipeline
 from color_modem_tpu.modem.plan import ModemPlan
@@ -49,9 +50,6 @@ def synthetic_device_source(lines: int, samples: int, seed: int = 0) -> FrameSou
     ~0.16 s/frame of numpy FFT plus a full upload per chunk — through a
     ~25 MB/s tunnel to a remote chip that dwarfs the modem compute itself.
     """
-    import jax
-    import jax.numpy as jnp
-
     from color_modem_tpu.utils.testimages import smooth_scene
 
     state = {}
@@ -147,8 +145,6 @@ def process_video(
     frame_axis = int(mesh.devices.shape[0]) if mesh is not None else 1
 
     def _pad_frames(rgb):
-        import jax.numpy as jnp
-
         b = rgb.shape[0]
         rem = (-b) % frame_axis
         if rem == 0:
@@ -170,8 +166,6 @@ def process_video(
         only a fully finished run) and cap live output buffers.
         """
         nonlocal frames_done
-        import jax.numpy as jnp
-
         all_q = np.asarray(jnp.stack([p[3] for p in pending]))
         all_fp = np.asarray(jnp.stack([p[4] for p in pending]))
         for k, (start, end, out, _, _) in enumerate(pending):

@@ -35,14 +35,20 @@ def pick_line_block(total: int, target: int = 256) -> int:
     return best
 
 
-def pad_lines(x: np.ndarray | jax.Array, multiple: int = 8):
-    """Pad the leading (line) axis to a multiple; returns (padded, orig)."""
-    n = x.shape[0]
+def _pad_axis(x, axis: int, multiple: int):
+    """Zero-pad one axis up to a multiple; returns (padded, orig_size)."""
+    n = x.shape[axis]
     rem = (-n) % multiple
     if rem == 0:
         return x, n
-    pad = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
     return jnp.pad(x, pad), n
+
+
+def pad_lines(x: np.ndarray | jax.Array, multiple: int = 8):
+    """Pad the leading (line) axis to a multiple; returns (padded, orig)."""
+    return _pad_axis(x, 0, multiple)
 
 
 def pad_lanes(x: jax.Array, multiple: int = 128):
@@ -52,12 +58,7 @@ def pad_lanes(x: jax.Array, multiple: int = 128):
     filtering at 768 and cropping back is bit-identical to the 720 'same'
     convolution (zero-padding either way) and measures ~10% faster.
     """
-    n = x.shape[-1]
-    rem = (-n) % multiple
-    if rem == 0:
-        return x, n
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, rem)]
-    return jnp.pad(x, pad), n
+    return _pad_axis(x, x.ndim - 1, multiple)
 
 
 def lane_mask(n_valid: int, n_total: int):
