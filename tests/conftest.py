@@ -22,6 +22,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# §5.2 sanitizer: fail any test whose pipeline produces NaN/Inf, loudly,
+# at the op that produced it (the functional analog of a memory sanitizer)
+jax.config.update("jax_debug_nans", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

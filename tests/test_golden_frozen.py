@@ -1,0 +1,33 @@
+"""The golden oracle is FROZEN (SURVEY.md §4.2).
+
+The oracle plays the role of the (unavailable) reference implementation: all
+JAX/Pallas paths are judged against it, so silently "fixing" golden to match
+a buggy pipeline would destroy the whole accuracy argument.  Any edit to
+``color_modem_tpu/golden/`` must be deliberate: re-derive the change from the
+SURVEY.md Appendix A spec, then update the recorded hashes here IN THE SAME
+COMMIT with a justification in the commit message.
+"""
+
+import hashlib
+import pathlib
+
+import color_modem_tpu.golden as golden
+
+FROZEN = {
+    "__init__.py": "36e19cbea8ec99fb",
+    "frame.py": "4eb2dd0de59881b3",
+    "modems.py": "4450943b469337c1",
+}
+
+
+def test_golden_sources_unchanged():
+    gdir = pathlib.Path(golden.__file__).parent
+    actual = {
+        p.name: hashlib.sha256(p.read_bytes()).hexdigest()[:16]
+        for p in sorted(gdir.glob("*.py"))
+    }
+    assert actual == FROZEN, (
+        "golden/ changed — it is the FROZEN accuracy oracle (SURVEY.md "
+        "§4.2). If the change re-derives from the Appendix A spec, update "
+        "FROZEN here in the same commit and say why in the commit message."
+    )
