@@ -66,8 +66,16 @@ def decode_block(
     gline: jax.Array,
     decoder: str = "notch",
     backend: str = "xla",
+    phase_err: jax.Array | None = None,
 ) -> jax.Array:
-    """(..., L, N) composite -> (..., 3, L, N) RGB, clamped to [0,1]."""
+    """(..., L, N) composite -> (..., 3, L, N) RGB, clamped to [0,1].
+
+    ``phase_err``: optional per-line subcarrier phase error (..., L) in rad
+    (e.g. measured from the color burst — frame.raster.decode_burst_locked).
+    A carrier phase error d rotates the demodulated (c1, s*c2) pair by d
+    (s = per-line V-switch sign); the correction counter-rotates before
+    delay-line averaging / NIIR normalization.
+    """
     check_decoder(plan, decoder)
     comp = comp.astype(jnp.float32)
     if plan.cfg.is_fm:
@@ -87,10 +95,19 @@ def decode_block(
         else:
             luma, chroma_band = separate(plan, comp, decoder)
             c1, c2 = qam.demodulate_carrier(plan, chroma_band, gline)
+        p: QamParams = plan.cfg.chroma
+        if phase_err is not None:
+            d = phase_err[..., None].astype(jnp.float32)
+            s = (
+                jnp.where((gline % 2) == 0, 1.0, -1.0)[..., None]
+                if p.v_switch
+                else jnp.float32(1.0)
+            )
+            cd, sd = jnp.cos(d), jnp.sin(d)
+            c1, c2 = cd * c1 + s * sd * c2, -s * sd * c1 + cd * c2
         if decoder in ("delayline", "avg"):
             c1 = average_with_neighbor(c1)
             c2 = average_with_neighbor(c2)
-        p: QamParams = plan.cfg.chroma
         if p.reference_amplitude is not None:
             c1, c2 = niir.normalize(plan, c1, c2, gline)
         ycc = jnp.stack([luma, c1, c2], axis=-3)

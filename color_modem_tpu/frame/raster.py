@@ -146,6 +146,29 @@ def strip_raster(rp: RasterPlan, rastered: jax.Array) -> jax.Array:
     return rastered[..., rp.n_blank:]
 
 
+def decode_burst_locked(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
+                        gline: jax.Array, decoder: str = "notch",
+                        backend: str = "xla") -> jax.Array:
+    """Decode a rastered block using the burst-measured subcarrier phase.
+
+    The per-line channel phase error is the measured burst angle minus the
+    spec angle (NTSC 180 deg, PAL +-135 deg per V-switch); the decoder
+    counter-rotates the demodulated chroma by it — so a differential-phase
+    channel impairment (frame/channel.py) that visibly shifts NTSC hue under
+    nominal-phase decoding is cancelled, like a real burst-locked TV.
+    (QAM standards only: SECAM has no burst and is phase-immune anyway.)
+    """
+    from color_modem_tpu.frame.pipeline import decode_block
+
+    _, phase = measure_burst_phase(plan, rp, rastered, gline)
+    expected = _burst_sign(rp, gline) * jnp.float32(rp.burst_phase)
+    delta = phase - expected
+    # wrap to (-pi, pi] so a 180-deg-adjacent measurement doesn't unwrap
+    delta = jnp.arctan2(jnp.sin(delta), jnp.cos(delta))
+    comp = strip_raster(rp, rastered)
+    return decode_block(plan, comp, gline, decoder, backend, phase_err=delta)
+
+
 def measure_burst_phase(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
                         gline: jax.Array):
     """Quadrature-correlate the burst window -> per-line (amplitude, phase).
