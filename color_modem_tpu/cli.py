@@ -62,6 +62,23 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--lines", type=int, default=0, help="demo height (0=standard)")
     rt.add_argument("--output", help="decoded PNG")
     rt.add_argument("--composite", help="composite visualization PNG")
+    rt.add_argument(
+        "--noise", type=float, default=0.0,
+        help="channel white-noise sigma (composite units)",
+    )
+    rt.add_argument(
+        "--chroma-gain", type=float, default=1.0,
+        help="channel differential chroma gain",
+    )
+    rt.add_argument(
+        "--chroma-phase", type=float, default=0.0,
+        help="channel differential chroma phase, degrees",
+    )
+    rt.add_argument(
+        "--burst-locked", action="store_true",
+        help="decode with the burst-measured subcarrier phase (needs "
+        "--raster; cancels --chroma-phase like a real receiver)",
+    )
 
     vid = sub.add_parser(
         "video", help="chunked, resumable synthetic-video roundtrip run"
@@ -194,9 +211,38 @@ def main(argv=None) -> int:
         result.update(output=args.output, lines=comp.shape[0])
     else:  # roundtrip
         comp = np.asarray(encode(rgb[None], args.frame))[0]
-        out = np.asarray(
-            jax.block_until_ready(decode(comp[None], args.frame))
-        )[0]
+        channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
+                   "chroma_phase_deg": args.chroma_phase}
+        if any([args.noise > 0.0, args.chroma_gain != 1.0,
+                args.chroma_phase != 0.0]):
+            from color_modem_tpu.frame.channel import impair
+
+            key = jax.random.PRNGKey(0) if args.noise > 0.0 else None
+            comp = np.asarray(impair(
+                plan, comp[None], noise_sigma=args.noise,
+                chroma_gain=args.chroma_gain,
+                chroma_phase_deg=args.chroma_phase, key=key,
+            ))[0]
+            result["channel"] = channel
+        if args.burst_locked:
+            if not args.raster:
+                raise SystemExit("--burst-locked requires --raster")
+            from color_modem_tpu.frame.pipeline import frame_line_index
+            from color_modem_tpu.frame.raster import (
+                decode_burst_locked,
+                make_raster,
+            )
+
+            rp = make_raster(plan)
+            g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+            out = np.asarray(jax.block_until_ready(decode_burst_locked(
+                plan, rp, comp[None], g, args.decoder, args.backend
+            )))[0]
+            result["burst_locked"] = True
+        else:
+            out = np.asarray(
+                jax.block_until_ready(decode(comp[None], args.frame))
+            )[0]
         result["psnr_db"] = round(psnr(out, rgb), 2)
         result["lines"] = int(rgb.shape[1])
         if args.output:
