@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="generate frames on the host (default: on device — the host "
         "path re-uploads every chunk, which dominates over a slow link)",
     )
+    vid.add_argument("--noise", type=float, default=0.0,
+                     help="channel white-noise sigma")
+    vid.add_argument("--chroma-gain", type=float, default=1.0)
+    vid.add_argument("--chroma-phase", type=float, default=0.0,
+                     help="channel differential chroma phase, degrees")
 
     sub.add_parser("info", help="list standards, decoders, devices")
     return ap
@@ -168,6 +173,11 @@ def main(argv=None) -> int:
             f, l = (int(v) for v in args.mesh.split("x"))
             mesh = make_mesh(f, l)
         make_src = synthetic_source if args.host_source else synthetic_device_source
+        channel = None
+        if args.noise > 0.0 or args.chroma_gain != 1.0 or args.chroma_phase != 0.0:
+            channel = {"noise_sigma": args.noise,
+                       "chroma_gain": args.chroma_gain,
+                       "chroma_phase_deg": args.chroma_phase}
         summary = process_video(
             plan,
             make_src(lines, args.width),
@@ -179,6 +189,7 @@ def main(argv=None) -> int:
             backend=args.backend,
             resume=not args.no_resume,
             lines=lines,
+            channel=channel,
         )
         print(json.dumps(summary))
         return 0

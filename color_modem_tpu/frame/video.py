@@ -89,12 +89,18 @@ def process_video(
     save_outputs: bool = False,
     resume: bool = True,
     lines: int | None = None,
+    channel: dict | None = None,
 ) -> dict:
     """Round-trip ``n_frames`` frames in chunks; returns the run summary.
 
     ``lines`` (frame height) goes into the resume-manifest config so a
     re-run at a different resolution refuses to mix with old chunks; when
     omitted it is probed from the source's first frame.
+
+    ``channel``: optional impairment kwargs for :func:`frame.channel.impair`
+    (noise_sigma / chroma_gain / chroma_phase_deg) applied between encode
+    and decode of every chunk; noise keys derive from the absolute chunk
+    start so resumed runs reproduce the same channel.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = ChunkManifest(out_dir) if resume else None
@@ -107,6 +113,7 @@ def process_video(
         "lines": lines,
         "chunk": chunk,
         "backend": backend,
+        "channel": channel,
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
     if manifest:
@@ -115,9 +122,23 @@ def process_video(
     if mesh is not None:
         from color_modem_tpu.parallel.sharded import make_sharded_pipeline
 
-        _, _, roundtrip = make_sharded_pipeline(plan, mesh, decoder, backend)
+        enc_f, dec_f, roundtrip = make_sharded_pipeline(
+            plan, mesh, decoder, backend
+        )
     else:
-        _, _, roundtrip = make_pipeline(plan, decoder, backend)
+        enc_f, dec_f, roundtrip = make_pipeline(plan, decoder, backend)
+    if channel:
+        from color_modem_tpu.frame.channel import impair
+
+        noisy = float(channel.get("noise_sigma", 0.0)) > 0.0
+
+        def roundtrip(rgb, frame0):  # noqa: F811 — impaired variant
+            comp = enc_f(rgb, frame0)
+            key = (
+                jax.random.PRNGKey(jnp.asarray(frame0, jnp.int32))
+                if noisy else None
+            )
+            return dec_f(impair(plan, comp, key=key, **channel), frame0)
 
     from color_modem_tpu.utils.metrics import (
         fingerprint_hex,

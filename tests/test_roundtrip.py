@@ -65,6 +65,37 @@ def test_roundtrip_and_parity(name, decoder, batches):
     assert p_rt >= bound, f"round-trip {p_rt:.1f} dB < {bound} dB"
 
 
+def _variant_pairs():
+    """Every (standard, allowed decoder) pair NOT already bounded above."""
+    from color_modem_tpu.standards import ALL_STANDARDS
+    from color_modem_tpu.standards.decoders import allowed_decoders
+
+    return sorted(
+        (name, dec)
+        for name, factory in ALL_STANDARDS.items()
+        for dec in allowed_decoders(factory())
+        if (name, dec) not in ROUNDTRIP_BOUNDS
+    )
+
+
+@pytest.mark.parametrize("name,decoder", _variant_pairs(), ids=str)
+def test_every_allowed_pair_roundtrips(name, decoder):
+    """Catch-all floor: no (standard, decoder) the registry offers may
+    silently rot — golden parity and a conservative round-trip bound."""
+    from color_modem_tpu.modem.plan import make_plan
+    from color_modem_tpu.standards import ALL_STANDARDS
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    plan = make_plan(ALL_STANDARDS[name](), TEST_SAMPLES)
+    img = smooth_scene(32, TEST_SAMPLES, seed=11).astype(np.float32)[None]
+    enc, dec, _ = make_pipeline(plan, decoder)
+    comp = np.asarray(enc(jnp.asarray(img)))
+    assert psnr(comp[0], golden.encode_frame(plan, img[0], frame=0)) >= 60.0
+    out = np.asarray(dec(jnp.asarray(comp)))
+    p = psnr(out[0], img[0])
+    assert p >= 25.0, f"{name}/{decoder}: {p:.1f} dB"
+
+
 def test_batched_encode_matches_per_frame(scene):
     """Frame batching must reproduce per-frame encodes with the right
     frame phase sequence (NTSC 4-field cycle etc.)."""
