@@ -126,6 +126,13 @@ def _load_input(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "burst_locked", False):
+        # validate before any compute: needs a rastered line and a standard
+        # that carries a burst (SECAM identifies lines by FM instead)
+        if not args.raster:
+            raise SystemExit("--burst-locked requires --raster")
+        if args.standard == "secam":
+            raise SystemExit("secam has no color burst to lock to")
 
     if args.cmd == "info":
         import jax
@@ -236,8 +243,6 @@ def main(argv=None) -> int:
             ))[0]
             result["channel"] = channel
         if args.burst_locked:
-            if not args.raster:
-                raise SystemExit("--burst-locked requires --raster")
             from color_modem_tpu.frame.pipeline import frame_line_index
             from color_modem_tpu.frame.raster import (
                 decode_burst_locked,

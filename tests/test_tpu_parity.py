@@ -50,9 +50,15 @@ def test_tpu_matches_cpu(tmp_path):
     out_p = tmp_path / "tpu.npz"
     np.save(rgb_p, rgb)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = {k: v for k, v in os.environ.items()
-           if "xla_force_host_platform" not in v}
+    env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the machine's default TPU register
+    # strip only conftest's forced-device-count flag, keep any other flags
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform" not in f]
+    if flags:
+        env["XLA_FLAGS"] = " ".join(flags)
+    else:
+        env.pop("XLA_FLAGS", None)
     subprocess.run(
         [sys.executable, "-c",
          _SCRIPT.format(repo=repo, cases=CASES), str(rgb_p), str(out_p)],
