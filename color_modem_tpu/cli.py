@@ -103,6 +103,21 @@ def build_parser() -> argparse.ArgumentParser:
     vid.add_argument("--chroma-phase", type=float, default=0.0,
                      help="channel differential chroma phase, degrees")
 
+    gal = sub.add_parser(
+        "gallery",
+        help="render every standard x decoder to PNGs for side-by-side "
+        "artifact comparison (the reference's core use case)",
+    )
+    gal.add_argument("--out", required=True, help="output directory")
+    gal.add_argument("--input", help="image file (default: color bars)")
+    gal.add_argument("--width", type=int, default=720)
+    gal.add_argument("--lines", type=int, default=0, help="0 = standard lines")
+    gal.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    gal.add_argument(
+        "--chroma-phase", type=float, default=0.0,
+        help="also render each pair through this channel phase error (deg)",
+    )
+
     sub.add_parser("info", help="list standards, decoders, devices")
     return ap
 
@@ -160,6 +175,48 @@ def main(argv=None) -> int:
     from color_modem_tpu.frame.pipeline import make_pipeline
     from color_modem_tpu.modem.plan import make_plan
     from color_modem_tpu.utils.metrics import psnr
+
+    if args.cmd == "gallery":
+        import os
+
+        from color_modem_tpu.frame.channel import impair
+        from color_modem_tpu.frame.image_io import load_rgb
+        from color_modem_tpu.standards import ALL_STANDARDS
+        from color_modem_tpu.standards.decoders import allowed_decoders
+        from color_modem_tpu.utils.testimages import color_bars
+
+        os.makedirs(args.out, exist_ok=True)
+        report = {}
+        for name, factory in ALL_STANDARDS.items():
+            cfg = factory()
+            lines = args.lines or cfg.active_lines
+            if args.input:
+                rgb = load_rgb(args.input, size=(args.width, lines))
+            else:
+                rgb = color_bars(lines, args.width).astype(np.float32)
+            plan = make_plan(cfg, args.width)
+            for decoder in allowed_decoders(cfg):
+                enc, dec, _ = make_pipeline(plan, decoder, args.backend)
+                comp = enc(rgb[None], 0)
+                out = np.asarray(dec(comp, 0))[0]
+                tag = f"{name}_{decoder}"
+                save_rgb(os.path.join(args.out, f"{tag}.png"), out)
+                report[tag] = round(psnr(out, rgb), 2)
+                if decoder == "notch":
+                    save_composite(
+                        os.path.join(args.out, f"{name}_composite.png"),
+                        np.asarray(comp)[0],
+                    )
+                if args.chroma_phase != 0.0:
+                    bad = impair(plan, comp,
+                                 chroma_phase_deg=args.chroma_phase)
+                    out_b = np.asarray(dec(bad, 0))[0]
+                    save_rgb(
+                        os.path.join(args.out, f"{tag}_phase.png"), out_b
+                    )
+                    report[f"{tag}_phase"] = round(psnr(out_b, rgb), 2)
+        print(json.dumps({"out": args.out, "psnr_db": report}))
+        return 0
 
     if args.cmd == "video":
         from color_modem_tpu.frame.video import (
