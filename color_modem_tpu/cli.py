@@ -135,7 +135,11 @@ def _load_input(args):
         return color_bars(lines, args.width).astype(np.float32), cfg
     rgb = load_rgb(args.input)
     if rgb.shape[2] != args.width:
-        rgb = load_rgb(args.input, size=(args.width, rgb.shape[1]))
+        # on-device windowed-sinc resample to the composite sample grid
+        # (K12/C7) — anti-aliased, one MXU matmul, no PIL second pass
+        from color_modem_tpu.dsp.resample import resample_width
+
+        rgb = np.asarray(resample_width(rgb, args.width))
     return rgb.astype(np.float32), cfg
 
 
