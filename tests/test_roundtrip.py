@@ -92,6 +92,8 @@ def test_every_allowed_pair_roundtrips(name, decoder):
     comp = np.asarray(enc(jnp.asarray(img)))
     assert psnr(comp[0], golden.encode_frame(plan, img[0], frame=0)) >= 60.0
     out = np.asarray(dec(jnp.asarray(comp)))
+    rgb_g = golden.decode_frame(plan, comp[0], frame=0, decoder=decoder)
+    assert psnr(out[0], rgb_g) >= 60.0, "decode parity vs golden"
     p = psnr(out[0], img[0])
     assert p >= 25.0, f"{name}/{decoder}: {p:.1f} dB"
 
