@@ -25,4 +25,30 @@ Architecture (SURVEY.md §7.1):
 
 __version__ = "0.1.0"
 
-from color_modem_tpu.standards import NTSC, PAL, SECAM, NIIR  # noqa: F401
+from color_modem_tpu.standards import (  # noqa: F401
+    ALL_STANDARDS,
+    NIIR,
+    NTSC,
+    NTSC443,
+    PAL,
+    PAL_M,
+    PAL_N,
+    SECAM,
+)
+
+
+def make_pipeline(standard: str, samples: int = 720, decoder: str = "notch",
+                  backend: str = "xla", raster: bool = False):
+    """One-call convenience: ``(encode, decode, roundtrip)`` for a standard.
+
+        import color_modem_tpu as cmt
+        encode, decode, roundtrip = cmt.make_pipeline("pal", decoder="delayline")
+
+    For full control build a plan explicitly (modem.plan.make_plan) and use
+    frame.pipeline.make_pipeline / parallel.make_sharded_pipeline.
+    """
+    from color_modem_tpu.frame.pipeline import make_pipeline as _mk
+    from color_modem_tpu.modem.plan import make_plan
+
+    plan = make_plan(ALL_STANDARDS[standard](), samples)
+    return _mk(plan, decoder, backend, raster=raster)
