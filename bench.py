@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=720)
     ap.add_argument(
         "--backend", default="auto",
-        help="xla | pallas | auto (pallas for QAM standards on TPU)",
+        help="xla | pallas | auto (pallas on TPU, xla elsewhere)",
     )
     args = ap.parse_args()
 

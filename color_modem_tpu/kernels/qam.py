@@ -1,13 +1,17 @@
 """Fused QAM encode/decode Pallas kernels (SURVEY.md §2.3 P1/P2/P4).
 
 One kernel invocation per line block does everything between HBM reads and
-writes in VMEM:
+writes in VMEM (all filter matmuls are 3-pass split-precision dots on
+128-lane-aligned buffers — kernels/common.py):
 
-* encode: chroma LPFs (2 MXU matmuls) + NCO mix + V-switch + NIIR reference
-  injection + luma add — replaces the reference's per-line chroma LPF +
-  carrier math (C1 [MEM-H]) and the separate XLA passes of modem/qam.py.
-* decode: chroma BPF (1 matmul) + notch luma + product detector + demod LPFs
-  (2 matmuls) — the band-split + mix fusion P1/P4 of SURVEY.md §2.3.
+* encode: chroma LPFs (two dots, or ONE with both components stacked on the
+  sublane axis when the taps are shared — PAL/NIIR) + angle-addition NCO mix
+  + V-switch + NIIR reference injection + luma add — replaces the
+  reference's per-line chroma LPF + carrier math (C1 [MEM-H]) and the
+  separate XLA passes of modem/qam.py.
+* decode: chroma BPF dot + notch luma + product detector + demod LPF dots
+  (one stacked when shared-taps) — the band-split + mix fusion P1/P4 of
+  SURVEY.md §2.3.
 
 Cross-line work (comb stencils, delay-line averaging, NIIR normalization,
 colorimetry) stays outside: it is one cheap elementwise XLA pass and, when
