@@ -136,10 +136,11 @@ def _load_input(args):
     rgb = load_rgb(args.input)
     if rgb.shape[2] != args.width:
         # on-device windowed-sinc resample to the composite sample grid
-        # (K12/C7) — anti-aliased, one MXU matmul, no PIL second pass
+        # (K12/C7) — anti-aliased, one MXU matmul, no PIL second pass.
+        # Clip the sinc ringing: the encoder's contract is RGB in [0, 1].
         from color_modem_tpu.dsp.resample import resample_width
 
-        rgb = np.asarray(resample_width(rgb, args.width))
+        rgb = np.clip(np.asarray(resample_width(rgb, args.width)), 0.0, 1.0)
     return rgb.astype(np.float32), cfg
 
 
@@ -199,21 +200,25 @@ def main(argv=None) -> int:
             else:
                 rgb = color_bars(lines, args.width).astype(np.float32)
             plan = make_plan(cfg, args.width)
+            # encode and the impaired composite are decoder-independent:
+            # build them once per standard, loop only the decoders
+            enc, _, _ = make_pipeline(plan, "notch", args.backend)
+            comp = enc(rgb[None], 0)
+            save_composite(
+                os.path.join(args.out, f"{name}_composite.png"),
+                np.asarray(comp)[0],
+            )
+            bad = (
+                impair(plan, comp, chroma_phase_deg=args.chroma_phase)
+                if args.chroma_phase != 0.0 else None
+            )
             for decoder in allowed_decoders(cfg):
-                enc, dec, _ = make_pipeline(plan, decoder, args.backend)
-                comp = enc(rgb[None], 0)
+                _, dec, _ = make_pipeline(plan, decoder, args.backend)
                 out = np.asarray(dec(comp, 0))[0]
                 tag = f"{name}_{decoder}"
                 save_rgb(os.path.join(args.out, f"{tag}.png"), out)
                 report[tag] = round(psnr(out, rgb), 2)
-                if decoder == "notch":
-                    save_composite(
-                        os.path.join(args.out, f"{name}_composite.png"),
-                        np.asarray(comp)[0],
-                    )
-                if args.chroma_phase != 0.0:
-                    bad = impair(plan, comp,
-                                 chroma_phase_deg=args.chroma_phase)
+                if bad is not None:
                     out_b = np.asarray(dec(bad, 0))[0]
                     save_rgb(
                         os.path.join(args.out, f"{tag}_phase.png"), out_b
