@@ -23,10 +23,14 @@ from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.nco import sample_phase_ramp
 from color_modem_tpu.standards.base import FmParams, QamParams, StandardConfig
 
-#: SECAM quadrature-mix LPF cutoff: passes the Carson-band baseband FM
-#: content (~±0.6 MHz deviation + 1.3 MHz modulation), rejects the
-#: sum-frequency mixing image (aliased to ~4.8 MHz at fs = 13.5 MHz).
-SECAM_MIX_LPF = 2.0e6
+#: SECAM quadrature-mix LPF cutoff.  Must pass enough FM baseband for the
+#: discriminator to track the instantaneous frequency (excursion ~0.5 MHz
+#: + significant sidebands) while rejecting mixing products and noise.
+#: Swept empirically: 1.4 MHz is the round-trip optimum on both smooth
+#: scenes (+1.2 dB over the previous 2.0 MHz) and saturated color bars
+#: (+0.6 dB); below ~1.2 MHz sideband truncation starts distorting
+#: saturated transitions.
+SECAM_MIX_LPF = 1.4e6
 #: Half-width of the SECAM chroma takeoff / luma-notch band around bell_f0.
 SECAM_TAKEOFF_HALFWIDTH = 2.0e6
 SECAM_BAND_TRANSITION = 0.4e6
