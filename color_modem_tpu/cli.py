@@ -146,6 +146,11 @@ def _load_input(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "decoder", None) == "comb3d" and args.cmd != "video":
+        raise SystemExit(
+            "comb3d is a temporal decoder (combs along the frame axis) — "
+            "use the 'video' subcommand"
+        )
     if getattr(args, "burst_locked", False):
         # validate before any compute: needs a rastered line and a standard
         # that carries a burst (SECAM identifies lines by FM instead)
@@ -213,6 +218,8 @@ def main(argv=None) -> int:
                 if args.chroma_phase != 0.0 else None
             )
             for decoder in allowed_decoders(cfg):
+                if decoder == "comb3d":
+                    continue  # temporal: needs a frame sequence, not a still
                 _, dec, _ = make_pipeline(plan, decoder, args.backend)
                 out = np.asarray(dec(comp, 0))[0]
                 tag = f"{name}_{decoder}"

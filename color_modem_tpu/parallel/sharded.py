@@ -64,6 +64,12 @@ def make_sharded_pipeline(
     and halo logic is identical either way.
     """
     check_decoder(plan, decoder)
+    if decoder == "comb3d":
+        raise NotImplementedError(
+            "comb3d combs along the frame axis, which this pipeline shards "
+            "for data parallelism; run it unsharded (or shard lines only: "
+            "make_mesh(frame=1, lineblk=N) once frame-halo exchange lands)"
+        )
     h = required_halo(plan, decoder)
     comp_spec = P(FRAME_AXIS, LINE_AXIS, None)
     rgb_spec = P(FRAME_AXIS, None, LINE_AXIS, None)

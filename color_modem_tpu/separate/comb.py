@@ -13,18 +13,40 @@ from __future__ import annotations
 import jax
 
 from color_modem_tpu.dsp.apply import fir_same
-from color_modem_tpu.standards.decoders import comb_spacing
+from color_modem_tpu.standards.decoders import comb_spacing, temporal_comb_spacing
 from color_modem_tpu.modem.plan import ModemPlan
-from color_modem_tpu.separate.stencil import next_reflect, prev_reflect
+from color_modem_tpu.separate.stencil import (
+    next_reflect,
+    next_reflect_frames,
+    prev_reflect,
+    prev_reflect_frames,
+)
 
-SEPARATORS = ("notch", "comb2", "comb3")
+SEPARATORS = ("notch", "comb2", "comb3", "comb3d")
 
 
 def stencil_signal(plan: ModemPlan, comp: jax.Array, decoder: str) -> jax.Array:
-    """The line-axis stencil part of the separation: the signal whose
-    sample-axis BPF yields the chroma band.  'notch'/'delayline'/'avg' pass
-    the composite through (their averaging happens after demodulation,
-    matching the golden oracle); combs take line differences."""
+    """The stencil part of the separation: the signal whose sample-axis BPF
+    yields the chroma band.  'notch'/'delayline'/'avg' pass the composite
+    through (their averaging happens after demodulation, matching the golden
+    oracle); combs take line differences; 'comb3d' takes FRAME differences
+    (the temporal comb — the chroma phase also inverts at 1-2 frame spacing,
+    so static content separates perfectly; only the batched frame axis makes
+    this expressible)."""
+    if decoder == "comb3d":
+        pt = temporal_comb_spacing(plan.cfg)
+        if pt is None:
+            raise ValueError(f"{plan.cfg.name}: no temporal comb spacing")
+        if comp.ndim < 3:
+            raise ValueError(
+                "comb3d needs a batched (frames, lines, samples) block — "
+                "the frame axis is what it combs along"
+            )
+        return (
+            2.0 * comp
+            - prev_reflect_frames(comp, pt)
+            - next_reflect_frames(comp, pt)
+        ) / 4.0
     p = comb_spacing(plan.cfg)
     if decoder == "comb2":
         return (comp - prev_reflect(comp, p)) / 2.0

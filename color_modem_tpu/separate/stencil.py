@@ -32,3 +32,38 @@ def next_reflect(x: jax.Array, p: int) -> jax.Array:
     n = x.shape[-2]
     tail = x[..., n - p - 1 : n - 1, :][..., ::-1, :]
     return jnp.concatenate([x[..., p:, :], tail], axis=-2)
+
+
+def prev_reflect_frames(x: jax.Array, p: int) -> jax.Array:
+    """Frame-axis (-3) shift: "the frame p before me", phase-safe edges.
+
+    The edge rule differs from the line reflection on purpose: the temporal
+    comb needs the substitute frame to sit an odd multiple of ``p`` away so
+    its chroma phase is OPPOSITE (that is what the comb cancels against).
+    ``x[t+p]`` satisfies that; the index reflection ``x[p-t]`` does not —
+    e.g. at p=2 it pairs frame 1 with itself's parity and halves the edge
+    frames' chroma.  So missing top frames borrow from ``t+p`` instead.
+    """
+    if p < 1:
+        raise ValueError("p must be >= 1")
+    if x.shape[-3] < 2 * p:
+        raise ValueError(f"temporal comb needs >= {2*p} frames per block")
+    xm = jnp.moveaxis(x, -3, -2)
+    out = jnp.concatenate(
+        [xm[..., p : 2 * p, :], xm[..., :-p, :]], axis=-2
+    )
+    return jnp.moveaxis(out, -2, -3)
+
+
+def next_reflect_frames(x: jax.Array, p: int) -> jax.Array:
+    """Frame-axis "the frame p after me"; see :func:`prev_reflect_frames`."""
+    if p < 1:
+        raise ValueError("p must be >= 1")
+    if x.shape[-3] < 2 * p:
+        raise ValueError(f"temporal comb needs >= {2*p} frames per block")
+    xm = jnp.moveaxis(x, -3, -2)
+    n = xm.shape[-2]
+    out = jnp.concatenate(
+        [xm[..., p:, :], xm[..., n - 2 * p : n - p, :]], axis=-2
+    )
+    return jnp.moveaxis(out, -2, -3)

@@ -15,6 +15,11 @@ from color_modem_tpu.standards.base import FmParams, StandardConfig
 #: wrapper, the same operation applied to any QAM standard [MEM-M].
 QAM_DECODERS = ("notch", "comb2", "comb3", "delayline", "avg")
 FM_DECODERS = ("notch",)
+#: 'comb3d' — TEMPORAL comb: the chroma phase also inverts at 1-2 FRAME
+#: spacing (NTSC: 227.5 cyc/line * 525 lines = half-integer cycles/frame),
+#: so combing along the batched frame axis separates static content
+#: perfectly.  Only expressible because frames are an array axis here — the
+#: reference's per-line streaming design cannot reach across frames.
 
 
 #: Combs require the chroma phase to flip ~180 deg at the comb spacing; past
@@ -28,6 +33,20 @@ def comb_flip_error(cfg: StandardConfig) -> float:
     return min(
         abs((p * cfg.cpl_num / cfg.cpl_den) % 1.0 - 0.5) for p in (1, 2)
     )
+
+
+def temporal_comb_spacing(cfg: StandardConfig) -> int | None:
+    """Frame spacing at which chroma phase flips ~180 deg, or None.
+
+    Exact integer arithmetic on the rational phase law:
+    NTSC/NIIR-family (half-integer cycles per frame) -> 1 frame;
+    PAL/PAL-M/PAL-N -> 2 frames; none within 2 frames -> None.
+    """
+    for p in (1, 2):
+        frac = (p * cfg.cpl_num * cfg.total_lines) % cfg.cpl_den / cfg.cpl_den
+        if abs(frac - 0.5) <= COMB_FLIP_TOL:
+            return p
+    return None
 
 
 def allowed_decoders(cfg: StandardConfig) -> tuple:
@@ -46,8 +65,12 @@ def allowed_decoders(cfg: StandardConfig) -> tuple:
     if cfg.chroma.reference_amplitude is not None:
         return FM_DECODERS
     if comb_flip_error(cfg) > COMB_FLIP_TOL:
-        return tuple(d for d in QAM_DECODERS if not d.startswith("comb"))
-    return QAM_DECODERS
+        base = tuple(d for d in QAM_DECODERS if not d.startswith("comb"))
+    else:
+        base = QAM_DECODERS
+    if temporal_comb_spacing(cfg) is not None:
+        base = base + ("comb3d",)
+    return base
 
 
 def comb_spacing(cfg: StandardConfig) -> int:
