@@ -76,3 +76,47 @@ def halo_extend_lines(v: jax.Array, h: int, axis_name: str) -> jax.Array:
 def crop_halo(x: jax.Array, h: int) -> jax.Array:
     """Drop the halo lines after block-local processing."""
     return _take_lines(x, slice(h, x.shape[-2] - h))
+
+
+# --- frame-axis halos (temporal comb over the DP axis) ---------------------
+
+
+def _take_frames(x: jax.Array, sl: slice) -> jax.Array:
+    return x[..., sl, :, :]
+
+
+def halo_extend_frames(x: jax.Array, h: int, axis_name: str) -> jax.Array:
+    """Extend a per-device FRAME block with ``h`` neighbor frames per side.
+
+    The temporal comb's halo over the data-parallel axis: interior block
+    boundaries receive true neighbor frames via ring ``ppermute``; the two
+    global edges substitute frames an odd multiple of the comb spacing away
+    (``x[t+h]`` / ``x[t-h]``), matching
+    ``separate.stencil.prev_reflect_frames`` — an index reflection would
+    pair an edge frame with its own chroma parity and halve its chroma.
+    """
+    if h < 1:
+        raise ValueError("halo must be >= 1")
+    if x.shape[-3] < 2 * h:
+        raise ValueError(
+            f"frame block of {x.shape[-3]} frames too small for halo {h}"
+        )
+    n = x.shape[-3]
+    top_edge = _take_frames(x, slice(h, 2 * h))
+    bot_edge = _take_frames(x, slice(n - 2 * h, n - h))
+    n_blk = lax.axis_size(axis_name)
+    if n_blk == 1:
+        return jnp.concatenate([top_edge, x, bot_edge], axis=-3)
+    idx = lax.axis_index(axis_name)
+    down = [(i, (i + 1) % n_blk) for i in range(n_blk)]
+    up = [(i, (i - 1) % n_blk) for i in range(n_blk)]
+    from_prev = lax.ppermute(_take_frames(x, slice(-h, None)), axis_name, down)
+    from_next = lax.ppermute(_take_frames(x, slice(0, h)), axis_name, up)
+    top = jnp.where(idx == 0, top_edge, from_prev)
+    bot = jnp.where(idx == n_blk - 1, bot_edge, from_next)
+    return jnp.concatenate([top, x, bot], axis=-3)
+
+
+def crop_halo_frames(x: jax.Array, h: int) -> jax.Array:
+    """Drop the halo frames after block-local processing."""
+    return _take_frames(x, slice(h, x.shape[-3] - h))

@@ -29,9 +29,14 @@ from color_modem_tpu.frame.pipeline import (
     decode_block,
     encode_block,
 )
-from color_modem_tpu.standards.decoders import comb_spacing
+from color_modem_tpu.standards.decoders import comb_spacing, temporal_comb_spacing
 from color_modem_tpu.modem.plan import ModemPlan
-from color_modem_tpu.parallel.halo import crop_halo, halo_extend, halo_extend_lines
+from color_modem_tpu.parallel.halo import (
+    crop_halo,
+    halo_extend,
+    halo_extend_frames,
+    halo_extend_lines,
+)
 from color_modem_tpu.parallel.mesh import FRAME_AXIS, LINE_AXIS
 
 
@@ -64,12 +69,6 @@ def make_sharded_pipeline(
     and halo logic is identical either way.
     """
     check_decoder(plan, decoder)
-    if decoder == "comb3d":
-        raise NotImplementedError(
-            "comb3d combs along the frame axis, which this pipeline shards "
-            "for data parallelism; run it unsharded (or shard lines only: "
-            "make_mesh(frame=1, lineblk=N) once frame-halo exchange lands)"
-        )
     h = required_halo(plan, decoder)
     comp_spec = P(FRAME_AXIS, LINE_AXIS, None)
     rgb_spec = P(FRAME_AXIS, None, LINE_AXIS, None)
@@ -83,6 +82,15 @@ def make_sharded_pipeline(
     def _decode_blk(comp_blk, frame0):
         b_blk, l_blk, _ = comp_blk.shape
         g = _block_gline(plan, frame0, b_blk, l_blk)
+        if decoder == "comb3d":
+            # the temporal comb's stencil crosses the FRAME (data-parallel)
+            # axis instead of the line axis: exchange frame halos on the
+            # frame ring, decode the extended block, crop the halo frames
+            pt = temporal_comb_spacing(plan.cfg)
+            cext = halo_extend_frames(comp_blk, pt, FRAME_AXIS)
+            gext = halo_extend_frames(g[..., None], pt, FRAME_AXIS)[..., 0]
+            rgb = decode_block(plan, cext, gext, decoder, backend)
+            return rgb[pt : pt + b_blk]
         cext = halo_extend(comp_blk, h, LINE_AXIS)
         gext = halo_extend_lines(g, h, LINE_AXIS)
         rgb = decode_block(plan, cext, gext, decoder, backend)

@@ -89,8 +89,24 @@ def test_panning_scene_still_roundtrips():
     assert psnr(np.asarray(rt(rgb, 0)), np.asarray(rgb)) > 28.0
 
 
-def test_sharded_pipeline_rejects_comb3d():
+@pytest.mark.parametrize("name", ["ntsc", "pal"])
+def test_sharded_comb3d_equals_unsharded(name):
+    """The temporal comb's halo rides the FRAME (data-parallel) ring: the
+    sharded decode must be bit-identical to the unsharded one, including
+    the odd-multiple-of-p substitution at the global first/last frames."""
     from color_modem_tpu.parallel import make_mesh, make_sharded_pipeline
 
-    with pytest.raises(NotImplementedError, match="frame axis"):
-        make_sharded_pipeline(get_plan("ntsc"), make_mesh(2, 4), "comb3d")
+    plan = get_plan(name)
+    rgb = jnp.asarray(np.stack(
+        [smooth_scene(L, TEST_SAMPLES, seed=20 + t) for t in range(8)]
+    ).astype(np.float32))
+    enc_u, dec_u, _ = make_pipeline(plan, "comb3d")
+    comp = np.asarray(enc_u(rgb, 3))
+    rgb_u = np.asarray(dec_u(jnp.asarray(comp), 3))
+    for mesh in (make_mesh(2, 4), make_mesh(4, 2) if name == "ntsc" else
+                 make_mesh(2, 2)):
+        _, dec_s, _ = make_sharded_pipeline(plan, mesh, "comb3d")
+        rgb_s = np.asarray(dec_s(jnp.asarray(comp), 3))
+        np.testing.assert_allclose(
+            rgb_s, rgb_u, atol=1e-6, rtol=0, err_msg=str(mesh.shape)
+        )
