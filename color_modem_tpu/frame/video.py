@@ -161,16 +161,25 @@ def process_video(
         return psnr_jnp(out, rgb), fingerprint_jnp(out)
 
     # the sharded pipeline needs the frame batch to divide the mesh frame
-    # axis; a partial final chunk is padded with repeats of its last frame
+    # axis, and the temporal comb needs >= 2*spacing frames PER DEVICE; a
+    # short/partial chunk is padded with repeats of its last frame
     # (metrics then include the duplicates — a health number, not a result)
     frame_axis = int(mesh.devices.shape[0]) if mesh is not None else 1
+    min_per_dev = 1
+    if decoder == "comb3d":
+        from color_modem_tpu.standards.decoders import temporal_comb_spacing
+
+        min_per_dev = 2 * (temporal_comb_spacing(plan.cfg) or 1)
 
     def _pad_frames(rgb):
         b = rgb.shape[0]
-        rem = (-b) % frame_axis
-        if rem == 0:
+        target = max(b + (-b) % frame_axis, frame_axis * min_per_dev)
+        if target == b:
             return rgb, b
-        return jnp.concatenate([jnp.asarray(rgb), *([rgb[-1:]] * rem)]), b
+        return (
+            jnp.concatenate([jnp.asarray(rgb), *([rgb[-1:]] * (target - b))]),
+            b,
+        )
 
     t_start = time.perf_counter()
     pixels = 0

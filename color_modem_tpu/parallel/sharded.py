@@ -57,6 +57,31 @@ def _block_gline(plan: ModemPlan, frame0, b_blk: int, l_blk: int):
     return b[:, None] * jnp.int32(plan.cfg.total_lines) + l[None, :]
 
 
+def _block_gline_frames_ext(plan: ModemPlan, frame0, b_blk: int, l_blk: int,
+                            pt: int):
+    """gline for a frame-halo-extended block, computed locally.
+
+    The halo frames' indices are pure arithmetic of the mesh position — no
+    need to ppermute them like the composite data: interior halos are the
+    contiguous neighbor frames; the global first/last blocks substitute the
+    in-block frames an odd multiple of ``pt`` away, mirroring
+    halo_extend_frames / stencil.prev_reflect_frames.
+    """
+    nf = lax.axis_size(FRAME_AXIS)
+    idx = lax.axis_index(FRAME_AXIS)
+    foff = idx * b_blk
+    e = jnp.arange(b_blk + 2 * pt, dtype=jnp.int32)
+    f = foff + e - pt                                   # interior/default
+    f = jnp.where((idx == 0) & (e < pt), foff + e + pt, f)
+    f = jnp.where(
+        (idx == nf - 1) & (e >= b_blk + pt), foff + e - 3 * pt, f
+    )
+    b = jnp.asarray(frame0, jnp.int32) + f
+    loff = lax.axis_index(LINE_AXIS) * l_blk
+    l = loff + jnp.arange(l_blk, dtype=jnp.int32)
+    return b[:, None] * jnp.int32(plan.cfg.total_lines) + l[None, :]
+
+
 def make_sharded_pipeline(
     plan: ModemPlan, mesh: Mesh, decoder: str = "notch", backend: str = "xla"
 ):
@@ -85,10 +110,12 @@ def make_sharded_pipeline(
         if decoder == "comb3d":
             # the temporal comb's stencil crosses the FRAME (data-parallel)
             # axis instead of the line axis: exchange frame halos on the
-            # frame ring, decode the extended block, crop the halo frames
+            # frame ring, decode the extended block, crop the halo frames.
+            # gline for the halo frames is computed locally (it is pure
+            # arithmetic of the mesh position — no collective needed).
             pt = temporal_comb_spacing(plan.cfg)
             cext = halo_extend_frames(comp_blk, pt, FRAME_AXIS)
-            gext = halo_extend_frames(g[..., None], pt, FRAME_AXIS)[..., 0]
+            gext = _block_gline_frames_ext(plan, frame0, b_blk, l_blk, pt)
             rgb = decode_block(plan, cext, gext, decoder, backend)
             return rgb[pt : pt + b_blk]
         cext = halo_extend(comp_blk, h, LINE_AXIS)

@@ -36,16 +36,26 @@ def comb_flip_error(cfg: StandardConfig) -> float:
 
 
 def temporal_comb_spacing(cfg: StandardConfig) -> int | None:
-    """Frame spacing at which chroma phase flips ~180 deg, or None.
+    """Frame spacing at which the WHOLE chroma flips sign, or None.
 
     Exact integer arithmetic on the rational phase law:
     NTSC/NIIR-family (half-integer cycles per frame) -> 1 frame;
     PAL/PAL-M/PAL-N -> 2 frames; none within 2 frames -> None.
+
+    For V-switch standards the spacing must also preserve the per-line V
+    sign (p * total_lines even): a 180-deg carrier flip with a V-switch
+    parity flip negates U but not V, and a temporal comb would cancel the
+    V channel instead of luma.
     """
     for p in (1, 2):
         frac = (p * cfg.cpl_num * cfg.total_lines) % cfg.cpl_den / cfg.cpl_den
-        if abs(frac - 0.5) <= COMB_FLIP_TOL:
-            return p
+        if abs(frac - 0.5) > COMB_FLIP_TOL:
+            continue
+        if getattr(cfg.chroma, "v_switch", False) and (
+            p * cfg.total_lines
+        ) % 2 != 0:
+            continue
+        return p
     return None
 
 

@@ -15,7 +15,11 @@ import color_modem_tpu.golden as golden
 
 FROZEN = {
     "__init__.py": "36e19cbea8ec99fb",
-    "frame.py": "4eb2dd0de59881b3",
+    # frame.py updated 2026-08-16: guard-only change — decode_frame now
+    # REFUSES decoder='comb3d' (it used to fall through to notch silently;
+    # the per-frame oracle cannot represent a cross-frame decoder).  No
+    # numerical path changed.
+    "frame.py": "4475133be628fd47",
     "modems.py": "4450943b469337c1",
 }
 
