@@ -59,7 +59,9 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("-m", default="") == "tpu":
+    # any mark expression mentioning tpu counts as explicit selection
+    # (exact string equality would silently re-skip '-m "tpu and not slow"')
+    if "tpu" in (config.getoption("-m", default="") or ""):
         return
     skip = pytest.mark.skip(reason="tpu tests run only with -m tpu")
     for item in items:

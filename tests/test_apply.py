@@ -34,9 +34,10 @@ def test_toeplitz_matrix_structure(data):
     got = x.astype(np.float64) @ mat
     # matrix entries are float32 (device dtype); structure must be exact
     assert np.abs(got - ref).max() < 1e-6
-    # banded: nothing beyond the filter half-width
+    # banded: nothing beyond the filter half-width (sign-blind max() would
+    # miss negative leakage — bandpass taps go negative)
     half = (len(taps) - 1) // 2
-    assert mat[0, half + 1 :].max() == 0.0
+    assert np.abs(mat[0, half + 1 :]).max() == 0.0
     assert np.allclose(np.diag(mat), taps[half])
 
 
@@ -49,6 +50,8 @@ def test_asymmetric_taps(data):
     ref = np.stack(
         [np.convolve(x[i].astype(np.float64), taps, "same") for i in range(6)]
     )
-    for method in ("matmul", "conv"):
+    # 'fft' included deliberately: symmetric-taps fixtures cannot detect a
+    # convolution-vs-correlation (kernel flip) regression
+    for method in ("matmul", "conv", "fft"):
         got = np.asarray(fir_same(jnp.asarray(x), taps, method))
         assert np.abs(got - ref).max() < 2e-5, method

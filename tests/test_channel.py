@@ -43,6 +43,13 @@ def test_clean_channel_is_identity(img):
 def test_niir_cancels_differential_gain_and_phase(img):
     """The entire point of NIIR/SECAM-IV (A.5): the reference line makes the
     decoder immune to chroma gain and phase errors."""
+    # positive control: the channel really did distort the composite
+    plan = get_plan("niir")
+    enc, _, _ = make_pipeline(plan, "notch")
+    comp = enc(jnp.asarray(img))
+    bad = impair(plan, comp, chroma_gain=0.7, chroma_phase_deg=25.0)
+    assert np.abs(np.asarray(bad) - np.asarray(comp)).max() > 0.01
+
     clean = _run("niir", "notch", img)
     hit = _run("niir", "notch", img, chroma_gain=0.7, chroma_phase_deg=25.0)
     assert clean - hit < 1.5, (clean, hit)
@@ -61,6 +68,14 @@ def test_ntsc_suffers_phase_error_more_than_pal_delayline(img):
 
 def test_secam_fm_is_amplitude_invariant(img):
     """The limiter/discriminator ignores carrier amplitude (A.4)."""
+    # positive control: the impairment must actually alter the composite —
+    # otherwise a band-edge regression in impair() passes this vacuously
+    plan = get_plan("secam")
+    enc, _, _ = make_pipeline(plan, "notch")
+    comp = enc(jnp.asarray(img))
+    bad = impair(plan, comp, chroma_gain=0.6)
+    assert np.abs(np.asarray(bad) - np.asarray(comp)).max() > 0.01
+
     clean = _run("secam", "notch", img)
     hit = _run("secam", "notch", img, chroma_gain=0.6)
     assert clean - hit < 1.0, (clean, hit)

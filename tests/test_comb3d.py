@@ -107,6 +107,4 @@ def test_sharded_comb3d_equals_unsharded(name):
                  make_mesh(2, 2)):
         _, dec_s, _ = make_sharded_pipeline(plan, mesh, "comb3d")
         rgb_s = np.asarray(dec_s(jnp.asarray(comp), 3))
-        np.testing.assert_allclose(
-            rgb_s, rgb_u, atol=1e-6, rtol=0, err_msg=str(mesh.shape)
-        )
+        np.testing.assert_array_equal(rgb_s, rgb_u, err_msg=str(mesh.shape))

@@ -77,5 +77,7 @@ def test_frame_argument_drives_phase(img):
 def test_reset_clears_streaming_state(img):
     modem = SecamModem(N)
     _ = modem.demodulate(0, 0, np.zeros(N, np.float32) + 0.5)
+    # guard against vacuous pass: demodulate must actually have set state
+    assert modem._prev_v is not None
     modem.reset()
     assert modem._prev_v is None

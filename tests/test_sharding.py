@@ -1,9 +1,11 @@
 """Sharding equivalence tests on the fake 8-device CPU mesh (SURVEY.md §4.3).
 
-Sharded (shard_map over (frame, lineblk)) must equal unsharded bit-for-bit —
-the only reliable detector for halo off-by-one errors (SURVEY.md §7.3 item
-3).  Includes the fault-injection test of §5.3: a corrupted halo must make
-the equivalence check fail, proving the tests would catch a broken exchange.
+Sharded (shard_map over (frame, lineblk)) must equal unsharded — BIT-for-bit
+on the QAM paths, to 1e-6 on SECAM (its larger decode matmul chain picks up
+shape-dependent fp scheduling, measured <=4e-7) — the only reliable detector
+for halo off-by-one errors (SURVEY.md §7.3 item 3).  Includes the
+fault-injection test of §5.3: a corrupted halo must make the equivalence
+check fail, proving the tests would catch a broken exchange.
 """
 
 import numpy as np
@@ -48,6 +50,16 @@ def _meshes():
     return [make_mesh(2, 4), make_mesh(4, 2), make_mesh(1, 8), make_mesh(8, 1)]
 
 
+def _assert_equiv(got, want, name, msg):
+    """QAM paths are BIT-identical sharded-vs-unsharded (measured); SECAM's
+    decode is float-identical to ~4e-7 — the per-block shapes change XLA's
+    fp scheduling inside its larger matmul chain."""
+    if name == "secam":
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=0, err_msg=msg)
+    else:
+        np.testing.assert_array_equal(got, want, err_msg=msg)
+
+
 @pytest.mark.parametrize("name,decoder", CASES, ids=str)
 def test_sharded_equals_unsharded(name, decoder, batch):
     plan = get_plan(name)
@@ -57,11 +69,9 @@ def test_sharded_equals_unsharded(name, decoder, batch):
     for mesh in _meshes():
         enc_s, dec_s, _ = make_sharded_pipeline(plan, mesh, decoder)
         comp_s = np.asarray(enc_s(batch, 5))
-        np.testing.assert_allclose(comp_s, comp_u, atol=1e-6, rtol=0,
-                                   err_msg=f"encode {mesh.shape}")
+        _assert_equiv(comp_s, comp_u, name, f"encode {mesh.shape}")
         rgb_s = np.asarray(dec_s(jnp.asarray(comp_u), 5))
-        np.testing.assert_allclose(rgb_s, rgb_u, atol=1e-6, rtol=0,
-                                   err_msg=f"decode {mesh.shape}")
+        _assert_equiv(rgb_s, rgb_u, name, f"decode {mesh.shape}")
 
 
 def test_padded_then_cropped_equals_unsharded(batch):
