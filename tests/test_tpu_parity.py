@@ -21,7 +21,8 @@ from color_modem_tpu.frame.pipeline import make_pipeline
 from color_modem_tpu.utils.testimages import smooth_scene
 
 CASES = [("ntsc", "comb3", "pallas"), ("ntsc", "comb3", "xla"),
-         ("secam", "notch", "pallas"), ("pal", "delayline", "pallas")]
+         ("secam", "notch", "pallas"), ("pal", "delayline", "pallas"),
+         ("ntsc", "comb3d", "pallas")]
 
 _SCRIPT = """
 import sys, numpy as np
@@ -45,7 +46,11 @@ np.savez(sys.argv[2], **outs)
 
 @pytest.mark.tpu
 def test_tpu_matches_cpu(tmp_path):
-    rgb = smooth_scene(TEST_LINES, TEST_SAMPLES, seed=9).astype(np.float32)[None]
+    # two frames: the comb3d case needs a frame axis to comb along
+    rgb = np.stack([
+        smooth_scene(TEST_LINES, TEST_SAMPLES, seed=9),
+        smooth_scene(TEST_LINES, TEST_SAMPLES, seed=10),
+    ]).astype(np.float32)
     rgb_p = tmp_path / "rgb.npy"
     out_p = tmp_path / "tpu.npz"
     np.save(rgb_p, rgb)
