@@ -30,6 +30,11 @@ def main() -> None:
         "--backend", default="auto",
         help="xla | pallas | auto (pallas on TPU, xla elsewhere)",
     )
+    ap.add_argument(
+        "--roofline", action="store_true",
+        help="also report achieved TFLOP/s and HBM GB/s vs chip peaks "
+        "(SURVEY.md §5.1 speed-of-light check)",
+    )
     args = ap.parse_args()
 
     import os
@@ -119,6 +124,35 @@ def main() -> None:
         "scanlines_per_s": round(scanlines_s),
         "roundtrip_psnr_db": round(float(quality), 2),
     }
+    if args.roofline:
+        from color_modem_tpu.utils.profiling import chip_peaks
+
+        peaks = chip_peaks()
+        try:
+            # lower the XLA-backend twin for the LOGICAL flop count: Pallas
+            # custom-calls hide their internal flops from cost_analysis
+            _, _, rt_xla = make_pipeline(plan, args.decoder, "xla")
+            ca = rt_xla.lower(rgb, 0).compile().cost_analysis()
+            flops = float(ca.get("flops", float("nan")))
+            ca_b = roundtrip.lower(rgb, 0).compile().cost_analysis()
+            byt = float(ca_b.get("bytes accessed", float("nan")))
+        except Exception:
+            flops = byt = float("nan")
+        dt_call = dt / args.iters
+        record["roofline"] = {
+            "logical_tflops": round(flops / dt_call / 1e12, 2),
+            "tflops_fraction_of_f32_peak": round(
+                flops / dt_call / 1e12 / peaks["f32_tflops"], 3
+            ),
+            "hbm_gbps": round(byt / dt_call / 1e9, 1),
+            "hbm_fraction_of_peak": round(
+                byt / dt_call / 1e9 / peaks["hbm_gbps"], 3
+            ),
+            "binding_constraint": "MXU shape ceiling at (768,768) operands "
+            "— see BASELINE.md roofline section",
+        }
+        print(json.dumps({"roofline": record["roofline"]}))
+
     path = f"results/bench_{args.standard}_{args.decoder}_{backend}.json"
     with open(path, "w") as f:
         json.dump(record, f, indent=1)
