@@ -53,7 +53,15 @@ def main() -> None:
     from color_modem_tpu.standards.decoders import allowed_decoders
 
     if args.decoder not in allowed_decoders(cfg):
-        args.decoder = allowed_decoders(cfg)[0]
+        import sys
+
+        fallback = allowed_decoders(cfg)[0]
+        print(
+            f"bench: {cfg.name} does not support decoder "
+            f"{args.decoder!r}; benchmarking {fallback!r} instead",
+            file=sys.stderr,
+        )
+        args.decoder = fallback
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -84,8 +92,14 @@ def main() -> None:
     dt = float("inf")
     for w in range(3):
         inputs = [
+            # +1: offset 0 would replay the warmup input bit-for-bit (the
+            # scene lies in [0.1, 0.9], so clip doesn't perturb it) and the
+            # relay would serve it from cache, inflating window 0
             jax.block_until_ready(
-                jnp.clip(rgb + jnp.float32((w * args.iters + i) * 1e-4), 0.0, 1.0)
+                jnp.clip(
+                    rgb + jnp.float32((w * args.iters + i + 1) * 1e-4),
+                    0.0, 1.0,
+                )
             )
             for i in range(args.iters)
         ]
@@ -139,13 +153,18 @@ def main() -> None:
         except Exception:
             flops = byt = float("nan")
         dt_call = dt / args.iters
+
+        def _num(v, nd):
+            # NaN (unknown peaks / failed cost analysis) is not valid JSON
+            return round(v, nd) if np.isfinite(v) else None
+
         record["roofline"] = {
-            "logical_tflops": round(flops / dt_call / 1e12, 2),
-            "tflops_fraction_of_f32_peak": round(
+            "logical_tflops": _num(flops / dt_call / 1e12, 2),
+            "tflops_fraction_of_f32_peak": _num(
                 flops / dt_call / 1e12 / peaks["f32_tflops"], 3
             ),
-            "hbm_gbps": round(byt / dt_call / 1e9, 1),
-            "hbm_fraction_of_peak": round(
+            "hbm_gbps": _num(byt / dt_call / 1e9, 1),
+            "hbm_fraction_of_peak": _num(
                 byt / dt_call / 1e9 / peaks["hbm_gbps"], 3
             ),
             "binding_constraint": "MXU shape ceiling at (768,768) operands "

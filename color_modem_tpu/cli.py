@@ -204,7 +204,12 @@ def main(argv=None) -> int:
                 rgb = load_rgb(args.input, size=(args.width, lines))
             else:
                 rgb = color_bars(lines, args.width).astype(np.float32)
-            plan = make_plan(cfg, args.width)
+            try:
+                plan = make_plan(cfg, args.width)
+            except ValueError as e:
+                # e.g. SECAM needs >=720-sample lines; skip, don't abort
+                report[f"{name}_skipped"] = str(e)
+                continue
             # encode and the impaired composite are decoder-independent:
             # build them once per standard, loop only the decoders
             enc, _, _ = make_pipeline(plan, "notch", args.backend)

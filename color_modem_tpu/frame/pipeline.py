@@ -98,11 +98,7 @@ def decode_block(
         p: QamParams = plan.cfg.chroma
         if phase_err is not None:
             d = phase_err[..., None].astype(jnp.float32)
-            s = (
-                jnp.where((gline % 2) == 0, 1.0, -1.0)[..., None]
-                if p.v_switch
-                else jnp.float32(1.0)
-            )
+            s = qam.v_sign(plan, gline)[..., None]
             cd, sd = jnp.cos(d), jnp.sin(d)
             c1, c2 = cd * c1 + s * sd * c2, -s * sd * c1 + cd * c2
         if decoder in ("delayline", "avg"):

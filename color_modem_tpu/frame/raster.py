@@ -101,11 +101,14 @@ def make_raster(plan: ModemPlan) -> RasterPlan:
     )
 
 
-def _burst_sign(rp: RasterPlan, gline: jax.Array) -> jax.Array:
-    """Per-line burst angle sign: PAL swings with the V-switch parity."""
+def _burst_sign(plan: ModemPlan, rp: RasterPlan, gline: jax.Array) -> jax.Array:
+    """Per-line burst angle sign: PAL swings with the V-switch parity
+    (delegates to the modem's v_sign so the convention has ONE home)."""
     if not rp.swinging:
         return jnp.ones(gline.shape, jnp.float32)
-    return jnp.where((gline % 2) == 0, 1.0, -1.0).astype(jnp.float32)
+    from color_modem_tpu.modem.qam import v_sign
+
+    return v_sign(plan, gline)
 
 
 def _blank_phase(plan: ModemPlan, rp: RasterPlan, gline: jax.Array):
@@ -133,7 +136,7 @@ def add_raster(plan: ModemPlan, rp: RasterPlan, comp: jax.Array,
     if rp.burst_len:
         burst_mask = (idx >= rp.burst_start) & (idx < rp.burst_start + rp.burst_len)
         phi = _blank_phase(plan, rp, gline)
-        sgn = _burst_sign(rp, gline)[..., None]
+        sgn = _burst_sign(plan, rp, gline)[..., None]
         burst = jnp.float32(BURST_AMP) * jnp.sin(
             phi + sgn * jnp.float32(rp.burst_phase)
         )
@@ -143,6 +146,12 @@ def add_raster(plan: ModemPlan, rp: RasterPlan, comp: jax.Array,
 
 def strip_raster(rp: RasterPlan, rastered: jax.Array) -> jax.Array:
     """(..., L, n_total) -> (..., L, n_active): drop the blanking interval."""
+    if rastered.shape[-1] != rp.n_total:
+        raise ValueError(
+            f"expected {rp.n_total}-sample rastered lines, got "
+            f"{rastered.shape[-1]} — was this composite encoded with "
+            "raster=True?"
+        )
     return rastered[..., rp.n_blank:]
 
 
@@ -161,7 +170,7 @@ def decode_burst_locked(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
     from color_modem_tpu.frame.pipeline import decode_block
 
     _, phase = measure_burst_phase(plan, rp, rastered, gline)
-    expected = _burst_sign(rp, gline) * jnp.float32(rp.burst_phase)
+    expected = _burst_sign(plan, rp, gline) * jnp.float32(rp.burst_phase)
     delta = phase - expected
     # wrap to (-pi, pi] so a 180-deg-adjacent measurement doesn't unwrap
     delta = jnp.arctan2(jnp.sin(delta), jnp.cos(delta))

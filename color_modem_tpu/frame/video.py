@@ -140,30 +140,35 @@ def process_video(
             )
             return dec_f(impair(plan, comp, key=key, **channel), frame0)
 
-    from color_modem_tpu.utils.metrics import (
-        fingerprint_hex,
-        fingerprint_jnp,
-        psnr_jnp,
-    )
+    from color_modem_tpu.utils.metrics import fingerprint_hex, fingerprint_jnp
 
     # One fused device step per chunk: roundtrip + PSNR + manifest
     # fingerprint all on device — only two scalars cross back to the host
     # unless outputs are being saved (the tunnel to a remote chip is the
-    # bottleneck, not the modem).
-    @jax.jit
-    def step(rgb, frame0):
-        out = roundtrip(rgb, frame0)
-        return out, psnr_jnp(out, rgb), fingerprint_jnp(out)
+    # bottleneck, not the modem).  PSNR masks out padded duplicate frames
+    # (n_real is traced, so the tail chunk doesn't retrace).
+    def _masked_psnr(out, rgb, n_real):
+        mask = (jnp.arange(out.shape[0]) < n_real).astype(jnp.float32)
+        err = jnp.mean((out - rgb) ** 2, axis=(1, 2, 3))
+        mse = jnp.sum(err * mask) / jnp.maximum(
+            n_real.astype(jnp.float32), 1.0
+        )
+        return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-20))
 
     @jax.jit
-    def step_metrics(rgb, frame0):
+    def step(rgb, frame0, n_real):
         out = roundtrip(rgb, frame0)
-        return psnr_jnp(out, rgb), fingerprint_jnp(out)
+        return out, _masked_psnr(out, rgb, n_real), fingerprint_jnp(out)
+
+    @jax.jit
+    def step_metrics(rgb, frame0, n_real):
+        out = roundtrip(rgb, frame0)
+        return _masked_psnr(out, rgb, n_real), fingerprint_jnp(out)
 
     # the sharded pipeline needs the frame batch to divide the mesh frame
     # axis, and the temporal comb needs >= 2*spacing frames PER DEVICE; a
-    # short/partial chunk is padded with repeats of its last frame
-    # (metrics then include the duplicates — a health number, not a result)
+    # short/partial chunk is padded with repeats of its last frame (the
+    # masked PSNR above excludes the duplicates)
     frame_axis = int(mesh.devices.shape[0]) if mesh is not None else 1
     min_per_dev = 1
     if decoder == "comb3d":
@@ -219,12 +224,13 @@ def process_video(
         end = min(start + chunk, n_frames)
         if manifest and manifest.is_done(start, end):
             continue
-        rgb, _ = _pad_frames(source(start, end - start))
+        rgb, n_real = _pad_frames(source(start, end - start))
+        n_real = jnp.asarray(n_real, jnp.int32)
         pixels += (end - start) * rgb.shape[2] * rgb.shape[3]
         if save_outputs:
-            out, q, fp = step(rgb, start)
+            out, q, fp = step(rgb, start, n_real)
         else:
-            out, (q, fp) = None, step_metrics(rgb, start)
+            out, (q, fp) = None, step_metrics(rgb, start, n_real)
         pending.append((start, end, out, q, fp))
         if len(pending) >= wave:
             _resolve(pending)

@@ -56,7 +56,8 @@ def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
             if not varied and hasattr(a, "dtype") and jnp.issubdtype(
                 getattr(a, "dtype"), jnp.floating
             ):
-                out_args.append(a + jnp.asarray(i * 1e-6, a.dtype))
+                # i+1: offset 0 would reproduce the warmup input exactly
+                out_args.append(a + jnp.asarray((i + 1) * 1e-6, a.dtype))
                 varied = True
             else:
                 out_args.append(a)
