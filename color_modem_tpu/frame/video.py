@@ -147,23 +147,30 @@ def process_video(
     # unless outputs are being saved (the tunnel to a remote chip is the
     # bottleneck, not the modem).  PSNR masks out padded duplicate frames
     # (n_real is traced, so the tail chunk doesn't retrace).
-    def _masked_psnr(out, rgb, n_real):
-        mask = (jnp.arange(out.shape[0]) < n_real).astype(jnp.float32)
+    def _interior_mask(out, off, n_real):
+        """1.0 on the chunk's real frames; 0 on overlap and padding."""
+        e = jnp.arange(out.shape[0])
+        return ((e >= off) & (e < off + n_real)).astype(jnp.float32)
+
+    def _metrics(out, rgb, off, n_real):
+        mask = _interior_mask(out, off, n_real)
         err = jnp.mean((out - rgb) ** 2, axis=(1, 2, 3))
         mse = jnp.sum(err * mask) / jnp.maximum(
             n_real.astype(jnp.float32), 1.0
         )
-        return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-20))
+        q = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-20))
+        fp = fingerprint_jnp(out * mask[:, None, None, None])
+        return q, fp
 
     @jax.jit
-    def step(rgb, frame0, n_real):
+    def step(rgb, frame0, off, n_real):
         out = roundtrip(rgb, frame0)
-        return out, _masked_psnr(out, rgb, n_real), fingerprint_jnp(out)
+        return (out,) + _metrics(out, rgb, off, n_real)
 
     @jax.jit
-    def step_metrics(rgb, frame0, n_real):
+    def step_metrics(rgb, frame0, off, n_real):
         out = roundtrip(rgb, frame0)
-        return _masked_psnr(out, rgb, n_real), fingerprint_jnp(out)
+        return _metrics(out, rgb, off, n_real)
 
     # the sharded pipeline needs the frame batch to divide the mesh frame
     # axis, and the temporal comb needs >= 2*spacing frames PER DEVICE; a
@@ -171,10 +178,17 @@ def process_video(
     # masked PSNR above excludes the duplicates)
     frame_axis = int(mesh.devices.shape[0]) if mesh is not None else 1
     min_per_dev = 1
+    overlap = 0
     if decoder == "comb3d":
         from color_modem_tpu.standards.decoders import temporal_comb_spacing
 
-        min_per_dev = 2 * (temporal_comb_spacing(plan.cfg) or 1)
+        pt = temporal_comb_spacing(plan.cfg) or 1
+        min_per_dev = 2 * pt
+        # temporal continuity across chunks: sources are random-access in
+        # the absolute frame index, so each chunk fetches `pt` extra frames
+        # per side and the decoder's stencil sees TRUE neighbors at chunk
+        # boundaries (only the video's global first/last frames substitute)
+        overlap = pt
 
     def _pad_frames(rgb):
         b = rgb.shape[0]
@@ -201,16 +215,16 @@ def process_video(
         only a fully finished run) and cap live output buffers.
         """
         nonlocal frames_done
-        all_q = np.asarray(jnp.stack([p[3] for p in pending]))
-        all_fp = np.asarray(jnp.stack([p[4] for p in pending]))
-        for k, (start, end, out, _, _) in enumerate(pending):
+        all_q = np.asarray(jnp.stack([p[4] for p in pending]))
+        all_fp = np.asarray(jnp.stack([p[5] for p in pending]))
+        for k, (start, end, off, out, _, _) in enumerate(pending):
             q = float(all_q[k])
             psnrs.append(q)
             frames_done += end - start
             if out is not None:
                 np.save(
                     os.path.join(out_dir, f"rgb_{start:06d}.npy"),
-                    np.asarray(out)[: end - start],
+                    np.asarray(out)[off : off + (end - start)],
                 )
             if manifest:
                 manifest.mark_done(
@@ -224,14 +238,17 @@ def process_video(
         end = min(start + chunk, n_frames)
         if manifest and manifest.is_done(start, end):
             continue
-        rgb, n_real = _pad_frames(source(start, end - start))
-        n_real = jnp.asarray(n_real, jnp.int32)
+        lo = max(0, start - overlap)
+        hi = min(n_frames, end + overlap)
+        rgb, _ = _pad_frames(source(lo, hi - lo))
+        off = jnp.asarray(start - lo, jnp.int32)
+        n_real = jnp.asarray(end - start, jnp.int32)
         pixels += (end - start) * rgb.shape[2] * rgb.shape[3]
         if save_outputs:
-            out, q, fp = step(rgb, start, n_real)
+            out, q, fp = step(rgb, lo, off, n_real)
         else:
-            out, (q, fp) = None, step_metrics(rgb, start, n_real)
-        pending.append((start, end, out, q, fp))
+            out, (q, fp) = None, step_metrics(rgb, lo, off, n_real)
+        pending.append((start, end, start - lo, out, q, fp))
         if len(pending) >= wave:
             _resolve(pending)
             pending = []

@@ -89,6 +89,26 @@ def test_panning_scene_still_roundtrips():
     assert psnr(np.asarray(rt(rgb, 0)), np.asarray(rgb)) > 28.0
 
 
+def test_chunked_video_comb3d_matches_whole_batch(tmp_path):
+    """Chunk-boundary frames must decode with their TRUE temporal neighbors
+    (the video runner fetches overlap frames from the random-access source),
+    so a chunked run reproduces decoding the whole sequence in one batch."""
+    from color_modem_tpu.frame.video import process_video, synthetic_source
+
+    plan = get_plan("ntsc")
+    n, chunk = 10, 4  # chunk boundaries at 4 and 8, partial final chunk
+    src = synthetic_source(L, TEST_SAMPLES)
+    process_video(plan, src, n, str(tmp_path), chunk=chunk,
+                  decoder="comb3d", save_outputs=True)
+    got = np.concatenate([
+        np.load(tmp_path / f"rgb_{s:06d}.npy") for s in range(0, n, chunk)
+    ])
+    rgb = jnp.asarray(src(0, n))
+    _, _, rt = make_pipeline(plan, "comb3d")
+    want = np.asarray(rt(rgb, 0))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+
 @pytest.mark.parametrize("name", ["ntsc", "pal"])
 def test_sharded_comb3d_equals_unsharded(name):
     """The temporal comb's halo rides the FRAME (data-parallel) ring: the
