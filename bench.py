@@ -21,7 +21,9 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--iters", type=int, default=20)
+    # 100 iters ~ 0.4 s of device work: the slope must dominate the tunnel's
+    # bursty +-tens-of-ms window jitter (smaller contrasts measured negative)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--standard", default="ntsc")
     ap.add_argument("--decoder", default="comb3")
     ap.add_argument("--lines", type=int, default=0, help="0 = standard active lines")
@@ -76,41 +78,50 @@ def main() -> None:
         np.broadcast_to(one, (args.batch, 3, lines, args.samples)), jnp.float32
     )
 
+    from color_modem_tpu.utils.profiling import force
+
     # warmup / compile
-    out = jax.block_until_ready(roundtrip(rgb, 0))
+    out = roundtrip(rgb, 0)
+    force(out)
     quality = psnr(np.asarray(out), np.asarray(rgb))
 
-    # PIPELINED timing over DISTINCT inputs: every dispatch gets a unique
-    # input (the axon relay caches same-input executions, which once
-    # inflated this bench 25x), but dispatches are submitted back-to-back
-    # and synchronized once at the end — the steady-state video-pipeline
-    # pattern, where host submission overlaps device compute.
-    # best-of-3 windows: the tunnel to the chip adds bursty latency noise
-    # (+-20% run to run); the fastest window is the least-perturbed one.
-    # Every dispatch in every window gets a UNIQUE input so the relay's
-    # same-input execution cache can never serve a replay.
-    dt = float("inf")
-    for w in range(3):
-        inputs = [
-            # +1: offset 0 would replay the warmup input bit-for-bit (the
-            # scene lies in [0.1, 0.9], so clip doesn't perturb it) and the
-            # relay would serve it from cache, inflating window 0
-            jax.block_until_ready(
-                jnp.clip(
-                    rgb + jnp.float32((w * args.iters + i + 1) * 1e-4),
-                    0.0, 1.0,
-                )
-            )
-            for i in range(args.iters)
-        ]
-        t0 = time.perf_counter()
-        outs = [roundtrip(x, i) for i, x in enumerate(inputs)]
-        jax.block_until_ready(outs)
-        dt = min(dt, time.perf_counter() - t0)
+    # HONEST timing through the axon relay tunnel (CLAUDE.md; every piece
+    # is load-bearing):
+    #  * DISTINCT input per dispatch — the relay caches same-input
+    #    executions (once inflated this bench 25x).
+    #  * A fused scalar READBACK ends each window — block_until_ready can
+    #    return before the chip executes (measured 2026-08-16: an unforced
+    #    loop reported 3x the physical HBM peak, and a stale run of this
+    #    bench recorded 119 Gpix/s, ~100x reality).
+    #  * SLOPE timing: each window is run at two sizes and the per-call
+    #    time is the slope, cancelling the constant ~0.1 s readback and
+    #    dispatch-ramp overheads exactly.  Best of 3 pairs (tunnel latency
+    #    is bursty, +-20% run to run).
+    # Each dispatch varies only the traced ``frame0`` scalar — a distinct
+    # input tuple for the relay's cache at zero extra device work (the
+    # frame index genuinely changes the phase law, not the FLOP count).
+    # Each output is reduced to one scalar immediately so the device frees
+    # output buffers in order instead of holding `count` frames live.
+    frame_counter = [0]
 
-    pixels = args.batch * lines * args.samples * args.iters
+    def _window(count: int) -> float:
+        t0 = time.perf_counter()
+        acc = []
+        for _ in range(count):
+            o = roundtrip(rgb, frame_counter[0])
+            frame_counter[0] += 1
+            acc.append(o.ravel()[:4].sum())
+        force(acc)
+        return time.perf_counter() - t0
+
+    small = max(4, args.iters // 10)
+    t_small = min(_window(small) for _ in range(3))
+    t_big = min(_window(args.iters) for _ in range(3))
+    dt = (t_big - t_small) / (args.iters - small)
+
+    pixels = args.batch * lines * args.samples
     mpix_s = pixels / dt / 1e6
-    scanlines_s = args.batch * lines * args.iters / dt
+    scanlines_s = args.batch * lines / dt
 
     line = json.dumps(
         {
@@ -152,7 +163,7 @@ def main() -> None:
             byt = float(ca_b.get("bytes accessed", float("nan")))
         except Exception:
             flops = byt = float("nan")
-        dt_call = dt / args.iters
+        dt_call = dt  # slope timing above already yields per-call seconds
 
         def _num(v, nd):
             # NaN (unknown peaks / failed cost analysis) is not valid JSON

@@ -16,8 +16,12 @@ edges and compensated group delay (they match the golden oracle's
   faster end-to-end than the conv path on v5e.  The matrix is built once per
   (taps, N) pair on the host and cached.
 * ``conv`` — direct ``lax.conv_general_dilated``.
-* ``fft``  — rfft/irfft per line (complex ops; not supported by the axon TPU
-  backend as of JAX 0.9, kept for CPU and future backends).
+* ``fft``  — rfft/irfft per line.  Runs on the axon TPU backend (verified
+  2026-08-16) but measures ~40% SLOWER than the matmul path at the target
+  geometry (2.17 vs 1.53 ms per (16,480,720)x129-tap call, forced-readback
+  slope timing): at nfft=1024 the TPU's FFT lowering loses to the MXU even
+  at its shape-bound 10-15 TFLOP/s.  Kept for CPU and as the asymptotic
+  path for much longer lines/taps.
 """
 
 from __future__ import annotations

@@ -36,16 +36,45 @@ def trace(log_dir: str):
         yield
 
 
+def force(outs) -> float:
+    """Force REAL execution of ``outs`` (any pytree) via a host readback.
+
+    ``block_until_ready`` is NOT sufficient through the axon relay tunnel:
+    it can return once the relay has *accepted* the work, before the chip
+    has executed it (measured 2026-08-16: an unforced timing loop reported
+    3x the chip's physical HBM peak).  The only reliable barrier is fetching
+    a scalar that data-depends on every output.  One fused scalar keeps the
+    readback cost to a single ~0.1 s tunnel round trip.
+    """
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree_util.tree_leaves(outs)
+              if hasattr(x, "dtype")]
+    s = sum(jnp.sum(l.ravel()[:4].astype(jnp.float32)) for l in leaves)
+    return float(s)
+
+
 def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
             flops: int | None = None) -> dict:
-    """Warmup once, then time ``iters`` calls of a jitted ``fn``.
+    """Warmup once, then time ``fn`` honestly through the relay tunnel.
 
-    Every timed call gets a UNIQUE first-array argument (a tiny deterministic
-    offset): execution relays that cache same-input dispatches (as the axon
-    tunnel here does) would otherwise serve replays and report fantasy
-    throughput.  ``bytes_moved``/``flops`` are per-call estimates supplied by
-    the caller; when given, the report includes achieved HBM GB/s and
-    TFLOP/s and their fraction of the chip peak (the speed-of-light ratio).
+    Protocol (every piece is load-bearing here — see CLAUDE.md):
+
+    * Every timed call gets a UNIQUE first-array argument (a tiny
+      deterministic offset): the axon relay caches same-input executions and
+      would otherwise serve replays and report fantasy throughput.
+    * Each timed window ends with a single fused scalar readback
+      (:func:`force`) — ``block_until_ready`` alone does not force execution
+      through the relay.
+    * SLOPE timing: the window is run at two sizes (``iters`` and a small
+      control) and the per-call time is the slope ``(T_big - T_small) /
+      (iters - small)``, so the constant window overhead (the ~0.1 s forced
+      readback, dispatch ramp) cancels exactly.  Best of 3 window pairs
+      (tunnel latency is bursty).
+
+    ``bytes_moved``/``flops`` are per-call estimates supplied by the caller;
+    when given, the report includes achieved HBM GB/s and TFLOP/s and their
+    fraction of the chip peak (the speed-of-light ratio).
     """
     import jax.numpy as jnp
 
@@ -63,17 +92,29 @@ def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
                 out_args.append(a)
         return out_args
 
-    per_iter = [
-        [jax.block_until_ready(a) if hasattr(a, "dtype") else a
-         for a in _args_for(i)]
-        for i in range(iters)
-    ]
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*ai) for ai in per_iter]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
+    small = max(2, iters // 5)
+
+    def _window(count: int, salt: int) -> float:
+        per_iter = [
+            [jax.block_until_ready(a) if hasattr(a, "dtype") else a
+             for a in _args_for(salt * 10_000 + i)]
+            for i in range(count)
+        ]
+        t0 = time.perf_counter()
+        outs = [fn(*ai) for ai in per_iter]
+        force(outs)
+        return time.perf_counter() - t0
+
+    force(fn(*args))  # warmup / compile
+    t_small = min(_window(small, 2 * w) for w in range(3))
+    t_big = min(_window(iters, 2 * w + 1) for w in range(3))
+    dt = (t_big - t_small) / (iters - small)
     rep = {"seconds_per_call": dt}
+    if dt <= 0:
+        # per-call work smaller than the tunnel's window jitter: the slope
+        # is pure noise — report that instead of a negative throughput
+        rep["below_timing_resolution"] = True
+        return rep
     peaks = chip_peaks()
     if bytes_moved is not None:
         gbps = bytes_moved / dt / 1e9
