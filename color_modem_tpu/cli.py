@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="channel differential chroma phase, degrees",
     )
     rt.add_argument(
+        "--ghost-delay-us", type=float, default=0.0,
+        help="multipath ghost delay, microseconds",
+    )
+    rt.add_argument(
+        "--ghost-gain", type=float, default=0.0,
+        help="multipath ghost amplitude (0 = off; negative = inverted echo)",
+    )
+    rt.add_argument(
         "--burst-locked", action="store_true",
         help="decode with the burst-measured subcarrier phase (needs "
         "--raster; cancels --chroma-phase like a real receiver)",
@@ -102,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
     vid.add_argument("--chroma-gain", type=float, default=1.0)
     vid.add_argument("--chroma-phase", type=float, default=0.0,
                      help="channel differential chroma phase, degrees")
+    vid.add_argument("--ghost-delay-us", type=float, default=0.0,
+                     help="multipath ghost delay, microseconds")
+    vid.add_argument("--ghost-gain", type=float, default=0.0,
+                     help="multipath ghost amplitude (0 = off)")
 
     gal = sub.add_parser(
         "gallery",
@@ -259,10 +271,13 @@ def main(argv=None) -> int:
             mesh = make_mesh(f, l)
         make_src = synthetic_source if args.host_source else synthetic_device_source
         channel = None
-        if args.noise > 0.0 or args.chroma_gain != 1.0 or args.chroma_phase != 0.0:
+        if (args.noise > 0.0 or args.chroma_gain != 1.0
+                or args.chroma_phase != 0.0 or args.ghost_gain != 0.0):
             channel = {"noise_sigma": args.noise,
                        "chroma_gain": args.chroma_gain,
-                       "chroma_phase_deg": args.chroma_phase}
+                       "chroma_phase_deg": args.chroma_phase,
+                       "ghost_delay_us": args.ghost_delay_us,
+                       "ghost_gain": args.ghost_gain}
         summary = process_video(
             plan,
             make_src(lines, args.width),
@@ -308,16 +323,20 @@ def main(argv=None) -> int:
     else:  # roundtrip
         comp = np.asarray(encode(rgb[None], args.frame))[0]
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
-                   "chroma_phase_deg": args.chroma_phase}
+                   "chroma_phase_deg": args.chroma_phase,
+                   "ghost_delay_us": args.ghost_delay_us,
+                   "ghost_gain": args.ghost_gain}
         if any([args.noise > 0.0, args.chroma_gain != 1.0,
-                args.chroma_phase != 0.0]):
+                args.chroma_phase != 0.0, args.ghost_gain != 0.0]):
             from color_modem_tpu.frame.channel import impair
 
             key = jax.random.PRNGKey(0) if args.noise > 0.0 else None
             comp = np.asarray(impair(
                 plan, comp[None], noise_sigma=args.noise,
                 chroma_gain=args.chroma_gain,
-                chroma_phase_deg=args.chroma_phase, key=key,
+                chroma_phase_deg=args.chroma_phase,
+                ghost_delay_us=args.ghost_delay_us,
+                ghost_gain=args.ghost_gain, key=key,
             ))[0]
             result["channel"] = channel
         if args.burst_locked:

@@ -100,3 +100,34 @@ def test_noise_requires_key(img):
     enc, _, _ = make_pipeline(plan, "notch")
     with pytest.raises(ValueError, match="PRNG key"):
         impair(plan, enc(img), noise_sigma=0.1)
+
+
+def test_ghost_is_exact_stream_delay():
+    """An impulse ghosts d samples later ON THE LINE STREAM — a ghost
+    delayed past the line end spills into the next line."""
+    plan = get_plan("ntsc")
+    comp = jnp.zeros((1, 4, N), jnp.float32).at[0, 2, N - 3].set(1.0)
+    delay_us = 10.0 / plan.fs * 1e6  # exactly 10 samples
+    out = np.asarray(
+        impair(plan, comp, ghost_delay_us=delay_us, ghost_gain=-0.4)
+    )
+    expect = np.zeros((1, 4, N), np.float32)
+    expect[0, 2, N - 3] = 1.0
+    expect[0, 3, 7] = -0.4  # (N-3) + 10 == N + 7 -> next line, sample 7
+    np.testing.assert_allclose(out, expect, atol=1e-7)
+
+
+def test_ghost_degrades_roundtrip_but_stays_finite(img):
+    clean = _run("ntsc", "comb3", img)
+    hit = _run("ntsc", "comb3", img, ghost_delay_us=1.0, ghost_gain=0.25)
+    assert np.isfinite(hit)
+    assert 2.0 < clean - hit < 30.0, (clean, hit)
+
+
+def test_ghost_validation():
+    plan = get_plan("ntsc")
+    comp = jnp.zeros((2, N), jnp.float32)
+    with pytest.raises(ValueError, match="ghost_delay_us"):
+        impair(plan, comp, ghost_gain=0.3)
+    with pytest.raises(ValueError, match="exceeds"):
+        impair(plan, comp, ghost_gain=0.3, ghost_delay_us=1e6)
