@@ -52,3 +52,14 @@ def make_pipeline(standard: str, samples: int = 720, decoder: str = "notch",
 
     plan = make_plan(ALL_STANDARDS[standard](), samples)
     return _mk(plan, decoder, backend, raster=raster)
+
+
+def make_interlaced_pipeline(standard: str, samples: int = 720,
+                             decoder: str = "notch", backend: str = "xla"):
+    """Like :func:`make_pipeline`, transmitting 2:1 interlaced fields
+    (frame.interlace): RGB frames <-> field-sequential composite."""
+    from color_modem_tpu.frame.interlace import make_interlaced_pipeline as _mk
+    from color_modem_tpu.modem.plan import make_plan
+
+    plan = make_plan(ALL_STANDARDS[standard](), samples)
+    return _mk(plan, decoder, backend)

@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="channel differential chroma phase, degrees",
     )
     rt.add_argument(
+        "--interlaced", action="store_true",
+        help="transmit as two 2:1 interlaced fields (authentic line "
+        "numbering; weaves decoded fields back)",
+    )
+    rt.add_argument(
         "--ghost-delay-us", type=float, default=0.0,
         help="multipath ghost delay, microseconds",
     )
@@ -301,12 +306,26 @@ def main(argv=None) -> int:
     else:
         rgb, cfg = _load_input(args)
     plan = make_plan(cfg, args.width)
-    encode, decode, _ = make_pipeline(
-        plan, args.decoder, args.backend, raster=args.raster
-    )
+    interlaced = getattr(args, "interlaced", False)
+    if interlaced:
+        if args.raster or getattr(args, "burst_locked", False):
+            raise SystemExit(
+                "--interlaced does not combine with --raster/--burst-locked"
+            )
+        from color_modem_tpu.frame.interlace import make_interlaced_pipeline
+
+        encode, decode, _ = make_interlaced_pipeline(
+            plan, args.decoder, args.backend
+        )
+    else:
+        encode, decode, _ = make_pipeline(
+            plan, args.decoder, args.backend, raster=args.raster
+        )
     result = {"standard": args.standard, "decoder": args.decoder,
               "width": args.width, "backend": args.backend,
               "device": jax.default_backend(), "raster": args.raster}
+    if interlaced:
+        result["interlaced"] = True
 
     t0 = time.perf_counter()
     if args.cmd == "encode":
@@ -321,7 +340,9 @@ def main(argv=None) -> int:
         save_rgb(args.output, out)
         result.update(output=args.output, lines=comp.shape[0])
     else:  # roundtrip
-        comp = np.asarray(encode(rgb[None], args.frame))[0]
+        # interlaced encode of one frame yields TWO field blocks, so the
+        # composite is kept batch-shaped throughout this branch
+        comp_b = np.asarray(encode(rgb[None], args.frame))
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,
                    "ghost_delay_us": args.ghost_delay_us,
@@ -331,13 +352,13 @@ def main(argv=None) -> int:
             from color_modem_tpu.frame.channel import impair
 
             key = jax.random.PRNGKey(0) if args.noise > 0.0 else None
-            comp = np.asarray(impair(
-                plan, comp[None], noise_sigma=args.noise,
+            comp_b = np.asarray(impair(
+                plan, comp_b, noise_sigma=args.noise,
                 chroma_gain=args.chroma_gain,
                 chroma_phase_deg=args.chroma_phase,
                 ghost_delay_us=args.ghost_delay_us,
                 ghost_gain=args.ghost_gain, key=key,
-            ))[0]
+            ))
             result["channel"] = channel
         if args.burst_locked:
             from color_modem_tpu.frame.pipeline import frame_line_index
@@ -349,12 +370,12 @@ def main(argv=None) -> int:
             rp = make_raster(plan)
             g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
             out = np.asarray(jax.block_until_ready(decode_burst_locked(
-                plan, rp, comp[None], g, args.decoder, args.backend
+                plan, rp, comp_b, g, args.decoder, args.backend
             )))[0]
             result["burst_locked"] = True
         else:
             out = np.asarray(
-                jax.block_until_ready(decode(comp[None], args.frame))
+                jax.block_until_ready(decode(comp_b, args.frame))
             )[0]
         result["psnr_db"] = round(psnr(out, rgb), 2)
         result["lines"] = int(rgb.shape[1])
@@ -362,7 +383,13 @@ def main(argv=None) -> int:
             save_rgb(args.output, out)
             result["output"] = args.output
         if args.composite:
-            save_composite(args.composite, comp)
+            if interlaced:
+                from color_modem_tpu.frame.interlace import weave_fields
+
+                save_composite(args.composite,
+                               np.asarray(weave_fields(comp_b))[0])
+            else:
+                save_composite(args.composite, comp_b[0])
             result["composite"] = args.composite
     result["seconds"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(result))

@@ -1,0 +1,132 @@
+"""2:1 interlaced-field pipeline (beyond the reference's still-image scope).
+
+The reference processes progressive stills, using ``frame``/``line`` only as
+phase indices (SURVEY.md §2.1 C7 [MEM-M]).  Real 525/60 and 625/50 signals
+are interlaced: each frame is transmitted as two fields — the even image
+rows first, then the odd rows — and every analog line-number-driven effect
+(subcarrier phase progression, PAL V-switch, SECAM Dr/Db alternation, comb
+spacing) follows the TRANSMITTED line order, not the spatial row order.
+
+This layer needs no new modem math, because ``encode_block``/``decode_block``
+take an arbitrary absolute-line-index map (``gline``) per row:
+
+* a frame ``(B, 3, L, N)`` splits into field blocks ``(2B, 3, L/2, N)``,
+  each field a contiguous run of transmitted lines;
+* field ``p`` of frame ``f`` gets ``g = f*total_lines + p*field_offset + r``
+  with ``field_offset = (total_lines+1)//2`` (NTSC 263, PAL/SECAM 313):
+  active lines carry integer line numbers — the famous half line sits in
+  vertical blanking, shifting the field's *vertical position*, not its line
+  numbering.  With NTSC's half-integer cycles/line, any odd field offset
+  lands the second field's carrier in antiphase, reproducing the real
+  4-field (PAL: 8-field) sequence;
+* line combs/delay-line decoders then comb adjacent TRANSMITTED lines
+  (spatially 2 rows apart in the woven frame) — exactly what 1H delay-line
+  hardware does, including its halved-per-field vertical chroma resolution.
+
+The temporal ``comb3d`` decoder is rejected here: in field-sequential order
+adjacent batch entries are half a frame apart, which breaks its frame-spacing
+phase law (same-parity field pairing is future work).  Vertical half-line
+field displacement is not rendered (the frame layer models active lines
+only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from color_modem_tpu.frame.pipeline import (
+    check_decoder,
+    decode_block,
+    encode_block,
+)
+from color_modem_tpu.modem.plan import ModemPlan
+
+
+def field_offset(plan: ModemPlan) -> int:
+    """Absolute-line-number offset of field 2's first active row."""
+    return (plan.cfg.total_lines + 1) // 2
+
+
+def split_fields(frames: jax.Array) -> jax.Array:
+    """(B, ..., L, N) -> (2B, ..., L/2, N), field-sequential (top field
+    first, matching transmission order).  L must be even."""
+    l = frames.shape[-2]
+    if l % 2 != 0:
+        raise ValueError(f"interlacing needs an even line count, got {l}")
+    pair = jnp.stack(
+        [frames[..., 0::2, :], frames[..., 1::2, :]], axis=1
+    )  # (B, 2, ..., L/2, N)
+    return pair.reshape((-1,) + pair.shape[2:])
+
+
+def weave_fields(fields: jax.Array) -> jax.Array:
+    """Inverse of :func:`split_fields`: (2B, ..., L/2, N) -> (B, ..., L, N)."""
+    b2 = fields.shape[0]
+    if b2 % 2 != 0:
+        raise ValueError(f"field-sequential batch must be even, got {b2}")
+    pair = fields.reshape((b2 // 2, 2) + fields.shape[1:])
+    # rows interleave: out[..., 2r+p, :] = pair[:, p, ..., r, :]
+    pair = jnp.moveaxis(pair, 1, -2)  # (B, ..., L/2, 2, N)
+    return pair.reshape(pair.shape[:-3] + (-1, pair.shape[-1]))
+
+
+def field_line_index(plan: ModemPlan, frame0, n_frames: int, n_rows: int):
+    """(2B, L/2) absolute line indices for a field-sequential batch.
+
+    Block ``2f+p`` (field ``p`` of frame ``frame0+f``) row ``r`` maps to
+    ``(frame0+f)*total_lines + p*field_offset + r``.
+    """
+    off = field_offset(plan)
+    f = jnp.arange(n_frames, dtype=jnp.int32)
+    p = jnp.arange(2, dtype=jnp.int32)
+    r = jnp.arange(n_rows, dtype=jnp.int32)
+    g = (
+        (jnp.asarray(frame0, jnp.int32) + f[:, None, None])
+        * plan.cfg.total_lines
+        + p[None, :, None] * off
+        + r[None, None, :]
+    )
+    return g.reshape(2 * n_frames, n_rows)
+
+
+def make_interlaced_pipeline(
+    plan: ModemPlan, decoder: str = "notch", backend: str = "xla"
+):
+    """Jitted interlaced closures: RGB frames <-> field-sequential composite.
+
+    ``encode(rgb (B,3,L,N), frame0) -> (2B, L/2, N)`` composite fields in
+    transmission order; ``decode`` weaves the two decoded fields back into
+    frames; ``roundtrip`` composes both.
+    """
+    check_decoder(plan, decoder)
+    if decoder == "comb3d":
+        raise ValueError(
+            "comb3d combs the frame axis at full-frame spacing; "
+            "field-sequential blocks are half a frame apart (see module doc)"
+        )
+
+    @jax.jit
+    def encode(rgb, frame0=0):
+        fields = split_fields(rgb)
+        g = field_line_index(plan, frame0, rgb.shape[0], fields.shape[-2])
+        return encode_block(plan, fields, g, backend)
+
+    @jax.jit
+    def decode(comp_fields, frame0=0):
+        b2, rows = comp_fields.shape[0], comp_fields.shape[-2]
+        g = field_line_index(plan, frame0, b2 // 2, rows)
+        out = decode_block(plan, comp_fields, g, decoder, backend)
+        return weave_fields(out)
+
+    @jax.jit
+    def roundtrip(rgb, frame0=0):
+        fields = split_fields(rgb)
+        g = field_line_index(plan, frame0, rgb.shape[0], fields.shape[-2])
+        comp = encode_block(plan, fields, g, backend)
+        out = decode_block(plan, comp, g, decoder, backend)
+        return weave_fields(out)
+
+    return encode, decode, roundtrip
