@@ -31,6 +31,7 @@ from color_modem_tpu.standards import (  # noqa: F401
     NTSC,
     NTSC443,
     PAL,
+    PAL60,
     PAL_M,
     PAL_N,
     SECAM,

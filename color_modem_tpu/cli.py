@@ -19,7 +19,8 @@ import sys
 import time
 
 
-STANDARD_NAMES = ["ntsc", "pal", "secam", "niir", "ntsc443", "pal_m", "pal_n"]
+STANDARD_NAMES = ["ntsc", "pal", "secam", "niir", "ntsc443", "pal_m",
+                  "pal_n", "pal60"]
 
 
 def _add_common(p):

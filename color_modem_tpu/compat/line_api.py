@@ -150,8 +150,9 @@ def make_line_modem(standard: str, samples: int = 720):
     """Per-line modem for any registered standard, variants included.
 
     ``make_line_modem('pal_m')`` etc. — the named classes below cover the
-    four core standards; variants (ntsc443, pal_m, pal_n) share their
-    machinery and differ only in config.  SECAM routes to its FM modem.
+    four core standards; variants (ntsc443, pal_m, pal_n, pal60) share
+    their machinery and differ only in config.  SECAM routes to its FM
+    modem.
     """
     from color_modem_tpu.standards import ALL_STANDARDS
 

@@ -228,6 +228,33 @@ def PAL_M() -> StandardConfig:
     )
 
 
+def PAL60() -> StandardConfig:
+    """PAL-60 ("pseudo-PAL"): NTSC 525/29.97 scan with full PAL chroma
+    (YUV + V-switch) at the PAL-B/G subcarrier — the playback format of
+    PAL VCRs / consoles outputting through NTSC-rate raster, and NTSC
+    material dubbed for PAL displays.
+
+    Shares NTSC-4.43's subcarrier geometry: cpl = 4433618.75/(4.5e6/286),
+    stored as the int32-safe continued-fraction approximant 7476498/26533
+    (see :func:`NTSC443` — error 1.05e-10 cycles/line).  The phase law
+    never flips ~180 deg at 1-2 line spacing, so the decoder registry
+    offers the baseband paths (notch / delayline / avg), not carrier combs
+    — matching real PAL-60 receivers, which use the delay-line decoder.
+    """
+    base = PAL()
+    fh = 4.5e6 / 286.0
+    return dataclasses.replace(
+        base,
+        name="pal60",
+        fh=fh,
+        total_lines=525,
+        active_lines=480,
+        cpl_num=7476498,
+        cpl_den=26533,
+        chroma=dataclasses.replace(base.chroma, fsc=4433618.75),
+    )
+
+
 def PAL_N() -> StandardConfig:
     """PAL-N (Argentina/Paraguay/Uruguay): 625/25 scan, fsc = 3.58205625 MHz
     (cpl = 573129/2500, the same +25 Hz-style offset trick as PAL-B/G)."""
@@ -251,6 +278,7 @@ ALL_STANDARDS = {
     "ntsc443": NTSC443,
     "pal_m": PAL_M,
     "pal_n": PAL_N,
+    "pal60": PAL60,
 }
 
 __all__ = [
@@ -261,6 +289,7 @@ __all__ = [
     "NTSC443",
     "PAL_M",
     "PAL_N",
+    "PAL60",
     "ALL_STANDARDS",
     "StandardConfig",
     "QamParams",

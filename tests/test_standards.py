@@ -128,7 +128,7 @@ def test_variant_decoders_gated_by_phase_law():
     assert "comb2" in allowed_decoders(PAL_N())
 
 
-@pytest.mark.parametrize("name", ["ntsc443", "pal_m", "pal_n"])
+@pytest.mark.parametrize("name", ["ntsc443", "pal_m", "pal_n", "pal60"])
 def test_variant_roundtrip_and_golden_parity(name):
     import jax.numpy as jnp
 
