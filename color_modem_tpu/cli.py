@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="multipath ghost amplitude (0 = off; negative = inverted echo)",
     )
     rt.add_argument(
+        "--equalize", action="store_true",
+        help="GCR ghost cancellation: send a reference line through the "
+        "same channel, estimate it, and equalize before decoding",
+    )
+    rt.add_argument(
         "--burst-locked", action="store_true",
         help="decode with the burst-measured subcarrier phase (needs "
         "--raster; cancels --chroma-phase like a real receiver)",
@@ -361,6 +366,29 @@ def main(argv=None) -> int:
                 ghost_gain=args.ghost_gain, key=key,
             ))
             result["channel"] = channel
+        if args.equalize:
+            import jax.numpy as jnp
+
+            from color_modem_tpu.frame.equalize import (
+                apply_equalizer,
+                design_equalizer,
+                gcr_line,
+            )
+
+            rx = impair(
+                plan, jnp.asarray(gcr_line(plan))[None, None, :],
+                noise_sigma=args.noise, chroma_gain=args.chroma_gain,
+                chroma_phase_deg=args.chroma_phase,
+                ghost_delay_us=args.ghost_delay_us,
+                ghost_gain=args.ghost_gain,
+                # the GCR line sees its own noise realization
+                key=jax.random.PRNGKey(1) if args.noise > 0.0 else None,
+            )[0, 0]
+            taps = design_equalizer(plan, rx)
+            comp_b = np.asarray(
+                apply_equalizer(jnp.asarray(comp_b), taps)
+            )
+            result["equalized"] = True
         if args.burst_locked:
             from color_modem_tpu.frame.pipeline import frame_line_index
             from color_modem_tpu.frame.raster import (
