@@ -64,3 +64,14 @@ def make_interlaced_pipeline(standard: str, samples: int = 720,
 
     plan = make_plan(ALL_STANDARDS[standard](), samples)
     return _mk(plan, decoder, backend)
+
+
+def make_svideo_pipeline(standard: str, samples: int = 720,
+                         backend: str = "xla"):
+    """Like :func:`make_pipeline` over separate Y/C planes (frame.svideo):
+    no shared wire, hence no separation stage and no cross-color."""
+    from color_modem_tpu.frame.svideo import make_svideo_pipeline as _mk
+    from color_modem_tpu.modem.plan import make_plan
+
+    plan = make_plan(ALL_STANDARDS[standard](), samples)
+    return _mk(plan, backend)

@@ -1,0 +1,68 @@
+"""S-Video (separate Y/C) path (frame/svideo.py).
+
+Pins the exact Y+C == composite identity, the untouched luma plane, and the
+headline property: removing the shared wire removes the separation-stage
+artifacts, so S-Video round trips beat every composite decoder.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from conftest import TEST_SAMPLES, get_plan
+from color_modem_tpu.frame.pipeline import make_pipeline
+from color_modem_tpu.frame.svideo import make_svideo_pipeline
+from color_modem_tpu.standards.decoders import allowed_decoders
+from color_modem_tpu.utils.metrics import psnr
+from color_modem_tpu.utils.testimages import smooth_scene
+
+L, N = 48, TEST_SAMPLES
+
+
+@pytest.fixture(scope="module")
+def img():
+    return smooth_scene(L, N, seed=21).astype(np.float32)[None]
+
+
+@pytest.mark.parametrize("name", ["ntsc", "pal", "secam", "niir"])
+def test_y_plus_c_is_the_composite_exactly(name, img):
+    plan = get_plan(name)
+    enc_c, _, _ = make_pipeline(plan, allowed_decoders(plan.cfg)[0])
+    enc_yc, _, _ = make_svideo_pipeline(plan)
+    rgb = jnp.asarray(img)
+    yc = np.asarray(enc_yc(rgb, 0))
+    comp = np.asarray(enc_c(rgb, 0))
+    # bit-exact for ntsc/pal/secam; NIIR's reference-line where-branch can
+    # fuse with different rounding (measured 1.5e-8)
+    np.testing.assert_allclose(yc[:, 0] + yc[:, 1], comp, atol=1e-7)
+
+
+def test_luma_plane_is_unfiltered_matrix_luma(img):
+    plan = get_plan("ntsc")
+    enc_yc, _, _ = make_svideo_pipeline(plan)
+    y = np.asarray(enc_yc(jnp.asarray(img), 0))[0, 0]
+    expect = (0.299 * img[0, 0] + 0.587 * img[0, 1] + 0.114 * img[0, 2])
+    np.testing.assert_allclose(y, expect, atol=2e-6)
+
+
+@pytest.mark.parametrize("name", ["ntsc", "pal", "secam", "niir"])
+def test_svideo_beats_every_composite_decoder(name, img):
+    plan = get_plan(name)
+    rgb = jnp.asarray(img)
+    _, _, rt_s = make_svideo_pipeline(plan)
+    p_s = psnr(np.asarray(rt_s(rgb, 0)), img)
+    for dec in allowed_decoders(plan.cfg):
+        if dec == "comb3d":
+            continue  # temporal: needs a frame batch, different fixture
+        _, _, rt_c = make_pipeline(plan, dec)
+        p_c = psnr(np.asarray(rt_c(rgb, 0)), img)
+        assert p_s > p_c + 2.0, (name, dec, p_s, p_c)
+
+
+def test_encode_decode_compose_to_roundtrip(img):
+    plan = get_plan("pal")
+    enc, dec, rt = make_svideo_pipeline(plan)
+    rgb = jnp.asarray(img)
+    np.testing.assert_allclose(
+        np.asarray(dec(enc(rgb, 2), 2)), np.asarray(rt(rgb, 2)), atol=1e-6
+    )
