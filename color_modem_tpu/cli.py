@@ -125,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="multipath ghost delay, microseconds")
     vid.add_argument("--ghost-gain", type=float, default=0.0,
                      help="multipath ghost amplitude (0 = off)")
+    vid.add_argument("--equalize", action="store_true",
+                     help="per-chunk GCR ghost cancellation before decode")
+    vid.add_argument("--interlaced", action="store_true",
+                     help="transmit frames as 2:1 interlaced fields "
+                     "(single-device; not comb3d)")
 
     gal = sub.add_parser(
         "gallery",
@@ -283,12 +288,15 @@ def main(argv=None) -> int:
         make_src = synthetic_source if args.host_source else synthetic_device_source
         channel = None
         if (args.noise > 0.0 or args.chroma_gain != 1.0
-                or args.chroma_phase != 0.0 or args.ghost_gain != 0.0):
+                or args.chroma_phase != 0.0 or args.ghost_gain != 0.0
+                or args.equalize):
             channel = {"noise_sigma": args.noise,
                        "chroma_gain": args.chroma_gain,
                        "chroma_phase_deg": args.chroma_phase,
                        "ghost_delay_us": args.ghost_delay_us,
                        "ghost_gain": args.ghost_gain}
+            if args.equalize:
+                channel["equalize"] = True
         summary = process_video(
             plan,
             make_src(lines, args.width),
@@ -301,6 +309,7 @@ def main(argv=None) -> int:
             resume=not args.no_resume,
             lines=lines,
             channel=channel,
+            interlaced=args.interlaced,
         )
         print(json.dumps(summary))
         return 0

@@ -90,6 +90,7 @@ def process_video(
     resume: bool = True,
     lines: int | None = None,
     channel: dict | None = None,
+    interlaced: bool = False,
 ) -> dict:
     """Round-trip ``n_frames`` frames in chunks; returns the run summary.
 
@@ -98,9 +99,17 @@ def process_video(
     omitted it is probed from the source's first frame.
 
     ``channel``: optional impairment kwargs for :func:`frame.channel.impair`
-    (noise_sigma / chroma_gain / chroma_phase_deg) applied between encode
-    and decode of every chunk; noise keys derive from the absolute chunk
-    start so resumed runs reproduce the same channel.
+    (noise_sigma / chroma_gain / chroma_phase_deg / ghost_delay_us /
+    ghost_gain) applied between encode and decode of every chunk; noise keys
+    derive from the absolute chunk start so resumed runs reproduce the same
+    channel.  An extra ``"equalize": True`` key enables per-chunk GCR ghost
+    cancellation (frame.equalize): a reference line rides the same channel
+    and the estimated inverse FIR is applied before decoding — all inside
+    the jitted chunk step, so no extra host round trips.
+
+    ``interlaced``: transmit each frame as two 2:1 fields
+    (frame.interlace); single-device only (the sharded pipeline shards
+    progressive frame/line axes) and incompatible with comb3d.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = ChunkManifest(out_dir) if resume else None
@@ -114,12 +123,24 @@ def process_video(
         "chunk": chunk,
         "backend": backend,
         "channel": channel,
+        "interlaced": interlaced,
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
     if manifest:
         manifest.check_config(config)
 
-    if mesh is not None:
+    if interlaced:
+        if mesh is not None:
+            raise NotImplementedError(
+                "interlaced video is single-device (the sharded pipeline "
+                "shards progressive frame/line axes)"
+            )
+        from color_modem_tpu.frame.interlace import make_interlaced_pipeline
+
+        enc_f, dec_f, roundtrip = make_interlaced_pipeline(
+            plan, decoder, backend
+        )
+    elif mesh is not None:
         from color_modem_tpu.parallel.sharded import make_sharded_pipeline
 
         enc_f, dec_f, roundtrip = make_sharded_pipeline(
@@ -130,7 +151,17 @@ def process_video(
     if channel:
         from color_modem_tpu.frame.channel import impair
 
+        channel = dict(channel)
+        equalize = bool(channel.pop("equalize", False))
         noisy = float(channel.get("noise_sigma", 0.0)) > 0.0
+        if equalize:
+            from color_modem_tpu.frame.equalize import (
+                apply_equalizer,
+                design_equalizer,
+                gcr_line,
+            )
+
+            gcr = jnp.asarray(gcr_line(plan))[None, None, :]
 
         def roundtrip(rgb, frame0):  # noqa: F811 — impaired variant
             comp = enc_f(rgb, frame0)
@@ -138,7 +169,16 @@ def process_video(
                 jax.random.PRNGKey(jnp.asarray(frame0, jnp.int32))
                 if noisy else None
             )
-            return dec_f(impair(plan, comp, key=key, **channel), frame0)
+            comp = impair(plan, comp, key=key, **channel)
+            if equalize:
+                rx = impair(
+                    plan, gcr,
+                    # the reference line sees its own noise realization
+                    key=jax.random.fold_in(key, 1) if noisy else None,
+                    **channel,
+                )[0, 0]
+                comp = apply_equalizer(comp, design_equalizer(plan, rx))
+            return dec_f(comp, frame0)
 
     from color_modem_tpu.utils.metrics import fingerprint_hex, fingerprint_jnp
 

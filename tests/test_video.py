@@ -57,6 +57,33 @@ def test_video_sharded(tmp_path):
     assert s["min_psnr_db"] > 33
 
 
+def test_video_interlaced(tmp_path):
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    s = process_video(
+        plan, src, 4, str(tmp_path / "int"),
+        decoder="comb3", chunk=2, interlaced=True,
+    )
+    assert s["frames_processed_this_run"] == 4
+    assert s["interlaced"] is True
+    assert s["min_psnr_db"] > 33
+    with pytest.raises(NotImplementedError, match="single-device"):
+        process_video(plan, src, 2, str(tmp_path / "int2"),
+                      interlaced=True, mesh=make_mesh(2, 4))
+
+
+def test_video_ghost_equalize(tmp_path):
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    ghost = {"ghost_delay_us": 1.2, "ghost_gain": 0.3}
+    bad = process_video(plan, src, 2, str(tmp_path / "g"),
+                        decoder="comb3", chunk=2, channel=dict(ghost))
+    good = process_video(plan, src, 2, str(tmp_path / "ge"),
+                         decoder="comb3", chunk=2,
+                         channel={**ghost, "equalize": True})
+    assert good["min_psnr_db"] - bad["min_psnr_db"] > 3.0, (bad, good)
+
+
 def test_chunk_fingerprints_are_deterministic(tmp_path):
     plan = get_plan("ntsc")
     src = synthetic_source(L, TEST_SAMPLES)
