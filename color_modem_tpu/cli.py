@@ -129,7 +129,7 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-chunk GCR ghost cancellation before decode")
     vid.add_argument("--interlaced", action="store_true",
                      help="transmit frames as 2:1 interlaced fields "
-                     "(single-device; not comb3d)")
+                     "(single-device)")
 
     gal = sub.add_parser(
         "gallery",
@@ -355,25 +355,25 @@ def main(argv=None) -> int:
         save_rgb(args.output, out)
         result.update(output=args.output, lines=comp.shape[0])
     else:  # roundtrip
+        from color_modem_tpu.frame.channel import impair
+
         # interlaced encode of one frame yields TWO field blocks, so the
-        # composite is kept batch-shaped throughout this branch
-        comp_b = np.asarray(encode(rgb[None], args.frame))
+        # composite is kept batch-shaped — and device-resident (transfers
+        # through the tunnel are the bottleneck, CLAUDE.md) — throughout
+        comp_b = encode(rgb[None], args.frame)
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,
                    "ghost_delay_us": args.ghost_delay_us,
                    "ghost_gain": args.ghost_gain}
+        impair_kw = dict(
+            noise_sigma=args.noise, chroma_gain=args.chroma_gain,
+            chroma_phase_deg=args.chroma_phase,
+            ghost_delay_us=args.ghost_delay_us, ghost_gain=args.ghost_gain,
+        )
         if any([args.noise > 0.0, args.chroma_gain != 1.0,
                 args.chroma_phase != 0.0, args.ghost_gain != 0.0]):
-            from color_modem_tpu.frame.channel import impair
-
             key = jax.random.PRNGKey(0) if args.noise > 0.0 else None
-            comp_b = np.asarray(impair(
-                plan, comp_b, noise_sigma=args.noise,
-                chroma_gain=args.chroma_gain,
-                chroma_phase_deg=args.chroma_phase,
-                ghost_delay_us=args.ghost_delay_us,
-                ghost_gain=args.ghost_gain, key=key,
-            ))
+            comp_b = impair(plan, comp_b, key=key, **impair_kw)
             result["channel"] = channel
         if args.equalize:
             import jax.numpy as jnp
@@ -381,22 +381,21 @@ def main(argv=None) -> int:
             from color_modem_tpu.frame.equalize import (
                 apply_equalizer,
                 design_equalizer,
-                gcr_line,
+                gcr_record,
+                ntaps_for_delay,
             )
 
             rx = impair(
-                plan, jnp.asarray(gcr_line(plan))[None, None, :],
-                noise_sigma=args.noise, chroma_gain=args.chroma_gain,
-                chroma_phase_deg=args.chroma_phase,
-                ghost_delay_us=args.ghost_delay_us,
-                ghost_gain=args.ghost_gain,
-                # the GCR line sees its own noise realization
+                plan, jnp.asarray(gcr_record(plan))[None],
+                # the GCR record sees its own noise realization
                 key=jax.random.PRNGKey(1) if args.noise > 0.0 else None,
-            )[0, 0]
-            taps = design_equalizer(plan, rx)
-            comp_b = np.asarray(
-                apply_equalizer(jnp.asarray(comp_b), taps)
+                **impair_kw,
+            )[0]
+            # reach the requested ghost's echoes, not just the default 64
+            taps = design_equalizer(
+                plan, rx, ntaps=ntaps_for_delay(plan, args.ghost_delay_us)
             )
+            comp_b = apply_equalizer(comp_b, taps)
             result["equalized"] = True
         if args.burst_locked:
             from color_modem_tpu.frame.pipeline import frame_line_index
@@ -427,7 +426,7 @@ def main(argv=None) -> int:
                 save_composite(args.composite,
                                np.asarray(weave_fields(comp_b))[0])
             else:
-                save_composite(args.composite, comp_b[0])
+                save_composite(args.composite, np.asarray(comp_b)[0])
             result["composite"] = args.composite
     result["seconds"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(result))

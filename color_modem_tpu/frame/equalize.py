@@ -13,9 +13,18 @@ grid, computed ON DEVICE (rfft/irfft run on the axon TPU backend, verified
 2026-08-16) so a video pipeline can re-estimate per chunk without host round
 trips, and the equalizer applies via the FIR conv path (traced taps).
 
-    gcr  = gcr_line(plan)                       # what was transmitted
-    taps = design_equalizer(plan, rx_gcr)       # rx_gcr: same line, received
+    gcr  = gcr_record(plan)                     # what was transmitted (3, N)
+    taps = design_equalizer(plan, rx_gcr)       # rx_gcr: same, received
     out  = decode(apply_equalizer(comp, taps))
+
+Two estimation modes by record shape: a single ``(N,)`` line is estimated
+with zero-padded (linear) FFTs — fine for short ghosts, but the line's
+first ``d`` samples lack a predecessor, biasing the estimate once the
+delay is a noticeable fraction of the line.  A ``(k>=2, N)`` record of
+IDENTICAL lines (``gcr_record``) is the cyclic-prefix trick: the first
+line settles the channel, so the remaining period is an exact circular
+convolution and the estimate is unbiased for delays up to a full line
+(BT.1124 ghosts reach +45 us ~ 600 samples at 13.5 MHz).
 """
 
 from __future__ import annotations
@@ -49,13 +58,58 @@ def gcr_line(plan: ModemPlan, samples: int | None = None) -> np.ndarray:
     return (0.5 + 0.45 * w * np.sin(phase)).astype(np.float32)
 
 
+def gcr_record(plan: ModemPlan, lines: int = 3) -> np.ndarray:
+    """(lines, N) cyclic-prefix GCR record: one prefix line + a chirp
+    spanning the remaining ``(lines-1)·N``-sample analysis period.
+
+    The prefix equals the period's LAST line, so after it the channel is
+    settled (for delays up to one line) and the received period is an exact
+    CIRCULAR convolution — :func:`design_equalizer` estimates it without
+    edge bias.  The chirp must span the whole period in one sweep: a
+    period built from repeated identical lines only has energy in every
+    k-th bin, and the estimator's identity prior would fill the silent
+    bins, halving the estimated echoes (measured).
+    """
+    if lines < 2:
+        raise ValueError("a cyclic record needs a prefix + >= 1 line")
+    n = plan.n_samples
+    x = gcr_line(plan, (lines - 1) * n)
+    return np.concatenate([x[-n:], x]).reshape(lines, n)
+
+
+def ntaps_for_delay(plan: ModemPlan, ghost_delay_us: float,
+                    echoes: int = 3, base: int = 129) -> int:
+    """Equalizer length whose half-span reaches ``echoes`` correction taps
+    of a ghost at ``ghost_delay_us`` (the inverse of ``1 + g z^-d`` has
+    geometrically decaying echoes at d, 2d, 3d, ...), with margin so the
+    edge taper's flat region (60% of the half-span at the tukey alpha
+    used) still covers the last one.  The default 129 taps
+    reach only ~64 samples (~4.6 us at 13.5 MHz); longer ghosts need this.
+    The half-span is capped just under one line: that is the cyclic
+    record's alias-free reach (and far beyond BT.1124's +45 us).
+    """
+    d = int(np.ceil(ghost_delay_us * 1e-6 * plan.fs))
+    half = max((base - 1) // 2, int(np.ceil(echoes * max(d, 1) / 0.6)))
+    half = min(half, plan.n_samples - 1)
+    return 2 * half + 1
+
+
 def design_equalizer(
     plan: ModemPlan,
     received: jax.Array,
     ntaps: int = 129,
     reg: float = 1e-3,
 ) -> jax.Array:
-    """(N,) received GCR line -> (ntaps,) inverse-channel FIR (on device).
+    """Received GCR -> (ntaps,) inverse-channel FIR (on device).
+
+    ``received``: ``(N,)`` single line (zero-padded linear estimate — edge
+    transient biases it once the delay is a noticeable fraction of the
+    line) or ``(k>=2, N)`` from :func:`gcr_record` (cyclic estimate over
+    the settled last two lines — unbiased for delays up to one line).
+
+    The correction's reach is ``(ntaps-1)//2`` samples of delay: echoes
+    beyond the half-span are silently uncorrectable — size with
+    :func:`ntaps_for_delay` when the expected ghost delay is known.
 
     Frequency-domain ridge regression with an identity prior: the raw
     estimate ``H_hat = R S* / (|S|^2 + reg·ps)`` is reliable only where the
@@ -71,10 +125,27 @@ def design_equalizer(
     """
     if ntaps % 2 != 1:
         raise ValueError(f"ntaps must be odd, got {ntaps}")
-    s = jnp.asarray(gcr_line(plan, received.shape[-1]), jnp.float32)
-    r = received.astype(jnp.float32)
-    n = s.shape[-1]
-    nfft = int(2 ** np.ceil(np.log2(n + ntaps)))
+    if received.ndim == 2:
+        if received.shape[0] < 2:
+            raise ValueError(
+                "a cyclic GCR record needs >= 2 lines (gcr_record)"
+            )
+        # drop the prefix line: the rest saw the settled channel, so it is
+        # the reference period circularly convolved with the channel
+        r = received[1:].reshape(-1).astype(jnp.float32)
+        s = jnp.asarray(
+            gcr_line(plan, (received.shape[0] - 1) * received.shape[-1]),
+            jnp.float32,
+        )
+        nfft = s.shape[-1]  # exact circular convolution — no padding
+    else:
+        r = received.astype(jnp.float32)
+        s = jnp.asarray(gcr_line(plan, received.shape[-1]), jnp.float32)
+        nfft = int(2 ** np.ceil(np.log2(s.shape[-1] + ntaps)))
+    if ntaps > nfft - 1:
+        raise ValueError(
+            f"ntaps {ntaps} exceeds the record's {nfft}-sample period"
+        )
     S = jnp.fft.rfft(s, n=nfft)
     R = jnp.fft.rfft(r, n=nfft)
     ps = jnp.mean(jnp.abs(S) ** 2)

@@ -23,16 +23,17 @@ take an arbitrary absolute-line-index map (``gline``) per row:
   (spatially 2 rows apart in the woven frame) — exactly what 1H delay-line
   hardware does, including its halved-per-field vertical chroma resolution.
 
-The temporal ``comb3d`` decoder is rejected here: in field-sequential order
-adjacent batch entries are half a frame apart, which breaks its frame-spacing
-phase law (same-parity field pairing is future work).  Vertical half-line
-field displacement is not rendered (the frame layer models active lines
-only).
+The temporal ``comb3d`` decoder combs SAME-PARITY fields: adjacent
+field-sequential batch entries are half a frame apart (wrong phase law), but
+regrouping the batch parity-major — ``(2, B, L/2, N)``, parity leading —
+puts each field's true temporal neighbor (same parity, ``pt`` frames away,
+carrier in antiphase) at the frame stencil's axis -3, and the stencil's
+generic leading dims keep the two parity groups independent.  Vertical
+half-line field displacement is not rendered (the frame layer models active
+lines only).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -99,14 +100,26 @@ def make_interlaced_pipeline(
 
     ``encode(rgb (B,3,L,N), frame0) -> (2B, L/2, N)`` composite fields in
     transmission order; ``decode`` weaves the two decoded fields back into
-    frames; ``roundtrip`` composes both.
+    frames; ``roundtrip`` composes both.  ``comb3d`` decodes parity-major
+    (same-parity temporal combing, module doc) and needs a frame batch of
+    at least ``2 * temporal_comb_spacing`` frames.
     """
     check_decoder(plan, decoder)
-    if decoder == "comb3d":
-        raise ValueError(
-            "comb3d combs the frame axis at full-frame spacing; "
-            "field-sequential blocks are half a frame apart (see module doc)"
-        )
+    temporal = decoder == "comb3d"
+
+    def _decode_fields(comp_fields, frame0):
+        b2, rows = comp_fields.shape[0], comp_fields.shape[-2]
+        n = comp_fields.shape[-1]
+        g = field_line_index(plan, frame0, b2 // 2, rows)
+        if temporal:
+            # parity-major regroup: axis -3 becomes "same-parity frames"
+            cp = comp_fields.reshape(b2 // 2, 2, rows, n).transpose(1, 0, 2, 3)
+            gp = g.reshape(b2 // 2, 2, rows).transpose(1, 0, 2)
+            out = decode_block(plan, cp, gp, decoder, backend)
+            out = out.transpose(1, 0, 2, 3, 4).reshape(b2, 3, rows, n)
+        else:
+            out = decode_block(plan, comp_fields, g, decoder, backend)
+        return weave_fields(out)
 
     @jax.jit
     def encode(rgb, frame0=0):
@@ -116,17 +129,10 @@ def make_interlaced_pipeline(
 
     @jax.jit
     def decode(comp_fields, frame0=0):
-        b2, rows = comp_fields.shape[0], comp_fields.shape[-2]
-        g = field_line_index(plan, frame0, b2 // 2, rows)
-        out = decode_block(plan, comp_fields, g, decoder, backend)
-        return weave_fields(out)
+        return _decode_fields(comp_fields, frame0)
 
     @jax.jit
     def roundtrip(rgb, frame0=0):
-        fields = split_fields(rgb)
-        g = field_line_index(plan, frame0, rgb.shape[0], fields.shape[-2])
-        comp = encode_block(plan, fields, g, backend)
-        out = decode_block(plan, comp, g, decoder, backend)
-        return weave_fields(out)
+        return _decode_fields(encode(rgb, frame0), frame0)
 
     return encode, decode, roundtrip

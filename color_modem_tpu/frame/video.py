@@ -109,7 +109,7 @@ def process_video(
 
     ``interlaced``: transmit each frame as two 2:1 fields
     (frame.interlace); single-device only (the sharded pipeline shards
-    progressive frame/line axes) and incompatible with comb3d.
+    progressive frame/line axes).  comb3d combs same-parity fields.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = ChunkManifest(out_dir) if resume else None
@@ -158,10 +158,14 @@ def process_video(
             from color_modem_tpu.frame.equalize import (
                 apply_equalizer,
                 design_equalizer,
-                gcr_line,
+                gcr_record,
+                ntaps_for_delay,
             )
 
-            gcr = jnp.asarray(gcr_line(plan))[None, None, :]
+            gcr = jnp.asarray(gcr_record(plan))[None]
+            eq_ntaps = ntaps_for_delay(
+                plan, float(channel.get("ghost_delay_us", 0.0))
+            )
 
         def roundtrip(rgb, frame0):  # noqa: F811 — impaired variant
             comp = enc_f(rgb, frame0)
@@ -173,11 +177,13 @@ def process_video(
             if equalize:
                 rx = impair(
                     plan, gcr,
-                    # the reference line sees its own noise realization
+                    # the reference record sees its own noise realization
                     key=jax.random.fold_in(key, 1) if noisy else None,
                     **channel,
-                )[0, 0]
-                comp = apply_equalizer(comp, design_equalizer(plan, rx))
+                )[0]
+                comp = apply_equalizer(
+                    comp, design_equalizer(plan, rx, ntaps=eq_ntaps)
+                )
             return dec_f(comp, frame0)
 
     from color_modem_tpu.utils.metrics import fingerprint_hex, fingerprint_jnp

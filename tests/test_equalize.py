@@ -6,6 +6,8 @@ gain — well enough to recover most of the lost round-trip PSNR, and (c)
 invert a known impulse response directly.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -96,3 +98,42 @@ def test_even_ntaps_rejected():
     plan = get_plan("ntsc")
     with pytest.raises(ValueError, match="odd"):
         design_equalizer(plan, jnp.asarray(gcr_line(plan)), ntaps=64)
+
+
+def test_long_delay_ghost_needs_record_and_longer_taps(img):
+    """A 10 us ghost (~135 samples): the default 129-tap window cannot
+    reach it, and a single-line estimate is edge-biased — the cyclic
+    gcr_record + ntaps_for_delay pair cancels it."""
+    from color_modem_tpu.frame.equalize import gcr_record, ntaps_for_delay
+
+    plan = get_plan("ntsc")
+    enc, dec, _ = make_pipeline(plan, "comb3")
+    rgb = jnp.asarray(img)
+    comp = enc(rgb)
+    clean = psnr(np.asarray(dec(comp)), img)
+    imp = {"ghost_delay_us": 10.0, "ghost_gain": 0.25}
+    bad_comp = impair(plan, comp, **imp)
+    rec = impair(plan, jnp.asarray(gcr_record(plan))[None], **imp)[0]
+    short = psnr(np.asarray(dec(apply_equalizer(
+        bad_comp, design_equalizer(plan, rec)))), img)
+    n = ntaps_for_delay(plan, imp["ghost_delay_us"])
+    assert n % 2 == 1 and (n - 1) // 2 >= 3 * 135
+    fixed = psnr(np.asarray(dec(apply_equalizer(
+        bad_comp, design_equalizer(plan, rec, ntaps=n)))), img)
+    # measured 18.1 -> 41.4 dB (clean 43.8); the residual is the block's
+    # leading transient — the stream's first d samples never saw the
+    # ghost's predecessor, so no equalizer can correct them
+    assert clean - fixed < 3.0, (clean, short, fixed)
+    assert fixed - short > 15.0, (short, fixed)
+
+
+def test_cli_equalize_on_clean_channel(tmp_path):
+    """Regression: --equalize without any impairment flag must not crash
+    (impair was once imported only inside the impairments branch)."""
+    from color_modem_tpu.cli import main
+
+    out = str(tmp_path / "o.png")
+    assert main(["roundtrip", "--standard", "ntsc", "--decoder", "notch",
+                 "--demo", "--lines", "32", "--equalize",
+                 "--output", out]) == 0
+    assert os.path.exists(out)

@@ -91,9 +91,19 @@ def test_interlaced_roundtrip_matches_progressive(name, decoder, img):
     )
 
 
-def test_comb3d_rejected():
-    with pytest.raises(ValueError, match="comb3d"):
-        make_interlaced_pipeline(get_plan("ntsc"), "comb3d")
+def test_interlaced_comb3d_combs_same_parity_fields(img):
+    """Temporal comb on interlaced video: same-parity fields one frame
+    apart are in carrier antiphase, so on static content the parity-major
+    comb3d beats the spatial comb3 — the same +dB relationship as
+    progressive (tests/test_comb3d.py)."""
+    plan = get_plan("ntsc")
+    rgb = jnp.asarray(np.broadcast_to(img[0], (4,) + img.shape[1:]))
+    _, _, rt_s = make_interlaced_pipeline(plan, "comb3")
+    _, _, rt_t = make_interlaced_pipeline(plan, "comb3d")
+    p_s = psnr(np.asarray(rt_s(rgb, 0)), np.asarray(rgb))
+    p_t = psnr(np.asarray(rt_t(rgb, 0)), np.asarray(rgb))
+    assert p_t > p_s + 3.0, (p_s, p_t)
+    assert p_t > 40.0, p_t
 
 
 def test_field_blocks_are_contiguous_line_runs(img):

@@ -70,6 +70,19 @@ def test_video_interlaced(tmp_path):
     with pytest.raises(NotImplementedError, match="single-device"):
         process_video(plan, src, 2, str(tmp_path / "int2"),
                       interlaced=True, mesh=make_mesh(2, 4))
+    # temporal comb over same-parity fields, incl. chunk overlap plumbing;
+    # static source — the default synthetic source decorrelates frames,
+    # which is exactly what a temporal comb cannot exploit
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    one = smooth_scene(L, TEST_SAMPLES, seed=0).astype(np.float32)
+    static = lambda start, count: np.broadcast_to(  # noqa: E731
+        one, (count,) + one.shape
+    )
+    s3d = process_video(plan, static, 4, str(tmp_path / "int3d"),
+                        decoder="comb3d", chunk=2, interlaced=True)
+    assert s3d["frames_processed_this_run"] == 4
+    assert s3d["min_psnr_db"] > 40
 
 
 def test_video_ghost_equalize(tmp_path):
