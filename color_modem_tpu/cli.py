@@ -264,6 +264,14 @@ def main(argv=None) -> int:
                         os.path.join(args.out, f"{tag}_phase.png"), out_b
                     )
                     report[f"{tag}_phase"] = round(psnr(out_b, rgb), 2)
+            # the S-Video row: same standard without the shared wire —
+            # the separation artifacts in the rows above vanish
+            from color_modem_tpu.frame.svideo import make_svideo_pipeline
+
+            _, _, rt_s = make_svideo_pipeline(plan, args.backend)
+            out_s = np.asarray(rt_s(rgb[None], 0))[0]
+            save_rgb(os.path.join(args.out, f"{name}_svideo.png"), out_s)
+            report[f"{name}_svideo"] = round(psnr(out_s, rgb), 2)
         print(json.dumps({"out": args.out, "psnr_db": report}))
         return 0
 
@@ -323,14 +331,14 @@ def main(argv=None) -> int:
     plan = make_plan(cfg, args.width)
     interlaced = getattr(args, "interlaced", False)
     if interlaced:
-        if args.raster or getattr(args, "burst_locked", False):
+        if getattr(args, "burst_locked", False):
             raise SystemExit(
-                "--interlaced does not combine with --raster/--burst-locked"
+                "--interlaced does not combine with --burst-locked"
             )
         from color_modem_tpu.frame.interlace import make_interlaced_pipeline
 
         encode, decode, _ = make_interlaced_pipeline(
-            plan, args.decoder, args.backend
+            plan, args.decoder, args.backend, raster=args.raster
         )
     else:
         encode, decode, _ = make_pipeline(

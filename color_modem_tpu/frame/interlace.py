@@ -94,7 +94,8 @@ def field_line_index(plan: ModemPlan, frame0, n_frames: int, n_rows: int):
 
 
 def make_interlaced_pipeline(
-    plan: ModemPlan, decoder: str = "notch", backend: str = "xla"
+    plan: ModemPlan, decoder: str = "notch", backend: str = "xla",
+    raster: bool = False,
 ):
     """Jitted interlaced closures: RGB frames <-> field-sequential composite.
 
@@ -103,14 +104,26 @@ def make_interlaced_pipeline(
     frames; ``roundtrip`` composes both.  ``comb3d`` decodes parity-major
     (same-parity temporal combing, module doc) and needs a frame batch of
     at least ``2 * temporal_comb_spacing`` frames.
+
+    ``raster``: sync + burst in each line's blanking interval, driven by
+    the same per-field line-index maps (vertical blanking / equalizing
+    pulses are not modeled, as in the progressive raster path).
     """
     check_decoder(plan, decoder)
     temporal = decoder == "comb3d"
+    rp = None
+    if raster:
+        from color_modem_tpu.frame.raster import (
+            add_raster,
+            make_raster,
+            strip_raster,
+        )
 
-    def _decode_fields(comp_fields, frame0):
+        rp = make_raster(plan)
+
+    def _decode_core(comp_fields, g):
         b2, rows = comp_fields.shape[0], comp_fields.shape[-2]
         n = comp_fields.shape[-1]
-        g = field_line_index(plan, frame0, b2 // 2, rows)
         if temporal:
             # parity-major regroup: axis -3 becomes "same-parity frames"
             cp = comp_fields.reshape(b2 // 2, 2, rows, n).transpose(1, 0, 2, 3)
@@ -121,11 +134,22 @@ def make_interlaced_pipeline(
             out = decode_block(plan, comp_fields, g, decoder, backend)
         return weave_fields(out)
 
+    def _decode_fields(comp_fields, frame0):
+        if rp is not None:
+            comp_fields = strip_raster(rp, comp_fields)
+        g = field_line_index(
+            plan, frame0, comp_fields.shape[0] // 2, comp_fields.shape[-2]
+        )
+        return _decode_core(comp_fields, g)
+
     @jax.jit
     def encode(rgb, frame0=0):
         fields = split_fields(rgb)
         g = field_line_index(plan, frame0, rgb.shape[0], fields.shape[-2])
-        return encode_block(plan, fields, g, backend)
+        comp = encode_block(plan, fields, g, backend)
+        if rp is not None:
+            comp = add_raster(plan, rp, comp, g)
+        return comp
 
     @jax.jit
     def decode(comp_fields, frame0=0):
@@ -133,6 +157,10 @@ def make_interlaced_pipeline(
 
     @jax.jit
     def roundtrip(rgb, frame0=0):
-        return _decode_fields(encode(rgb, frame0), frame0)
+        # raster deliberately skipped: strip(add(x)) == x exactly, so the
+        # round trip is identical and cheaper without it (as in pipeline.py)
+        fields = split_fields(rgb)
+        g = field_line_index(plan, frame0, rgb.shape[0], fields.shape[-2])
+        return _decode_core(encode_block(plan, fields, g, backend), g)
 
     return encode, decode, roundtrip

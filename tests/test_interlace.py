@@ -106,6 +106,20 @@ def test_interlaced_comb3d_combs_same_parity_fields(img):
     assert p_t > 40.0, p_t
 
 
+def test_interlaced_raster_strip_is_exact(img):
+    """Sync+burst per field line: encode(raster) -> decode recovers the
+    same RGB as the rasterless pipeline (strip(add(x)) == x)."""
+    plan = get_plan("ntsc")
+    rgb = jnp.asarray(img)
+    enc_r, dec_r, _ = make_interlaced_pipeline(plan, "comb3", raster=True)
+    _, _, rt = make_interlaced_pipeline(plan, "comb3")
+    comp_r = enc_r(rgb, 0)
+    assert comp_r.shape[-1] > N  # blanking extends the line
+    np.testing.assert_allclose(
+        np.asarray(dec_r(comp_r, 0)), np.asarray(rt(rgb, 0)), atol=1e-6
+    )
+
+
 def test_field_blocks_are_contiguous_line_runs(img):
     """Decoding the two field blocks SEPARATELY (as two halves of the batch)
     must equal decoding them together: no hidden cross-field state."""
