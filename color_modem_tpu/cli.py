@@ -89,6 +89,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="multipath ghost amplitude (0 = off; negative = inverted echo)",
     )
     rt.add_argument(
+        "--tbe-us", type=float, default=0.0,
+        help="time-base error: vertical wobble amplitude, microseconds "
+        "(needs --raster)",
+    )
+    rt.add_argument(
+        "--tbe-flagging-us", type=float, default=0.0,
+        help="time-base error: top-of-field flagging amplitude, us",
+    )
+    rt.add_argument(
+        "--tbc", action="store_true",
+        help="time-base-correct from the sync/burst timing before decode",
+    )
+    rt.add_argument(
         "--equalize", action="store_true",
         help="GCR ghost cancellation: send a reference line through the "
         "same channel, estimate it, and equalize before decoding",
@@ -405,6 +418,30 @@ def main(argv=None) -> int:
             )
             comp_b = apply_equalizer(comp_b, taps)
             result["equalized"] = True
+        if args.tbe_us != 0.0 or args.tbe_flagging_us != 0.0 or args.tbc:
+            if not args.raster or interlaced:
+                raise SystemExit(
+                    "--tbe-us/--tbc need --raster (the TBC locks to the "
+                    "sync edge) and are progressive-only in the CLI"
+                )
+            from color_modem_tpu.frame.pipeline import frame_line_index
+            from color_modem_tpu.frame.raster import make_raster
+            from color_modem_tpu.frame.timebase import (
+                impair_timebase,
+                tbc_correct,
+            )
+
+            if args.tbe_us != 0.0 or args.tbe_flagging_us != 0.0:
+                comp_b, _ = impair_timebase(
+                    plan, comp_b, wobble_us=args.tbe_us,
+                    flagging_us=args.tbe_flagging_us,
+                )
+                result["tbe"] = {"wobble_us": args.tbe_us,
+                                 "flagging_us": args.tbe_flagging_us}
+            if args.tbc:
+                g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+                comp_b = tbc_correct(plan, make_raster(plan), comp_b, g)
+                result["tbc"] = True
         if args.burst_locked:
             from color_modem_tpu.frame.pipeline import frame_line_index
             from color_modem_tpu.frame.raster import (

@@ -145,14 +145,23 @@ def design_equalizer(
         raise ValueError(
             f"ntaps {ntaps} exceeds the record's {nfft}-sample period"
         )
-    S = jnp.fft.rfft(s, n=nfft)
-    R = jnp.fft.rfft(r, n=nfft)
-    ps = jnp.mean(jnp.abs(S) ** 2)
-    w = jnp.abs(S) ** 2 / (jnp.abs(S) ** 2 + reg * ps)
-    H = R * jnp.conj(S) / (jnp.abs(S) ** 2 + reg * ps) + (1.0 - w)
-    ph = jnp.mean(jnp.abs(H) ** 2)
-    E = jnp.conj(H) / (jnp.abs(H) ** 2 + reg * ph)
-    e = jnp.fft.irfft(E, n=nfft)
+    # real-DFT matmuls (dsp.rdft), complex-free: the estimation lengths are
+    # non-pow2 (cyclic period 2N), which is jnp.fft backend roulette here
+    from color_modem_tpu.dsp.rdft import irdft, rdft
+
+    pad = nfft - s.shape[-1]
+    sr, si = rdft(jnp.pad(s, (0, pad)))
+    rr, ri = rdft(jnp.pad(r, (0, nfft - r.shape[-1])))
+    ps2 = sr * sr + si * si
+    ps = jnp.mean(ps2)
+    den = ps2 + reg * ps
+    w = ps2 / den
+    # H = R S* / den + (1 - w)
+    hr = (rr * sr + ri * si) / den + (1.0 - w)
+    hi = (ri * sr - rr * si) / den
+    ph2 = hr * hr + hi * hi
+    d2 = ph2 + reg * jnp.mean(ph2)
+    e = irdft(hr / d2, -hi / d2, nfft)
     half = (ntaps - 1) // 2
     taps = jnp.concatenate([e[-half:], e[: half + 1]])
     # flat-middle Tukey taper: truncating the impulse response cold would
