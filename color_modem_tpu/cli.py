@@ -158,6 +158,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--chroma-phase", type=float, default=0.0,
         help="also render each pair through this channel phase error (deg)",
     )
+    gal.add_argument(
+        "--animate", type=int, default=0, metavar="K",
+        help="also save a K-frame dot-crawl GIF per standard (the 4/8-field "
+        "chroma phase sequence, notch decoder)",
+    )
 
     sub.add_parser("info", help="list standards, decoders, devices")
     return ap
@@ -285,6 +290,15 @@ def main(argv=None) -> int:
             out_s = np.asarray(rt_s(rgb[None], 0))[0]
             save_rgb(os.path.join(args.out, f"{name}_svideo.png"), out_s)
             report[f"{name}_svideo"] = round(psnr(out_s, rgb), 2)
+            if args.animate > 1:
+                from color_modem_tpu.frame.image_io import save_gif
+
+                _, dec_n, _ = make_pipeline(plan, "notch", args.backend)
+                crawl = [
+                    np.asarray(dec_n(enc(rgb[None], i), i))[0]
+                    for i in range(args.animate)
+                ]
+                save_gif(os.path.join(args.out, f"{name}_crawl.gif"), crawl)
         print(json.dumps({"out": args.out, "psnr_db": report}))
         return 0
 

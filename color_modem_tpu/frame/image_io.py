@@ -58,6 +58,22 @@ def save_rgb(path: str, rgb: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def save_gif(path: str, frames: list, duration_ms: int = 125) -> None:
+    """[(3, L, N) float in [0,1], ...] -> looping animated GIF.
+
+    The dot-crawl/gallery animation writer: the per-frame chroma phase
+    sequence (NTSC 4-field, PAL 8-field) only shows in motion.
+    """
+    _require_pil()
+    imgs = []
+    for rgb in frames:
+        arr = np.clip(np.asarray(rgb, np.float32), 0.0, 1.0)
+        arr = (arr.transpose(1, 2, 0) * 255.0 + 0.5).astype(np.uint8)
+        imgs.append(Image.fromarray(arr))
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=duration_ms, loop=0)
+
+
 def save_composite(path: str, comp: np.ndarray, lo: float = -0.4, hi: float = 1.4) -> None:
     """(L, N) composite signal -> grayscale visualization.
 

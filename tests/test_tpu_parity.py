@@ -44,6 +44,104 @@ np.savez(sys.argv[2], **outs)
 """
 
 
+_FEATURE_SCRIPT = """
+import sys, numpy as np
+import jax, jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+from color_modem_tpu.frame.pipeline import make_pipeline, frame_line_index
+from color_modem_tpu.frame.channel import impair
+from color_modem_tpu.frame.equalize import (apply_equalizer,
+                                            design_equalizer, gcr_record)
+from color_modem_tpu.frame.interlace import make_interlaced_pipeline
+from color_modem_tpu.frame.raster import make_raster
+from color_modem_tpu.frame.timebase import impair_timebase, tbc_correct
+from color_modem_tpu.modem.plan import make_plan
+from color_modem_tpu.standards import NTSC
+assert jax.default_backend() != "cpu", jax.default_backend()
+rgb = jnp.asarray(np.load(sys.argv[1]))
+plan = make_plan(NTSC(), rgb.shape[-1])
+outs = {{}}
+# ghost -> GCR equalize
+enc, dec, _ = make_pipeline(plan, "comb3")
+comp = enc(rgb, 0)
+ghosted = impair(plan, comp, ghost_delay_us=1.2, ghost_gain=0.3)
+rec = impair(plan, jnp.asarray(gcr_record(plan))[None],
+             ghost_delay_us=1.2, ghost_gain=0.3)[0]
+eq = apply_equalizer(ghosted, design_equalizer(plan, rec))
+outs["equalized"] = np.asarray(dec(eq, 0))
+# TBE -> TBC
+encr, decr, _ = make_pipeline(plan, "comb3", raster=True)
+rastered = encr(rgb, 0)
+shifted, _ = impair_timebase(plan, rastered, wobble_us=0.3)
+g = frame_line_index(plan, 0, rgb.shape[0], rgb.shape[-2])
+outs["tbc"] = np.asarray(decr(tbc_correct(plan, make_raster(plan),
+                                          shifted, g), 0))
+# interlaced temporal comb
+_, _, rt = make_interlaced_pipeline(plan, "comb3d")
+outs["interlaced3d"] = np.asarray(rt(rgb, 0))
+np.savez(sys.argv[2], **outs)
+"""
+
+
+@pytest.mark.tpu
+def test_tpu_receiver_dsp_matches_cpu(tmp_path):
+    """New receiver-DSP chains on the chip vs CPU: GCR equalization
+    (pow2 stream FFT), TBC (rdft matmuls), interlaced temporal comb."""
+    from color_modem_tpu.frame.channel import impair
+    from color_modem_tpu.frame.equalize import (
+        apply_equalizer,
+        design_equalizer,
+        gcr_record,
+    )
+    from color_modem_tpu.frame.interlace import make_interlaced_pipeline
+    from color_modem_tpu.frame.pipeline import frame_line_index
+    from color_modem_tpu.frame.raster import make_raster
+    from color_modem_tpu.frame.timebase import impair_timebase, tbc_correct
+
+    rgb = np.stack([
+        smooth_scene(TEST_LINES, TEST_SAMPLES, seed=9),
+        smooth_scene(TEST_LINES, TEST_SAMPLES, seed=10),
+    ]).astype(np.float32)
+    rgb_p, out_p = tmp_path / "rgb.npy", tmp_path / "tpu.npz"
+    np.save(rgb_p, rgb)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform" not in f]
+    if flags:
+        env["XLA_FLAGS"] = " ".join(flags)
+    else:
+        env.pop("XLA_FLAGS", None)
+    subprocess.run(
+        [sys.executable, "-c", _FEATURE_SCRIPT.format(repo=repo),
+         str(rgb_p), str(out_p)],
+        check=True, env=env, timeout=1800,
+    )
+    tpu = np.load(out_p)
+    plan = get_plan("ntsc")
+    rgb_j = jnp.asarray(rgb)
+    enc, dec, _ = make_pipeline(plan, "comb3")
+    comp = enc(rgb_j, 0)
+    ghosted = impair(plan, comp, ghost_delay_us=1.2, ghost_gain=0.3)
+    rec = impair(plan, jnp.asarray(gcr_record(plan))[None],
+                 ghost_delay_us=1.2, ghost_gain=0.3)[0]
+    eq = apply_equalizer(ghosted, design_equalizer(plan, rec))
+    np.testing.assert_allclose(
+        tpu["equalized"], np.asarray(dec(eq, 0)), atol=2e-3,
+        err_msg="equalized")
+    encr, decr, _ = make_pipeline(plan, "comb3", raster=True)
+    shifted, _ = impair_timebase(plan, encr(rgb_j, 0), wobble_us=0.3)
+    g = frame_line_index(plan, 0, rgb.shape[0], rgb.shape[-2])
+    fixed = decr(tbc_correct(plan, make_raster(plan), shifted, g), 0)
+    np.testing.assert_allclose(
+        tpu["tbc"], np.asarray(fixed), atol=2e-3, err_msg="tbc")
+    _, _, rt = make_interlaced_pipeline(plan, "comb3d")
+    np.testing.assert_allclose(
+        tpu["interlaced3d"], np.asarray(rt(rgb_j, 0)), atol=2e-3,
+        err_msg="interlaced3d")
+
+
 @pytest.mark.tpu
 def test_tpu_matches_cpu(tmp_path):
     # two frames: the comb3d case needs a frame axis to comb along
