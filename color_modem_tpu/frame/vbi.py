@@ -1,0 +1,192 @@
+"""Vertical-interval data services: caption-style NRZ data lines (A.1+).
+
+Analog TV carried digital data on blanking-interval lines — EIA-608
+closed captions on NTSC line 21 (a sine clock run-in, start bits, then 16
+NRZ bits at ~32x the line rate), teletext on PAL/SECAM at higher rates.
+This module provides that capability generically: a data-line waveform
+generator and a correlating decoder with clock recovery, both pure jnp and
+batched over lines (every (..., L) line decodes in parallel — the
+reference-era loop over lines does not exist here either).
+
+The frame layer models active lines, so data lines live wherever the user
+puts them: replace any row of a composite block with ``encode_data_line``
+output (a realistic use drops it into row 0, the first visible line).
+
+Waveform (levels ride luma: 0 = blanking/black, ``level`` = data high):
+
+    [ run-in: ``run_in_cycles`` of a raised sine at f_bit ][ start 001 ]
+    [ n_bits NRZ bits, each 1/f_bit ]  ...rest of line at 0
+
+The decoder quadrature-correlates the run-in to recover the bit clock's
+phase and amplitude (so it rides through gain errors), then
+integrate-and-dumps the middle 60% of each bit period.  Everything is
+band-limited by a config-time FIR to fit the luma channel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from color_modem_tpu.dsp import design
+from color_modem_tpu.dsp.apply import fir_same
+from color_modem_tpu.modem.plan import ModemPlan
+
+TWO_PI = 2.0 * np.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class DataLineSpec:
+    """Geometry of one data line on the active-sample grid."""
+
+    f_bit: float          # bit rate, Hz (and run-in sine frequency)
+    n_bits: int           # payload bits per line
+    run_in_cycles: int    # clock run-in length, cycles of f_bit
+    level: float          # data "1" amplitude in luma units
+    start_bits: tuple     # framing pattern between run-in and payload
+
+    def samples_per_bit(self, fs: float) -> float:
+        return fs / self.f_bit
+
+
+def cc_spec(plan: ModemPlan, n_bits: int = 16) -> DataLineSpec:
+    """EIA-608-style spec: clock at 32x the line rate (~0.503 MHz on NTSC),
+    7-cycle run-in, start 001, 16 payload bits, 50-IRE data level."""
+    return DataLineSpec(
+        f_bit=32.0 * plan.cfg.fh,
+        n_bits=n_bits,
+        run_in_cycles=7,
+        level=0.5,
+        start_bits=(0, 0, 1),
+    )
+
+
+def teletext_spec(plan: ModemPlan, n_bits: int = 64) -> DataLineSpec:
+    """Teletext-flavored spec at 222x the line rate (~3.5 MHz on PAL —
+    half the real WST rate, chosen to keep >=3.8 samples/bit at the
+    13.5 MHz studio grid; real WST's 444x fh needs ~27 MHz sampling)."""
+    return DataLineSpec(
+        f_bit=222.0 * plan.cfg.fh,
+        n_bits=n_bits,
+        run_in_cycles=8,
+        level=0.5,
+        start_bits=(1, 1, 0),
+    )
+
+
+def _layout(plan: ModemPlan, spec: DataLineSpec):
+    spb = spec.samples_per_bit(plan.fs)
+    run_in = spec.run_in_cycles * spb
+    start = len(spec.start_bits) * spb
+    total = run_in + start + spec.n_bits * spb
+    if total > plan.n_samples:
+        raise ValueError(
+            f"{spec.n_bits} bits at {spec.f_bit/1e6:.2f} MHz need "
+            f"{total:.0f} samples, line has {plan.n_samples}"
+        )
+    if spb < 3.0:
+        raise ValueError(
+            f"{spec.f_bit/1e6:.2f} MHz is under 3 samples/bit at "
+            f"fs={plan.fs/1e6:.2f} MHz — raise the line width"
+        )
+    return spb, run_in, start
+
+
+def _shaping_taps(plan: ModemPlan, spec: DataLineSpec) -> np.ndarray:
+    # band-limit the NRZ edges; the cutoff must sit ABOVE f_bit — the
+    # clock run-in is a tone at exactly f_bit and slicing needs its
+    # amplitude intact (a 0.8x cutoff killed clock recovery)
+    return design.lowpass_taps(plan.fs, 1.4 * spec.f_bit, 63)
+
+
+def encode_data_line(
+    plan: ModemPlan, spec: DataLineSpec, bits: jax.Array
+) -> jax.Array:
+    """(..., n_bits) 0/1 -> (..., N) data-line waveform in luma units."""
+    bits = jnp.asarray(bits)
+    if bits.shape[-1] != spec.n_bits:
+        raise ValueError(f"expected {spec.n_bits} bits, got {bits.shape[-1]}")
+    spb, run_in, start = _layout(plan, spec)
+    m = np.arange(plan.n_samples, dtype=np.float64)
+    # clock run-in: raised sine around level/2, one cycle per bit period
+    in_run = m < run_in
+    clock = 0.5 * (1.0 - np.cos(TWO_PI * m / spb))  # peaks at bit centers
+    run_wave = np.where(in_run, clock, 0.0)
+    # start + payload bit cells
+    cell = np.floor((m - run_in) / spb).astype(np.int64)
+    n_start = len(spec.start_bits)
+    start_vals = np.asarray(spec.start_bits, np.float64)
+    in_start = (m >= run_in) & (cell < n_start)
+    start_wave = np.where(in_start, start_vals[np.clip(cell, 0, n_start - 1)],
+                          0.0)
+    payload_cell = cell - n_start
+    in_pay = (m >= run_in) & (payload_cell >= 0) & (
+        payload_cell < spec.n_bits
+    )
+    sel = jnp.asarray(np.clip(payload_cell, 0, spec.n_bits - 1))
+    pay_wave = jnp.where(
+        jnp.asarray(in_pay), bits[..., sel].astype(jnp.float32), 0.0
+    )
+    fixed = jnp.asarray((run_wave + start_wave).astype(np.float32))
+    wave = jnp.float32(spec.level) * (fixed + pay_wave)
+    return fir_same(wave, tuple(_shaping_taps(plan, spec)))
+
+
+def decode_data_line(
+    plan: ModemPlan, spec: DataLineSpec, line: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(..., N) received line -> ((..., n_bits) bits, (...,) margin).
+
+    Clock recovery: quadrature correlation of the run-in window at
+    ``f_bit`` gives the clock phase (sub-sample timing) and amplitude (the
+    slicing threshold — so differential gain cannot break slicing).
+    ``margin`` is the worst per-bit distance from the threshold in units
+    of the data level: 0.5 is a perfect eye, <= 0 means a bit error is
+    likely.
+    """
+    spb, run_in, start = _layout(plan, spec)
+    x = line.astype(jnp.float32)
+    m = jnp.arange(plan.n_samples, dtype=jnp.float32)
+    # guard half a bit at each end of the run-in window: the shaping FIR
+    # smears the leading edge and the start bits smear backwards
+    w = jnp.asarray(
+        ((np.arange(plan.n_samples) >= 0.5 * spb)
+         & (np.arange(plan.n_samples) < run_in - 0.5 * spb)),
+        jnp.float32,
+    )
+    # run-in phase: clock = -cos(2 pi m / spb) around its mean; a line
+    # DELAYED by t correlates to (zi, zq) = C (cos, -sin)(2 pi t / spb)
+    ang = TWO_PI / spb * m
+    zi = jnp.sum(w * x * -jnp.cos(ang), axis=-1)
+    zq = jnp.sum(w * x * jnp.sin(ang), axis=-1)
+    tau = -spb / TWO_PI * jnp.arctan2(zq, zi)  # + = line arrived late
+    amp = 2.0 * jnp.hypot(zi, zq) / jnp.sum(w)  # = level/2
+    level = 2.0 * amp
+    n_start = len(spec.start_bits)
+    centers = (
+        run_in
+        + (n_start + jnp.arange(spec.n_bits, dtype=jnp.float32) + 0.5) * spb
+        + tau[..., None]
+    )
+    # integrate-and-dump: mean over the middle 60% of each bit period
+    offs = jnp.arange(
+        -np.floor(0.3 * spb), np.floor(0.3 * spb) + 1.0, dtype=jnp.float32
+    )
+    idx = jnp.clip(
+        jnp.round(centers[..., None] + offs).astype(jnp.int32),
+        0, plan.n_samples - 1,
+    )
+    xb = jnp.broadcast_to(
+        x[..., None, :], x.shape[:-1] + (spec.n_bits, plan.n_samples)
+    )
+    vals = jnp.mean(jnp.take_along_axis(xb, idx, axis=-1), axis=-1)
+    thresh = level[..., None] * 0.5
+    bits = (vals > thresh).astype(jnp.int32)
+    margin = jnp.min(jnp.abs(vals - thresh), axis=-1) / jnp.maximum(
+        level, 1e-6
+    )
+    return bits, margin
