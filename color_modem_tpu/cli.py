@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
         "numbering; weaves decoded fields back)",
     )
     rt.add_argument(
+        "--diff-gain", type=float, default=0.0,
+        help="differential (luma-tracking) chroma gain error at 100%% luma",
+    )
+    rt.add_argument(
+        "--diff-phase", type=float, default=0.0,
+        help="differential (luma-tracking) chroma phase at 100%% luma, deg",
+    )
+    rt.add_argument(
         "--ghost-delay-us", type=float, default=0.0,
         help="multipath ghost delay, microseconds",
     )
@@ -134,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
     vid.add_argument("--chroma-gain", type=float, default=1.0)
     vid.add_argument("--chroma-phase", type=float, default=0.0,
                      help="channel differential chroma phase, degrees")
+    vid.add_argument("--diff-gain", type=float, default=0.0,
+                     help="differential chroma gain error at 100%% luma")
+    vid.add_argument("--diff-phase", type=float, default=0.0,
+                     help="differential chroma phase at 100%% luma, deg")
     vid.add_argument("--ghost-delay-us", type=float, default=0.0,
                      help="multipath ghost delay, microseconds")
     vid.add_argument("--ghost-gain", type=float, default=0.0,
@@ -323,11 +335,14 @@ def main(argv=None) -> int:
         make_src = synthetic_source if args.host_source else synthetic_device_source
         channel = None
         if (args.noise > 0.0 or args.chroma_gain != 1.0
-                or args.chroma_phase != 0.0 or args.ghost_gain != 0.0
+                or args.chroma_phase != 0.0 or args.diff_gain != 0.0
+                or args.diff_phase != 0.0 or args.ghost_gain != 0.0
                 or args.equalize):
             channel = {"noise_sigma": args.noise,
                        "chroma_gain": args.chroma_gain,
                        "chroma_phase_deg": args.chroma_phase,
+                       "diff_gain": args.diff_gain,
+                       "diff_phase_deg": args.diff_phase,
                        "ghost_delay_us": args.ghost_delay_us,
                        "ghost_gain": args.ghost_gain}
             if args.equalize:
@@ -398,15 +413,19 @@ def main(argv=None) -> int:
         comp_b = encode(rgb[None], args.frame)
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,
+                   "diff_gain": args.diff_gain,
+                   "diff_phase_deg": args.diff_phase,
                    "ghost_delay_us": args.ghost_delay_us,
                    "ghost_gain": args.ghost_gain}
         impair_kw = dict(
             noise_sigma=args.noise, chroma_gain=args.chroma_gain,
             chroma_phase_deg=args.chroma_phase,
+            diff_gain=args.diff_gain, diff_phase_deg=args.diff_phase,
             ghost_delay_us=args.ghost_delay_us, ghost_gain=args.ghost_gain,
         )
         if any([args.noise > 0.0, args.chroma_gain != 1.0,
-                args.chroma_phase != 0.0, args.ghost_gain != 0.0]):
+                args.chroma_phase != 0.0, args.diff_gain != 0.0,
+                args.diff_phase != 0.0, args.ghost_gain != 0.0]):
             key = jax.random.PRNGKey(0) if args.noise > 0.0 else None
             comp_b = impair(plan, comp_b, key=key, **impair_kw)
             result["channel"] = channel

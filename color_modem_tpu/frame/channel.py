@@ -11,6 +11,12 @@ decode:
 * **differential chroma phase** (the hue error PAL's V-switch + delay-line
   averages away and NIIR's reference divide cancels, but that visibly
   shifts NTSC hue),
+* **true DIFFERENTIAL gain/phase** — the textbook nonlinearities the
+  static versions approximate: chroma gain/phase varying WITH the
+  instantaneous luma level (transmitter amplifiers compress near white).
+  Differential phase is the distortion PAL was invented for: the V-switch
+  turns it into slight saturation loss where NTSC shows luma-tracking hue
+  shifts,
 * **multipath ghost** (a delayed, attenuated copy of the composite — the
   classic reflection "ghost"; shifts ride the continuous line stream, so a
   ghost delayed past a line's start spills in from the previous line's
@@ -52,6 +58,8 @@ def impair(
     noise_sigma: float = 0.0,
     chroma_gain: float = 1.0,
     chroma_phase_deg: float = 0.0,
+    diff_gain: float = 0.0,
+    diff_phase_deg: float = 0.0,
     ghost_delay_us: float = 0.0,
     ghost_gain: float = 0.0,
     key: jax.Array | None = None,
@@ -59,8 +67,10 @@ def impair(
     """Apply channel impairments to a ``(..., L, N)`` composite block.
 
     Order models the physical path: multipath ghost (propagation), then
-    differential chroma gain/phase (receiver chroma-path errors), then
-    additive noise.
+    chroma-path gain/phase errors — static (``chroma_gain`` /
+    ``chroma_phase_deg``) and luma-tracking (``diff_gain`` /
+    ``diff_phase_deg``, the full error at 100% luma, scaling linearly
+    with the local luma level) — then additive noise.
     """
     comp = comp.astype(jnp.float32)
     if ghost_gain != 0.0:
@@ -82,18 +92,30 @@ def impair(
         comp = (stream + jnp.float32(ghost_gain) * delayed).reshape(
             lead + (l, n)
         )
-    if chroma_gain != 1.0 or chroma_phase_deg != 0.0:
+    if (chroma_gain != 1.0 or chroma_phase_deg != 0.0
+            or diff_gain != 0.0 or diff_phase_deg != 0.0):
         f_lo, f_hi = _chroma_band_edges(plan)
         bpf = design.bandpass_taps(plan.fs, f_lo, f_hi, 129)
         cb = fir_same(comp, bpf)
-        rest = comp - cb
-        if chroma_phase_deg != 0.0:
-            hil = design.hilbert_taps(plan.fs, f_lo, f_hi, 129)
-            t = np.deg2rad(chroma_phase_deg)
-            cb = np.float32(np.cos(t)) * cb + np.float32(np.sin(t)) * fir_same(
-                cb, hil
+        rest = comp - cb  # ~ the luma path (plus sync/burst if rastered)
+        # per-sample phase/gain: static term + luma-tracking term; the
+        # local luma estimate is the chroma-free remainder, smoothed so
+        # carrier leakage does not modulate the error at fsc
+        if diff_gain != 0.0 or diff_phase_deg != 0.0:
+            luma = fir_same(
+                rest, design.lowpass_taps(plan.fs, 0.5e6, 63)
             )
-        comp = rest + jnp.float32(chroma_gain) * cb
+            luma = jnp.clip(luma, 0.0, 1.0)
+        else:
+            luma = 0.0
+        t = jnp.float32(np.deg2rad(chroma_phase_deg)) + jnp.float32(
+            np.deg2rad(diff_phase_deg)
+        ) * luma
+        g = jnp.float32(chroma_gain) * (1.0 + jnp.float32(diff_gain) * luma)
+        if chroma_phase_deg != 0.0 or diff_phase_deg != 0.0:
+            hil = design.hilbert_taps(plan.fs, f_lo, f_hi, 129)
+            cb = jnp.cos(t) * cb + jnp.sin(t) * fir_same(cb, hil)
+        comp = rest + g * cb
     if noise_sigma > 0.0:
         if key is None:
             raise ValueError("noise_sigma > 0 requires a PRNG key")

@@ -102,6 +102,34 @@ def test_noise_requires_key(img):
         impair(plan, enc(img), noise_sigma=0.1)
 
 
+def test_differential_phase_is_why_pal_exists(img):
+    """Luma-tracking phase error: NTSC hue follows brightness; the PAL
+    V-switch + delay-line averages it into mild saturation loss."""
+    ntsc_clean = _run("ntsc", "notch", img)
+    ntsc_hit = _run("ntsc", "notch", img, diff_phase_deg=20.0)
+    pal_clean = _run("pal", "delayline", img)
+    pal_hit = _run("pal", "delayline", img, diff_phase_deg=20.0)
+    assert ntsc_clean - ntsc_hit > 5.0, (ntsc_clean, ntsc_hit)
+    assert pal_clean - pal_hit < 2.0, (pal_clean, pal_hit)
+    # and the NTSC hit grows with luma dependence being real, not static:
+    # a gray-ish dark scene must be hurt less than the bright fixture
+    dark = (0.25 * img).astype(np.float32)
+    d_clean = _run("ntsc", "notch", dark)
+    d_hit = _run("ntsc", "notch", dark, diff_phase_deg=20.0)
+    assert (d_clean - d_hit) < 0.5 * (ntsc_clean - ntsc_hit), (
+        d_clean, d_hit, ntsc_clean, ntsc_hit)
+
+
+def test_differential_gain_tracks_luma(img):
+    clean = _run("ntsc", "notch", img)
+    hit = _run("ntsc", "notch", img, diff_gain=-0.4)
+    assert clean - hit > 1.0, (clean, hit)
+    # SECAM's FM does not care about amplitude, differential or not
+    s_clean = _run("secam", "notch", img)
+    s_hit = _run("secam", "notch", img, diff_gain=-0.4)
+    assert s_clean - s_hit < 1.0, (s_clean, s_hit)
+
+
 def test_ghost_is_exact_stream_delay():
     """An impulse ghosts d samples later ON THE LINE STREAM — a ghost
     delayed past the line end spills into the next line."""
