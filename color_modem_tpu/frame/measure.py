@@ -1,0 +1,123 @@
+"""Broadcast test & measurement: staircase stimulus + vectorscope readout.
+
+Analog plants were qualified with standard test signals: a MODULATED
+STAIRCASE (stepped luma with constant superimposed chroma) driven through
+the chain, and differential gain/phase read off a vectorscope — exactly the
+nonlinearities :func:`frame.channel.impair`'s ``diff_gain``/``diff_phase``
+model.  This module closes that loop so a user can characterize any channel
+configuration the way a broadcast engineer would:
+
+    rgb  = modulated_staircase(plan, lines, samples)
+    comp = impair(plan, encode(rgb), diff_phase_deg=20.0, ...)
+    rep  = measure_differential(plan, comp, gline)
+    rep["dp_deg"]   # ~20 * (luma span), the vectorscope DP number
+    rep["dg"]       # (Amax - Amin) / Amax, the DG number
+
+QAM standards only (SECAM's FM has no amplitude/phase to measure — its
+immunity is the point).  Measurement is pure jnp and batched; the stimulus
+is host NumPy config-time data like every other reference signal here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from color_modem_tpu.dsp.apply import fir_same
+from color_modem_tpu.modem import qam
+from color_modem_tpu.modem.plan import ModemPlan
+from color_modem_tpu.standards.base import QamParams
+
+#: luma levels of the staircase steps (start near black, end near white —
+#: chosen so constant chroma on top never clips RGB out of [0, 1])
+_STEP_LUMA = (0.10, 0.25, 0.40, 0.55, 0.70, 0.85)
+
+
+def modulated_staircase(
+    plan: ModemPlan,
+    n_lines: int,
+    n_samples: int,
+    c1: float = 0.06,
+    c2: float = 0.06,
+) -> np.ndarray:
+    """(3, L, N) RGB: stepped luma with CONSTANT chroma (c1, c2) on top.
+
+    The standard differential-distortion stimulus: any variation of the
+    decoded chroma across steps was caused by the channel, not the signal.
+    """
+    steps = len(_STEP_LUMA)
+    idx = np.minimum((np.arange(n_samples) * steps) // n_samples, steps - 1)
+    y = np.asarray(_STEP_LUMA)[idx]
+    ycc = np.stack([
+        y,
+        np.full(n_samples, c1),
+        np.full(n_samples, c2),
+    ])  # (3, N)
+    rgb = plan.ycc_to_rgb @ ycc
+    if rgb.min() < -1e-6 or rgb.max() > 1.0 + 1e-6:
+        raise ValueError(
+            f"staircase chroma ({c1}, {c2}) clips RGB "
+            f"[{rgb.min():.3f}, {rgb.max():.3f}] — lower the amplitudes"
+        )
+    rgb = np.clip(rgb, 0.0, 1.0)
+    return np.broadcast_to(
+        rgb[:, None, :], (3, n_lines, n_samples)
+    ).astype(np.float32).copy()
+
+
+def measure_differential(
+    plan: ModemPlan, comp: jax.Array, gline: jax.Array
+) -> dict:
+    """Vectorscope readout of a (..., L, N) staircase composite.
+
+    Demodulates the chroma, averages the complex chroma vector over the
+    central 60% of each step (and over all lines/frames), and reports the
+    classic numbers relative to the bottom (near-black) step:
+
+    * ``dg``      — differential gain, ``(Amax - Amin) / Amax``;
+    * ``dp_deg``  — differential phase, max-minus-min step phase;
+    * ``step_gain`` / ``step_phase_deg`` — the per-step curves.
+    """
+    if not isinstance(plan.cfg.chroma, QamParams):
+        raise ValueError(
+            f"{plan.cfg.name}: differential gain/phase is a QAM-standard "
+            "measurement (SECAM FM is immune by design)"
+        )
+    chroma_band = fir_same(comp.astype(jnp.float32), plan.chroma_bpf)
+    c1, c2 = qam.demodulate_carrier(plan, chroma_band, gline)
+    n = comp.shape[-1]
+    steps = len(_STEP_LUMA)
+    width = n / steps
+    masks = []
+    m = np.arange(n)
+    for k in range(steps):
+        lo = k * width + 0.2 * width
+        hi = (k + 1) * width - 0.2 * width
+        masks.append(((m >= lo) & (m < hi)).astype(np.float32))
+    masks = jnp.asarray(np.stack(masks))  # (steps, N)
+    # average complex chroma per step — within ONE V-switch parity class:
+    # on PAL a phase error appears as +t on one parity and -t on the
+    # other, and averaging both arms cancels it to pure saturation loss
+    # (that cancellation IS the PAL trick; a real PAL vectorscope shows
+    # the two arms separately).  NTSC/NIIR have a single class.
+    sel = (qam.v_sign(plan, gline) > 0.0).astype(jnp.float32)[..., None]
+    flat1 = (c1 * sel).reshape(-1, n)
+    flat2 = (c2 * sel).reshape(-1, n)
+    denom = jnp.sum(masks, axis=-1) * jnp.maximum(jnp.sum(sel), 1.0)
+    re = masks @ jnp.sum(flat1, axis=0) / denom
+    im = masks @ jnp.sum(flat2, axis=0) / denom
+    amp = jnp.hypot(re, im)
+    phase = jnp.arctan2(im, re)
+    d = phase - phase[0]
+    rel_phase = jnp.rad2deg(jnp.arctan2(jnp.sin(d), jnp.cos(d)))
+    gain = amp / jnp.maximum(amp[0], 1e-9)
+    dg = (jnp.max(amp) - jnp.min(amp)) / jnp.maximum(jnp.max(amp), 1e-9)
+    dp = jnp.max(rel_phase) - jnp.min(rel_phase)
+    return {
+        "dg": float(dg),
+        "dp_deg": float(dp),
+        "step_gain": np.asarray(gain),
+        "step_phase_deg": np.asarray(rel_phase),
+    }

@@ -1,0 +1,80 @@
+"""Broadcast measurement loop (frame/measure.py): the staircase +
+vectorscope readout must recover the channel's injected differential
+gain/phase, read ~zero on a clean channel, and track the luma span."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from conftest import TEST_SAMPLES, get_plan
+from color_modem_tpu.frame.channel import impair
+from color_modem_tpu.frame.measure import (
+    _STEP_LUMA,
+    measure_differential,
+    modulated_staircase,
+)
+from color_modem_tpu.frame.pipeline import frame_line_index, make_pipeline
+
+L, N = 32, TEST_SAMPLES
+SPAN = _STEP_LUMA[-1] - _STEP_LUMA[0]
+
+
+def _comp(name, **impairments):
+    plan = get_plan(name)
+    rgb = modulated_staircase(plan, L, N)[None]
+    enc, _, _ = make_pipeline(plan, "notch")
+    comp = enc(jnp.asarray(rgb), 0)
+    if impairments:
+        comp = impair(plan, comp, **impairments)
+    g = frame_line_index(plan, 0, 1, L)
+    return plan, comp, g
+
+
+def test_clean_channel_reads_near_zero():
+    plan, comp, g = _comp("ntsc")
+    rep = measure_differential(plan, comp, g)
+    assert rep["dg"] < 0.03, rep["dg"]
+    assert rep["dp_deg"] < 2.0, rep["dp_deg"]
+
+
+@pytest.mark.parametrize("name", ["ntsc", "pal"])
+def test_injected_differential_phase_is_recovered(name):
+    inject = 20.0
+    plan, comp, g = _comp(name, diff_phase_deg=inject)
+    rep = measure_differential(plan, comp, g)
+    expect = inject * SPAN  # error spans the staircase's luma range
+    assert abs(rep["dp_deg"] - expect) < 0.3 * expect, (rep["dp_deg"], expect)
+    # error magnitude must grow monotonically with luma (each step
+    # brighter; the sign is a demodulation convention)
+    steps = np.abs(rep["step_phase_deg"])
+    assert np.all(np.diff(steps) > -0.5), steps
+
+
+def test_injected_differential_gain_is_recovered():
+    plan, comp, g = _comp("ntsc", diff_gain=-0.4)
+    rep = measure_differential(plan, comp, g)
+    expect = 0.4 * SPAN
+    assert abs(rep["dg"] - expect) < 0.3 * expect, (rep["dg"], expect)
+
+
+def test_static_phase_reads_zero_differential():
+    """A STATIC phase error rotates every step equally — DP must not see
+    it (that is the difference between phase error and differential
+    phase)."""
+    plan, comp, g = _comp("ntsc", chroma_phase_deg=25.0)
+    rep = measure_differential(plan, comp, g)
+    assert rep["dp_deg"] < 3.0, rep["dp_deg"]
+
+
+def test_secam_rejected():
+    plan = get_plan("secam")
+    with pytest.raises(ValueError, match="immune"):
+        measure_differential(
+            plan, jnp.zeros((1, 4, N)), frame_line_index(plan, 0, 1, 4)
+        )
+
+
+def test_staircase_clipping_guard():
+    plan = get_plan("ntsc")
+    with pytest.raises(ValueError, match="clips"):
+        modulated_staircase(plan, 8, N, c1=0.5, c2=0.5)
