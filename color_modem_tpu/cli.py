@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="multipath ghost amplitude (0 = off; negative = inverted echo)",
     )
     rt.add_argument(
+        "--vhs", action="store_true",
+        help="VHS color-under playback: luma to ~3 MHz, chroma to "
+        "fsc±0.4 MHz with phase-locked envelope delay",
+    )
+    rt.add_argument(
         "--tbe-us", type=float, default=0.0,
         help="time-base error: vertical wobble amplitude, microseconds "
         "(needs --raster)",
@@ -152,6 +157,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="multipath ghost amplitude (0 = off)")
     vid.add_argument("--equalize", action="store_true",
                      help="per-chunk GCR ghost cancellation before decode")
+    vid.add_argument("--vhs", action="store_true",
+                     help="VHS color-under playback signature per chunk")
     vid.add_argument("--interlaced", action="store_true",
                      help="transmit frames as 2:1 interlaced fields "
                      "(single-device)")
@@ -337,7 +344,7 @@ def main(argv=None) -> int:
         if (args.noise > 0.0 or args.chroma_gain != 1.0
                 or args.chroma_phase != 0.0 or args.diff_gain != 0.0
                 or args.diff_phase != 0.0 or args.ghost_gain != 0.0
-                or args.equalize):
+                or args.equalize or args.vhs):
             channel = {"noise_sigma": args.noise,
                        "chroma_gain": args.chroma_gain,
                        "chroma_phase_deg": args.chroma_phase,
@@ -347,6 +354,8 @@ def main(argv=None) -> int:
                        "ghost_gain": args.ghost_gain}
             if args.equalize:
                 channel["equalize"] = True
+            if args.vhs:
+                channel["vhs"] = True
         summary = process_video(
             plan,
             make_src(lines, args.width),
@@ -451,6 +460,11 @@ def main(argv=None) -> int:
             )
             comp_b = apply_equalizer(comp_b, taps)
             result["equalized"] = True
+        if args.vhs:
+            from color_modem_tpu.frame.channel import vhs_playback
+
+            comp_b = vhs_playback(plan, comp_b)
+            result["vhs"] = True
         if args.tbe_us != 0.0 or args.tbe_flagging_us != 0.0 or args.tbc:
             if not args.raster or interlaced:
                 raise SystemExit(

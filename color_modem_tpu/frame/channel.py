@@ -51,6 +51,59 @@ def _chroma_band_edges(plan: ModemPlan) -> tuple[float, float]:
             ch.bell_f0 + SECAM_TAKEOFF_HALFWIDTH)
 
 
+def vhs_playback(
+    plan: ModemPlan,
+    comp: jax.Array,
+    *,
+    luma_bw: float = 3.0e6,
+    chroma_bw: float = 0.4e6,
+    chroma_delay_us: float = 0.4,
+) -> jax.Array:
+    """VHS "color-under" playback signature on a (..., L, N) composite.
+
+    The tape records luma as FM (usable bandwidth ~3 MHz SP / ~2.4 LP) and
+    heterodynes chroma down to ~629 kHz with ~±0.4 MHz of bandwidth, then
+    back up at playback.  With ideal oscillators the down/up conversion
+    composes to a bandwidth narrowing, so the honest composite-domain model
+    is: luma low-passed to ``luma_bw``, chroma re-band-limited to
+    ``fsc ± chroma_bw`` (the characteristic color smear) and delayed by the
+    color-under chain's group delay (``chroma_delay_us`` — the classic
+    right-shifted color fringe).  Tape timing jitter is a separate,
+    composable effect (:mod:`frame.timebase`); note real color-under makes
+    CHROMA phase jitter-immune while luma keeps the wobble.
+    """
+    comp = comp.astype(jnp.float32)
+    f_lo, f_hi = _chroma_band_edges(plan)
+    cb = fir_same(comp, design.bandpass_taps(plan.fs, f_lo, f_hi, 129))
+    luma = comp - cb
+    luma = fir_same(luma, design.lowpass_taps(plan.fs, luma_bw, 129))
+    ch = plan.cfg.chroma
+    fc = ch.fsc if isinstance(ch, QamParams) else ch.bell_f0
+    cb = fir_same(
+        cb,
+        design.bandpass_taps(plan.fs, fc - chroma_bw, fc + chroma_bw, 193),
+    )
+    d = int(round(chroma_delay_us * 1e-6 * plan.fs))
+    if d:
+        lead, (l, n) = cb.shape[:-2], cb.shape[-2:]
+        stream = cb.reshape(lead + (l * n,))
+        cb = jnp.concatenate(
+            [jnp.zeros(lead + (d,), cb.dtype), stream[..., :-d]], axis=-1
+        ).reshape(lead + (l, n))
+        if isinstance(ch, QamParams):
+            # the playback up-converter re-locks carrier phase (burst/
+            # crystal), so only the ENVELOPE is delayed: undo the raw
+            # delay's carrier phase retard of 2 pi fc d / fs
+            theta = 2.0 * np.pi * fc * d / plan.fs
+            hil = design.hilbert_taps(
+                plan.fs, fc - chroma_bw, fc + chroma_bw, 129
+            )
+            cb = np.float32(np.cos(theta)) * cb - np.float32(
+                np.sin(theta)
+            ) * fir_same(cb, hil)
+    return luma + cb
+
+
 def impair(
     plan: ModemPlan,
     comp: jax.Array,

@@ -102,7 +102,9 @@ def process_video(
     (noise_sigma / chroma_gain / chroma_phase_deg / ghost_delay_us /
     ghost_gain) applied between encode and decode of every chunk; noise keys
     derive from the absolute chunk start so resumed runs reproduce the same
-    channel.  An extra ``"equalize": True`` key enables per-chunk GCR ghost
+    channel.  An extra ``"vhs": True`` key applies the VHS color-under
+    playback signature (channel.vhs_playback); ``"equalize": True``
+    enables per-chunk GCR ghost
     cancellation (frame.equalize): a reference line rides the same channel
     and the estimated inverse FIR is applied before decoding — all inside
     the jitted chunk step, so no extra host round trips.
@@ -153,6 +155,7 @@ def process_video(
 
         channel = dict(channel)
         equalize = bool(channel.pop("equalize", False))
+        vhs = bool(channel.pop("vhs", False))
         noisy = float(channel.get("noise_sigma", 0.0)) > 0.0
         if equalize:
             from color_modem_tpu.frame.equalize import (
@@ -174,6 +177,10 @@ def process_video(
                 if noisy else None
             )
             comp = impair(plan, comp, key=key, **channel)
+            if vhs:
+                from color_modem_tpu.frame.channel import vhs_playback
+
+                comp = vhs_playback(plan, comp)
             if equalize:
                 rx = impair(
                     plan, gcr,

@@ -95,6 +95,72 @@ def test_noise_degrades_gracefully(img):
     assert 3.0 < clean - noisy < 25.0, (clean, noisy)
 
 
+def _tone(plan, f_hz, width=60.0):
+    n = TEST_SAMPLES
+    m = np.arange(n)
+    env = np.exp(-0.5 * ((m - n / 2) / width) ** 2)
+    return (env * np.sin(2 * np.pi * f_hz / plan.fs * m)).astype(np.float32)
+
+
+def test_vhs_playback_signature(img):
+    """Color-under model: PSNR drops but stays watchable; chroma keeps
+    only ~+-0.4 MHz around fsc; low-frequency luma passes."""
+    from color_modem_tpu.frame.channel import vhs_playback
+
+    plan = get_plan("ntsc")
+    enc, dec, _ = make_pipeline(plan, "comb3")
+    comp = enc(jnp.asarray(img))
+    tape = vhs_playback(plan, comp)
+    clean = psnr(np.asarray(dec(comp)), img)
+    vhs = psnr(np.asarray(dec(tape)), img)
+    assert 2.0 < clean - vhs < 25.0, (clean, vhs)
+
+    # deterministic transfer check on isolated tone bursts
+    fsc = plan.cfg.chroma.fsc
+
+    def gain(f):
+        x = jnp.asarray(_tone(plan, f))[None, None]
+        y = np.asarray(vhs_playback(plan, x, chroma_delay_us=0.0))[0, 0]
+        return float(np.abs(y).max() / np.abs(_tone(plan, f)).max())
+
+    assert gain(fsc + 0.15e6) > 0.5          # in-band chroma survives
+    assert gain(fsc + 0.9e6) < 0.2           # narrowed chroma crushed
+    assert gain(1.0e6) > 0.8                 # low-frequency luma passes
+
+
+def test_vhs_chroma_delay_moves_envelope_not_hue():
+    from color_modem_tpu.frame.channel import vhs_playback
+
+    plan = get_plan("ntsc")
+    n = TEST_SAMPLES
+    tone = _tone(plan, plan.cfg.chroma.fsc, width=40.0)
+    comp = jnp.asarray(tone)[None, None]
+    d_us = 0.4
+    out = np.asarray(vhs_playback(plan, comp, chroma_delay_us=d_us))[0, 0]
+    ref = np.asarray(vhs_playback(plan, comp, chroma_delay_us=0.0))[0, 0]
+    d = int(round(d_us * 1e-6 * plan.fs))
+
+    def centroid(x):
+        p = x.astype(np.float64) ** 2
+        return float((np.arange(n) * p).sum() / p.sum())
+
+    # envelope delayed by ~d samples
+    assert abs(centroid(out) - centroid(ref) - d) < 1.5, (
+        centroid(out), centroid(ref), d)
+    # carrier phase re-locked: at the SAME absolute positions the carrier
+    # is unrotated (out(m) = cos(wm) env(m-d)), so zero-lag correlation is
+    # high — while at lag d it shows the raw delay's ~117 deg rotation
+    # (cos 117 = -0.45), proving the envelope moved but the phase didn't
+    corr0 = float((out * ref).sum()) / float(
+        np.sqrt((out ** 2).sum() * (ref ** 2).sum())
+    )
+    corrd = float((out[d:] * ref[:-d]).sum()) / float(
+        np.sqrt((out[d:] ** 2).sum() * (ref[:-d] ** 2).sum())
+    )
+    assert corr0 > 0.9, corr0
+    assert corrd < 0.0, corrd  # the raw-delay angle, had phase moved too
+
+
 def test_noise_requires_key(img):
     plan = get_plan("ntsc")
     enc, _, _ = make_pipeline(plan, "notch")
