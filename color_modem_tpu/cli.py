@@ -223,6 +223,15 @@ def main(argv=None) -> int:
             raise SystemExit("--burst-locked requires --raster")
         if args.standard == "secam":
             raise SystemExit("secam has no color burst to lock to")
+    if (getattr(args, "tbe_us", 0.0) or getattr(args, "tbe_flagging_us", 0.0)
+            or getattr(args, "tbc", False)):
+        # validate before any compute (compiles through the relay are
+        # expensive): the TBC locks to the sync edge of a rastered line
+        if not args.raster or getattr(args, "interlaced", False):
+            raise SystemExit(
+                "--tbe-us/--tbc need --raster (the TBC locks to the sync "
+                "edge) and are progressive-only in the CLI"
+            )
 
     if args.cmd == "info":
         import jax
@@ -287,10 +296,13 @@ def main(argv=None) -> int:
                 impair(plan, comp, chroma_phase_deg=args.chroma_phase)
                 if args.chroma_phase != 0.0 else None
             )
+            dec_notch = None
             for decoder in allowed_decoders(cfg):
                 if decoder == "comb3d":
                     continue  # temporal: needs a frame sequence, not a still
                 _, dec, _ = make_pipeline(plan, decoder, args.backend)
+                if decoder == "notch":
+                    dec_notch = dec  # reused by --animate (compile once)
                 out = np.asarray(dec(comp, 0))[0]
                 tag = f"{name}_{decoder}"
                 save_rgb(os.path.join(args.out, f"{tag}.png"), out)
@@ -309,12 +321,15 @@ def main(argv=None) -> int:
             out_s = np.asarray(rt_s(rgb[None], 0))[0]
             save_rgb(os.path.join(args.out, f"{name}_svideo.png"), out_s)
             report[f"{name}_svideo"] = round(psnr(out_s, rgb), 2)
-            if args.animate > 1:
+            if args.animate > 0:
                 from color_modem_tpu.frame.image_io import save_gif
 
-                _, dec_n, _ = make_pipeline(plan, "notch", args.backend)
+                if dec_notch is None:  # every standard offers notch today
+                    _, dec_notch, _ = make_pipeline(
+                        plan, "notch", args.backend
+                    )
                 crawl = [
-                    np.asarray(dec_n(enc(rgb[None], i), i))[0]
+                    np.asarray(dec_notch(enc(rgb[None], i), i))[0]
                     for i in range(args.animate)
                 ]
                 save_gif(os.path.join(args.out, f"{name}_crawl.gif"), crawl)
@@ -340,22 +355,26 @@ def main(argv=None) -> int:
             f, l = (int(v) for v in args.mesh.split("x"))
             mesh = make_mesh(f, l)
         make_src = synthetic_source if args.host_source else synthetic_device_source
-        channel = None
-        if (args.noise > 0.0 or args.chroma_gain != 1.0
-                or args.chroma_phase != 0.0 or args.diff_gain != 0.0
-                or args.diff_phase != 0.0 or args.ghost_gain != 0.0
-                or args.equalize or args.vhs):
-            channel = {"noise_sigma": args.noise,
-                       "chroma_gain": args.chroma_gain,
-                       "chroma_phase_deg": args.chroma_phase,
-                       "diff_gain": args.diff_gain,
-                       "diff_phase_deg": args.diff_phase,
-                       "ghost_delay_us": args.ghost_delay_us,
-                       "ghost_gain": args.ghost_gain}
-            if args.equalize:
-                channel["equalize"] = True
-            if args.vhs:
-                channel["vhs"] = True
+        # SPARSE dict — only non-default keys: the resume manifest compares
+        # channel configs by equality, so a dict that always carried every
+        # key would break resume of pre-existing runs whenever a new
+        # impairment option is added
+        sparse = {
+            "noise_sigma": (args.noise, 0.0),
+            "chroma_gain": (args.chroma_gain, 1.0),
+            "chroma_phase_deg": (args.chroma_phase, 0.0),
+            "diff_gain": (args.diff_gain, 0.0),
+            "diff_phase_deg": (args.diff_phase, 0.0),
+            "ghost_delay_us": (args.ghost_delay_us, 0.0),
+            "ghost_gain": (args.ghost_gain, 0.0),
+            "equalize": (args.equalize, False),
+            "vhs": (args.vhs, False),
+        }
+        channel = {k: v for k, (v, dflt) in sparse.items() if v != dflt}
+        # ghost delay alone (gain 0) is a no-op knob, not a channel config
+        if set(channel) == {"ghost_delay_us"}:
+            channel = {}
+        channel = channel or None
         summary = process_video(
             plan,
             make_src(lines, args.width),
@@ -466,18 +485,28 @@ def main(argv=None) -> int:
             comp_b = vhs_playback(plan, comp_b)
             result["vhs"] = True
         if args.tbe_us != 0.0 or args.tbe_flagging_us != 0.0 or args.tbc:
-            if not args.raster or interlaced:
-                raise SystemExit(
-                    "--tbe-us/--tbc need --raster (the TBC locks to the "
-                    "sync edge) and are progressive-only in the CLI"
-                )
+            # (raster/interlace preconditions were validated up front)
             from color_modem_tpu.frame.pipeline import frame_line_index
             from color_modem_tpu.frame.raster import make_raster
             from color_modem_tpu.frame.timebase import (
+                correctable_reach,
                 impair_timebase,
                 tbc_correct,
             )
 
+            rp = make_raster(plan)
+            # refuse to CLAIM correction beyond the estimator's physical
+            # reach — outside it the estimate silently degrades instead
+            worst = (abs(args.tbe_us) + abs(args.tbe_flagging_us)) * 1e-6
+            need = int(np.ceil(worst * plan.fs)) + 1
+            reach = correctable_reach(rp)
+            if args.tbc and need > reach:
+                raise SystemExit(
+                    f"--tbc cannot reach {worst*1e6:.2f} us of time-base "
+                    f"error: the single-line sync/burst estimator's limit "
+                    f"at this geometry is ~{reach/plan.fs*1e6:.2f} us "
+                    f"({reach} samples)"
+                )
             if args.tbe_us != 0.0 or args.tbe_flagging_us != 0.0:
                 comp_b, _ = impair_timebase(
                     plan, comp_b, wobble_us=args.tbe_us,
@@ -487,7 +516,7 @@ def main(argv=None) -> int:
                                  "flagging_us": args.tbe_flagging_us}
             if args.tbc:
                 g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
-                comp_b = tbc_correct(plan, make_raster(plan), comp_b, g)
+                comp_b = tbc_correct(plan, rp, comp_b, g)
                 result["tbc"] = True
         if args.burst_locked:
             from color_modem_tpu.frame.pipeline import frame_line_index

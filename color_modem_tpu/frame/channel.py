@@ -51,6 +51,18 @@ def _chroma_band_edges(plan: ModemPlan) -> tuple[float, float]:
             ch.bell_f0 + SECAM_TAKEOFF_HALFWIDTH)
 
 
+def _stream_delay(x: jax.Array, d: int) -> jax.Array:
+    """Delay a (..., L, N) block ``d`` samples along the CONCATENATED line
+    stream (the active-video time axis): content crosses line boundaries
+    like a real raster; only the block's first ``d`` samples lack a
+    predecessor (zero-filled)."""
+    lead, (l, n) = x.shape[:-2], x.shape[-2:]
+    stream = x.reshape(lead + (l * n,))
+    return jnp.concatenate(
+        [jnp.zeros(lead + (d,), x.dtype), stream[..., :-d]], axis=-1
+    ).reshape(lead + (l, n))
+
+
 def vhs_playback(
     plan: ModemPlan,
     comp: jax.Array,
@@ -85,11 +97,7 @@ def vhs_playback(
     )
     d = int(round(chroma_delay_us * 1e-6 * plan.fs))
     if d:
-        lead, (l, n) = cb.shape[:-2], cb.shape[-2:]
-        stream = cb.reshape(lead + (l * n,))
-        cb = jnp.concatenate(
-            [jnp.zeros(lead + (d,), cb.dtype), stream[..., :-d]], axis=-1
-        ).reshape(lead + (l, n))
+        cb = _stream_delay(cb, d)
         if isinstance(ch, QamParams):
             # the playback up-converter re-locks carrier phase (burst/
             # crystal), so only the ENVELOPE is delayed: undo the raw
@@ -136,15 +144,7 @@ def impair(
                 f"ghost delay {ghost_delay_us} us = {d} samples exceeds the "
                 f"block's {l * n}-sample line stream"
             )
-        # delay along the concatenated line stream (active-lines time axis);
-        # only the block's very first d samples lack a predecessor
-        stream = comp.reshape(lead + (l * n,))
-        delayed = jnp.concatenate(
-            [jnp.zeros(lead + (d,), comp.dtype), stream[..., :-d]], axis=-1
-        )
-        comp = (stream + jnp.float32(ghost_gain) * delayed).reshape(
-            lead + (l, n)
-        )
+        comp = comp + jnp.float32(ghost_gain) * _stream_delay(comp, d)
     if (chroma_gain != 1.0 or chroma_phase_deg != 0.0
             or diff_gain != 0.0 or diff_phase_deg != 0.0):
         f_lo, f_hi = _chroma_band_edges(plan)

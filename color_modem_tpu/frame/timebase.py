@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from color_modem_tpu.dsp.rdft import irdft, rdft
-from color_modem_tpu.frame.raster import RasterPlan
+from color_modem_tpu.frame.raster import RasterPlan, add_raster
 from color_modem_tpu.modem.plan import ModemPlan
 
 
@@ -109,7 +109,7 @@ def impair_timebase(
 
 def measure_line_shift(
     plan: ModemPlan, rp: RasterPlan, rastered: jax.Array, gline: jax.Array,
-    max_shift: int = 12,
+    max_shift: int | None = None,
 ) -> jax.Array:
     """(..., L) per-line time-base error from the blanking interval.
 
@@ -125,10 +125,11 @@ def measure_line_shift(
     guard regions (bright broadband content that biased the raw estimate
     ~35%, measured), while the template is silent there by construction
     (front porch / post-burst dead zone) — so the guard removes the
-    contamination at no information cost for shifts within ``max_shift``.
+    contamination at no information cost for shifts within ``max_shift``
+    (default: :func:`correctable_reach`).
     """
-    from color_modem_tpu.frame.raster import add_raster
-
+    if max_shift is None:
+        max_shift = correctable_reach(rp)
     if max_shift >= rp.sync_start:
         raise ValueError(
             f"max_shift {max_shift} exceeds the {rp.sync_start}-sample "
@@ -157,10 +158,33 @@ def measure_line_shift(
 
 
 def tbc_correct(
-    plan: ModemPlan, rp: RasterPlan, rastered: jax.Array, gline: jax.Array
+    plan: ModemPlan, rp: RasterPlan, rastered: jax.Array, gline: jax.Array,
+    max_shift: int | None = None,
 ) -> jax.Array:
     """Time-base-correct a rastered block: measure each line's sync/burst
-    timing error and shift the line back.  Fully on-device and jittable."""
+    timing error and shift the line back.  Fully on-device and jittable.
+
+    Shifts beyond ``max_shift`` (default :func:`correctable_reach`) are
+    silently mis-estimated — callers knowing the expected error should
+    refuse up front when it exceeds the reach (the CLI does)."""
     return fractional_shift(
-        rastered, -measure_line_shift(plan, rp, rastered, gline)
+        rastered, -measure_line_shift(plan, rp, rastered, gline, max_shift)
     )
+
+
+def correctable_reach(rp: RasterPlan) -> int:
+    """Largest shift this single-line estimator can honestly correct.
+
+    Two geometric limits (measured: sizing the window beyond them makes
+    the estimate WORSE, not better): an early line pushes the sync edge
+    into the front guard (``sync_start - max_shift >= max_shift``, i.e.
+    ``sync_start // 2``), and a late line pushes the burst (or sync) tail
+    past the blanking window's end.  NTSC at 13.5 MHz: ~10 samples
+    (~0.74 us).  Real TBCs reach further by tracking line-to-line with a
+    PLL (state the single-line design deliberately avoids).
+    """
+    used_end = (
+        rp.burst_start + rp.burst_len if rp.burst_len
+        else rp.sync_start + rp.sync_len
+    )
+    return max(1, min(rp.sync_start // 2, rp.n_blank - used_end))

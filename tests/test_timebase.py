@@ -78,3 +78,27 @@ def test_profile_validation():
     plan = get_plan("ntsc")
     with pytest.raises(ValueError, match="PRNG key"):
         timebase_profile(plan, 16, jitter_us=0.1)
+
+
+def test_correctable_reach_is_the_honest_geometric_limit():
+    """NTSC at 13.5 MHz: min(front-porch/2, post-burst slack) = 10
+    samples (~0.74 us).  Beyond it the estimate silently degrades — which
+    is exactly why tbc_correct defaults to this reach and the CLI refuses
+    larger requested errors instead of pretending."""
+    from color_modem_tpu.frame.timebase import correctable_reach
+
+    rp = make_raster(get_plan("ntsc"))
+    reach = correctable_reach(rp)
+    assert reach == min(rp.sync_start // 2,
+                        rp.n_blank - rp.burst_start - rp.burst_len)
+    assert 8 <= reach <= 16, reach
+
+
+def test_cli_refuses_uncorrectable_tbe(tmp_path):
+    from color_modem_tpu.cli import main
+
+    for tbe in ("1.2", "3.0"):  # both beyond the ~0.74 us NTSC reach
+        with pytest.raises(SystemExit, match="cannot reach"):
+            main(["roundtrip", "--standard", "ntsc", "--decoder", "notch",
+                  "--demo", "--lines", "32", "--raster", "--tbe-us", tbe,
+                  "--tbc", "--output", str(tmp_path / "x.png")])
