@@ -163,6 +163,25 @@ def build_parser() -> argparse.ArgumentParser:
                      help="transmit frames as 2:1 interlaced fields "
                      "(single-device)")
 
+    tc = sub.add_parser(
+        "transcode",
+        help="standards conversion: decode one standard's composite and "
+        "re-encode another's (held-frame rate conversion)",
+    )
+    tc.add_argument("--from", dest="src", required=True,
+                    choices=STANDARD_NAMES)
+    tc.add_argument("--to", dest="dst", required=True,
+                    choices=STANDARD_NAMES)
+    tc.add_argument("--width", type=int, default=720)
+    tc.add_argument("--input", help="image file; omit with --demo")
+    tc.add_argument("--demo", action="store_true",
+                    help="use generated color bars")
+    tc.add_argument("--decoder", default=None,
+                    help="source decoder (default: best line-local)")
+    tc.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    tc.add_argument("--output", help="decoded-at-destination PNG")
+    tc.add_argument("--composite", help="destination composite PNG")
+
     gal = sub.add_parser(
         "gallery",
         help="render every standard x decoder to PNGs for side-by-side "
@@ -259,6 +278,53 @@ def main(argv=None) -> int:
     from color_modem_tpu.frame.pipeline import make_pipeline
     from color_modem_tpu.modem.plan import make_plan
     from color_modem_tpu.utils.metrics import psnr
+
+    if args.cmd == "transcode":
+        import jax.numpy as jnp
+
+        from color_modem_tpu.frame.image_io import load_rgb
+        from color_modem_tpu.frame.transcode import (
+            best_decoder,
+            make_transcoder,
+            resample_lines,
+        )
+        from color_modem_tpu.modem.plan import make_plan
+        from color_modem_tpu.standards import ALL_STANDARDS
+        from color_modem_tpu.utils.testimages import color_bars
+
+        plan_s = make_plan(ALL_STANDARDS[args.src](), args.width)
+        plan_d = make_plan(ALL_STANDARDS[args.dst](), args.width)
+        l_src = plan_s.cfg.active_lines
+        if args.input:
+            rgb = load_rgb(args.input, size=(args.width, l_src))
+        elif args.demo:
+            rgb = color_bars(l_src, args.width).astype(np.float32)
+        else:
+            raise SystemExit("transcode needs --input or --demo")
+        enc_s, _, _ = make_pipeline(plan_s, "notch", args.backend)
+        comp_s = enc_s(jnp.asarray(rgb)[None], 0)
+        conv = make_transcoder(plan_s, plan_d, args.decoder, args.backend)
+        comp_d = conv(comp_s, 0)
+        _, dec_d, _ = make_pipeline(
+            plan_d, best_decoder(plan_d), args.backend
+        )
+        out = np.asarray(dec_d(comp_d, 0))[0]
+        ref = np.asarray(resample_lines(jnp.asarray(rgb)[None],
+                                        out.shape[-2]))[0]
+        result = {
+            "from": args.src, "to": args.dst, "width": args.width,
+            "lines": [int(l_src), int(out.shape[-2])],
+            "decoder": args.decoder or best_decoder(plan_s),
+            "psnr_db_vs_resampled_source": round(psnr(out, ref), 2),
+        }
+        if args.output:
+            save_rgb(args.output, out)
+            result["output"] = args.output
+        if args.composite:
+            save_composite(args.composite, np.asarray(comp_d)[0])
+            result["composite"] = args.composite
+        print(json.dumps(result))
+        return 0
 
     if args.cmd == "gallery":
         import os
