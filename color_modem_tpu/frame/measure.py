@@ -67,6 +67,67 @@ def modulated_staircase(
     ).astype(np.float32).copy()
 
 
+#: multiburst packet frequencies, MHz — the classic set (0.5 through the
+#: chroma region); packets beyond ~0.45 fs are dropped per-plan
+MULTIBURST_MHZ = (0.5, 1.0, 2.0, 3.0, 3.58, 4.2)
+
+
+def multiburst(plan: ModemPlan, n_lines: int,
+               amplitude: float = 0.35) -> np.ndarray:
+    """(3, L, N) gray multiburst: a reference pedestal then sine packets at
+    :data:`MULTIBURST_MHZ` riding mid-gray — the standard luma
+    frequency-response stimulus.  Rendered as equal-RGB (zero chroma), so
+    everything the channel does to it happens in the luma path.
+    """
+    freqs = [f for f in MULTIBURST_MHZ if f * 1e6 < 0.45 * plan.fs]
+    n = plan.n_samples
+    slots = len(freqs) + 1  # slot 0 = flat reference pedestal
+    width = n / slots
+    m = np.arange(n)
+    y = np.full(n, 0.5)
+    for i, f in enumerate(freqs):
+        lo = (i + 1) * width + 0.15 * width
+        hi = (i + 2) * width - 0.15 * width
+        sel = (m >= lo) & (m < hi)
+        y[sel] += amplitude * np.sin(2 * np.pi * f * 1e6 / plan.fs * m[sel])
+    rgb = np.broadcast_to(y, (3, n_lines, n)).astype(np.float32)
+    return rgb.copy()
+
+
+def measure_frequency_response(
+    plan: ModemPlan, luma: jax.Array, amplitude: float = 0.35
+) -> dict:
+    """Per-packet amplitude of a decoded multiburst LUMA plane (..., L, N).
+
+    Least-squares projection of each packet window onto its own
+    ``[sin, cos, DC]`` basis (a plain quadrature correlation is biased up
+    to ~25% at the low packets, whose windows hold a non-integer number
+    of cycles), normalized by the stimulus amplitude: a flat channel
+    reads ~1.0 per packet; VHS playback shows the 3 MHz rolloff; a notch
+    decoder shows the chroma-trap dip near fsc.  Returns ``{MHz: gain}``.
+    """
+    freqs = [f for f in MULTIBURST_MHZ if f * 1e6 < 0.45 * plan.fs]
+    n = luma.shape[-1]
+    slots = len(freqs) + 1
+    width = n / slots
+    m = jnp.arange(n, dtype=jnp.float32)
+    mean_line = jnp.mean(
+        luma.reshape(-1, n).astype(jnp.float32), axis=0
+    )
+    out = {}
+    for i, f in enumerate(freqs):
+        lo = (i + 1) * width + 0.2 * width
+        hi = (i + 2) * width - 0.2 * width
+        w = ((m >= lo) & (m < hi)).astype(jnp.float32)
+        ang = 2.0 * np.pi * f * 1e6 / plan.fs * m
+        basis = jnp.stack([jnp.sin(ang), jnp.cos(ang), jnp.ones_like(m)])
+        G = (w * basis) @ basis.T
+        b = (w * basis) @ mean_line
+        coef = jnp.linalg.solve(G, b)
+        out[f] = float(jnp.hypot(coef[0], coef[1])) / amplitude
+    return out
+
+
 def measure_differential(
     plan: ModemPlan, comp: jax.Array, gline: jax.Array
 ) -> dict:

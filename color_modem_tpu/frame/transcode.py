@@ -98,3 +98,41 @@ def make_transcoder(
         )
 
     return transcode
+
+
+def make_interlaced_transcoder(
+    plan_src: ModemPlan,
+    plan_dst: ModemPlan,
+    decoder: str | None = None,
+    backend: str = "xla",
+):
+    """Field-sequential converter: (2B, L/2, N) source fields ->
+    (2B, L'/2, N) destination fields.
+
+    Composes the interlaced pipelines: decode source fields (weaving the
+    frame), resample the woven raster, re-split with the destination's
+    field line numbering.  Field RATE conversion (50 <-> 59.94) is
+    held-frame like the progressive path: field pairs map one-to-one by
+    frame index.
+    """
+    from color_modem_tpu.frame.interlace import make_interlaced_pipeline
+
+    _, dec_src, _ = make_interlaced_pipeline(
+        plan_src, decoder or best_decoder(plan_src), backend
+    )
+    enc_dst, _, _ = make_interlaced_pipeline(plan_dst, "notch", backend)
+
+    @jax.jit
+    def transcode(comp_fields, frame0=0):
+        rgb = dec_src(comp_fields, frame0)
+        # even line count: the destination raster splits back into fields
+        l_dst = 2 * round(
+            rgb.shape[-2] * plan_dst.cfg.active_lines
+            / plan_src.cfg.active_lines / 2
+        )
+        rgb = resample_lines(rgb, l_dst)
+        if plan_dst.n_samples != plan_src.n_samples:
+            rgb = resample_width(rgb, plan_dst.n_samples)
+        return enc_dst(rgb, frame0)
+
+    return transcode

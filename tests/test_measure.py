@@ -74,6 +74,59 @@ def test_secam_rejected():
         )
 
 
+def test_multiburst_flat_on_clean_composite():
+    """Zero chroma -> composite == luma; every packet reads ~unity."""
+    from color_modem_tpu.frame.measure import (
+        measure_frequency_response,
+        multiburst,
+    )
+
+    plan = get_plan("ntsc")
+    rgb = multiburst(plan, 8)[None]
+    enc, _, _ = make_pipeline(plan, "notch")
+    comp = enc(jnp.asarray(rgb), 0)
+    resp = measure_frequency_response(plan, comp)
+    for f, gn in resp.items():
+        assert abs(gn - 1.0) < 0.05, (f, gn)
+
+
+def test_multiburst_reads_the_vhs_rolloff():
+    from color_modem_tpu.frame.channel import vhs_playback
+    from color_modem_tpu.frame.measure import (
+        measure_frequency_response,
+        multiburst,
+    )
+
+    plan = get_plan("ntsc")
+    rgb = multiburst(plan, 8)[None]
+    enc, _, _ = make_pipeline(plan, "notch")
+    tape = vhs_playback(plan, enc(jnp.asarray(rgb), 0))
+    resp = measure_frequency_response(plan, tape)
+    assert resp[0.5] > 0.85, resp
+    assert resp[3.0] < 0.5, resp       # luma FM channel rolloff
+    assert resp[4.2] < 0.25, resp      # outside the color-under band
+    # 3.58 MHz luma masquerades as chroma and survives the color-under
+    # path — the classic VHS cross-color trap
+    assert resp[3.58] > 0.5, resp
+
+
+def test_multiburst_reads_the_notch_decoders_chroma_trap():
+    """Decoded luma loses the packet at fsc to the chroma notch — the
+    cross-luminance trade measured, not just asserted."""
+    from color_modem_tpu.frame.measure import (
+        measure_frequency_response,
+        multiburst,
+    )
+
+    plan = get_plan("ntsc")
+    rgb = multiburst(plan, 8)[None]
+    enc, dec, _ = make_pipeline(plan, "notch")
+    out = dec(enc(jnp.asarray(rgb), 0), 0)
+    resp = measure_frequency_response(plan, out[:, 0])  # gray: R == Y
+    assert resp[1.0] > 0.85, resp
+    assert resp[3.58] < 0.35, resp
+
+
 def test_staircase_clipping_guard():
     plan = get_plan("ntsc")
     with pytest.raises(ValueError, match="clips"):

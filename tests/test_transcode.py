@@ -69,6 +69,26 @@ def test_resample_lines_shape_and_dc():
     np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-5)
 
 
+def test_interlaced_conversion():
+    """Field-sequential NTSC -> PAL: decode fields, convert the woven
+    raster, re-split with PAL field numbering."""
+    from color_modem_tpu.frame.interlace import make_interlaced_pipeline
+    from color_modem_tpu.frame.transcode import make_interlaced_transcoder
+
+    plan_s, plan_d = get_plan("ntsc"), get_plan("pal")
+    img = smooth_scene(40, N, seed=19).astype(np.float32)[None]
+    enc_s, _, _ = make_interlaced_pipeline(plan_s, "comb3")
+    fields_s = enc_s(jnp.asarray(img), 0)
+    conv = make_interlaced_transcoder(plan_s, plan_d)
+    fields_d = conv(fields_s, 0)
+    assert fields_d.shape == (2, 24, N), fields_d.shape
+    _, dec_d, _ = make_interlaced_pipeline(plan_d, best_decoder(plan_d))
+    out = np.asarray(dec_d(fields_d, 0))
+    ref = np.asarray(resample_lines(jnp.asarray(img), 48))
+    p = psnr(out, ref)
+    assert p > 26.0, p
+
+
 def test_best_decoder_choices():
     assert best_decoder(get_plan("ntsc")) == "comb3"
     assert best_decoder(get_plan("pal")) == "comb3"
