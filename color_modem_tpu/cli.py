@@ -182,6 +182,24 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--output", help="decoded-at-destination PNG")
     tc.add_argument("--composite", help="destination composite PNG")
 
+    ms = sub.add_parser(
+        "measure",
+        help="broadcast T&M loop: staircase + multiburst through a "
+        "channel, report differential gain/phase and frequency response",
+    )
+    ms.add_argument("--standard", default="ntsc",
+                    choices=[s for s in STANDARD_NAMES if s != "secam"])
+    ms.add_argument("--width", type=int, default=720)
+    ms.add_argument("--lines", type=int, default=64)
+    ms.add_argument("--noise", type=float, default=0.0)
+    ms.add_argument("--chroma-gain", type=float, default=1.0)
+    ms.add_argument("--chroma-phase", type=float, default=0.0)
+    ms.add_argument("--diff-gain", type=float, default=0.0)
+    ms.add_argument("--diff-phase", type=float, default=0.0)
+    ms.add_argument("--ghost-delay-us", type=float, default=0.0)
+    ms.add_argument("--ghost-gain", type=float, default=0.0)
+    ms.add_argument("--vhs", action="store_true")
+
     gal = sub.add_parser(
         "gallery",
         help="render every standard x decoder to PNGs for side-by-side "
@@ -278,6 +296,51 @@ def main(argv=None) -> int:
     from color_modem_tpu.frame.pipeline import make_pipeline
     from color_modem_tpu.modem.plan import make_plan
     from color_modem_tpu.utils.metrics import psnr
+
+    if args.cmd == "measure":
+        import jax.numpy as jnp
+
+        from color_modem_tpu.frame.channel import impair, vhs_playback
+        from color_modem_tpu.frame.measure import (
+            measure_differential,
+            measure_frequency_response,
+            modulated_staircase,
+            multiburst,
+        )
+        from color_modem_tpu.frame.pipeline import frame_line_index
+        from color_modem_tpu.modem.plan import make_plan
+        from color_modem_tpu.standards import ALL_STANDARDS
+
+        plan = make_plan(ALL_STANDARDS[args.standard](), args.width)
+        enc, _, _ = make_pipeline(plan, "notch")
+        kw = dict(
+            noise_sigma=args.noise, chroma_gain=args.chroma_gain,
+            chroma_phase_deg=args.chroma_phase, diff_gain=args.diff_gain,
+            diff_phase_deg=args.diff_phase,
+            ghost_delay_us=args.ghost_delay_us, ghost_gain=args.ghost_gain,
+        )
+        key = jax.random.PRNGKey(0) if args.noise > 0.0 else None
+
+        def through(rgb):
+            comp = impair(plan, enc(jnp.asarray(rgb)[None], 0),
+                          key=key, **kw)
+            return vhs_playback(plan, comp) if args.vhs else comp
+
+        g = frame_line_index(plan, 0, 1, args.lines)
+        stair = through(modulated_staircase(plan, args.lines, args.width))
+        rep = measure_differential(plan, stair, g)
+        burst = through(multiburst(plan, args.lines))
+        freq = measure_frequency_response(plan, burst)
+        print(json.dumps({
+            "standard": args.standard,
+            "dg": round(rep["dg"], 4),
+            "dp_deg": round(rep["dp_deg"], 2),
+            "step_phase_deg": [round(float(v), 2)
+                               for v in rep["step_phase_deg"]],
+            "frequency_response": {f"{f}MHz": round(v, 3)
+                                   for f, v in freq.items()},
+        }))
+        return 0
 
     if args.cmd == "transcode":
         import jax.numpy as jnp

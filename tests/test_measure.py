@@ -127,6 +127,18 @@ def test_multiburst_reads_the_notch_decoders_chroma_trap():
     assert resp[3.58] < 0.35, resp
 
 
+def test_cli_measure(capsys):
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["measure", "--standard", "ntsc", "--lines", "16",
+                 "--diff-phase", "20"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(rep["dp_deg"] - 15.0) < 4.0, rep
+    assert abs(rep["frequency_response"]["1.0MHz"] - 1.0) < 0.05, rep
+
+
 def test_staircase_clipping_guard():
     plan = get_plan("ntsc")
     with pytest.raises(ValueError, match="clips"):
