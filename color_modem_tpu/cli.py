@@ -308,7 +308,6 @@ def main(argv=None) -> int:
             multiburst,
         )
         from color_modem_tpu.frame.pipeline import frame_line_index
-        from color_modem_tpu.modem.plan import make_plan
         from color_modem_tpu.standards import ALL_STANDARDS
 
         plan = make_plan(ALL_STANDARDS[args.standard](), args.width)
@@ -319,9 +318,13 @@ def main(argv=None) -> int:
             diff_phase_deg=args.diff_phase,
             ghost_delay_us=args.ghost_delay_us, ghost_gain=args.ghost_gain,
         )
-        key = jax.random.PRNGKey(0) if args.noise > 0.0 else None
+        stim_counter = [0]
 
         def through(rgb):
+            # each stimulus sees its own noise realization
+            key = (jax.random.PRNGKey(stim_counter[0])
+                   if args.noise > 0.0 else None)
+            stim_counter[0] += 1
             comp = impair(plan, enc(jnp.asarray(rgb)[None], 0),
                           key=key, **kw)
             return vhs_playback(plan, comp) if args.vhs else comp
@@ -351,7 +354,6 @@ def main(argv=None) -> int:
             make_transcoder,
             resample_lines,
         )
-        from color_modem_tpu.modem.plan import make_plan
         from color_modem_tpu.standards import ALL_STANDARDS
         from color_modem_tpu.utils.testimages import color_bars
 

@@ -110,22 +110,26 @@ def measure_frequency_response(
     n = luma.shape[-1]
     slots = len(freqs) + 1
     width = n / slots
-    m = jnp.arange(n, dtype=jnp.float32)
+    m = np.arange(n, dtype=np.float64)
     mean_line = jnp.mean(
         luma.reshape(-1, n).astype(jnp.float32), axis=0
     )
-    out = {}
+    # stack every packet's masked [sin, cos, DC] basis host-side and solve
+    # all systems in ONE dispatch + ONE readback (per-packet float()
+    # fetches cost ~0.1 s each through the relay tunnel — CLAUDE.md)
+    wb = np.zeros((len(freqs), 3, n), np.float32)
     for i, f in enumerate(freqs):
         lo = (i + 1) * width + 0.2 * width
         hi = (i + 2) * width - 0.2 * width
-        w = ((m >= lo) & (m < hi)).astype(jnp.float32)
+        w = (m >= lo) & (m < hi)
         ang = 2.0 * np.pi * f * 1e6 / plan.fs * m
-        basis = jnp.stack([jnp.sin(ang), jnp.cos(ang), jnp.ones_like(m)])
-        G = (w * basis) @ basis.T
-        b = (w * basis) @ mean_line
-        coef = jnp.linalg.solve(G, b)
-        out[f] = float(jnp.hypot(coef[0], coef[1])) / amplitude
-    return out
+        wb[i] = np.stack([np.sin(ang), np.cos(ang), np.ones(n)]) * w
+    wb_j = jnp.asarray(wb)
+    G = jnp.einsum("fan,fbn->fab", wb_j, wb_j)
+    b = wb_j @ mean_line
+    coef = jnp.linalg.solve(G, b[..., None])[..., 0]
+    amps = np.asarray(jnp.hypot(coef[:, 0], coef[:, 1]))
+    return {f: float(a) / amplitude for f, a in zip(freqs, amps)}
 
 
 def measure_differential(

@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from color_modem_tpu.dsp.colorimetry import clamp01
 from color_modem_tpu.dsp.resample import resample_width
 from color_modem_tpu.frame.pipeline import (
     decode_block,
@@ -62,14 +63,12 @@ def transcode_block(
     rgb = decode_block(
         plan_src, comp, g_src, decoder or best_decoder(plan_src), backend
     )
-    l_dst = round(
-        comp.shape[-2] * plan_dst.cfg.active_lines
-        / plan_src.cfg.active_lines
-    )
-    rgb = resample_lines(rgb, l_dst)
+    rgb = resample_lines(rgb, g_dst.shape[-1])  # g_dst defines the raster
     if plan_dst.n_samples != plan_src.n_samples:
         rgb = resample_width(rgb, plan_dst.n_samples)
-    return encode_block(plan_dst, rgb, g_dst, backend)
+    # the resample's sinc ringing overshoots [0, 1]; the encoder's input
+    # contract (and any real converter's video clamp) is [0, 1]
+    return encode_block(plan_dst, clamp01(rgb), g_dst, backend)
 
 
 def make_transcoder(
@@ -133,6 +132,6 @@ def make_interlaced_transcoder(
         rgb = resample_lines(rgb, l_dst)
         if plan_dst.n_samples != plan_src.n_samples:
             rgb = resample_width(rgb, plan_dst.n_samples)
-        return enc_dst(rgb, frame0)
+        return enc_dst(clamp01(rgb), frame0)
 
     return transcode
