@@ -75,3 +75,17 @@ def make_svideo_pipeline(standard: str, samples: int = 720,
 
     plan = make_plan(ALL_STANDARDS[standard](), samples)
     return _mk(plan, backend)
+
+
+def make_transcoder(src: str, dst: str, samples: int = 720,
+                    decoder: str | None = None, backend: str = "xla"):
+    """Standards converter by name (frame.transcode):
+    ``conv = cmt.make_transcoder("ntsc", "pal"); pal = conv(ntsc_comp)``."""
+    from color_modem_tpu.frame.transcode import make_transcoder as _mk
+    from color_modem_tpu.modem.plan import make_plan
+
+    return _mk(
+        make_plan(ALL_STANDARDS[src](), samples),
+        make_plan(ALL_STANDARDS[dst](), samples),
+        decoder, backend,
+    )
