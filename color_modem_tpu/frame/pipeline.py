@@ -86,7 +86,10 @@ def decode_block(
         else:
             ycc = secam_mod.decode(plan, comp, gline)
     else:
-        if backend == "pallas":
+        if backend == "pallas" and decoder != "combA":
+            # combA's data-dependent blend lives outside the fused-kernel
+            # structure (stencil -> shared BPF); it runs on the XLA path
+            # regardless of backend (standards/decoders.py note)
             from color_modem_tpu.kernels import qam as qam_k
             from color_modem_tpu.separate.comb import stencil_signal
 

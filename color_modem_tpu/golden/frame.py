@@ -107,6 +107,30 @@ def _decode_qam(plan, comp, frame, decoder):
                 (2.0 * comp[l] - prev - nxt) / 4.0, plan.chroma_bpf
             )
             y = comp[l] - chroma_band
+        elif decoder == "combA":
+            # adaptive (soft-switching) comb — same math as
+            # separate.comb.separate_adaptive, per scanline: blend the
+            # up/down differences by the COMB COMPLEMENTS' energies (the
+            # band-limited sum cancels chroma only for a matching neighbor)
+            from color_modem_tpu.standards.decoders import (
+                ADAPTIVE_BIAS,
+                ADAPTIVE_EPS,
+            )
+
+            prev = comp[_reflect(l - p, n_lines)]
+            nxt = comp[_reflect(l + p, n_lines)]
+            d1 = conv_same((comp[l] - prev) / 2.0, plan.chroma_bpf)
+            d2 = conv_same((comp[l] - nxt) / 2.0, plan.chroma_bpf)
+            k1 = conv_same((comp[l] + prev) / 2.0, plan.chroma_bpf)
+            k2 = conv_same((comp[l] + nxt) / 2.0, plan.chroma_bpf)
+            e1 = conv_same(k1 * k1, plan.comb_sel_lpf)
+            e2 = conv_same(k2 * k2, plan.comb_sel_lpf)
+            bias = ADAPTIVE_BIAS * conv_same(
+                d1 * d1 + d2 * d2, plan.comb_sel_lpf
+            ) + ADAPTIVE_EPS
+            w1 = (e2 + bias) / (e1 + e2 + 2.0 * bias)
+            chroma_band = w1 * d1 + (1.0 - w1) * d2
+            y = comp[l] - chroma_band
         else:  # notch / delayline / avg all separate with the sample-axis notch
             y, chroma_band = modem.separate_notch(comp[l])
         luma[l] = y

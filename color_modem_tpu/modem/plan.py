@@ -57,6 +57,7 @@ class ModemPlan:
     c1_lpf: Optional[np.ndarray] = None
     c2_lpf: Optional[np.ndarray] = None
     chroma_bpf: Optional[np.ndarray] = None
+    comb_sel_lpf: Optional[np.ndarray] = None  # adaptive-comb energy smoother
 
     # --- SECAM FM family; None for QAM standards ---------------------------
     comp_lpf: Optional[np.ndarray] = None      # baseband D'R/D'B LPF
@@ -108,6 +109,10 @@ def make_plan(
             chroma_bpf=design.bandpass_taps(
                 fs, ch.fsc - ch.chroma_band, ch.fsc + ch.chroma_band, ntaps
             ),
+            # adaptive comb (separate.comb 'combA'): the up/down difference
+            # energies are smoothed to ~0.5 MHz before blending, so the
+            # soft switch follows picture structure, not carrier ripple
+            comb_sel_lpf=design.lowpass_taps(fs, 0.5e6, 63),
             **common,
         )
     assert isinstance(ch, FmParams)

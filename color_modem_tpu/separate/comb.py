@@ -22,7 +22,7 @@ from color_modem_tpu.separate.stencil import (
     prev_reflect_frames,
 )
 
-SEPARATORS = ("notch", "comb2", "comb3", "comb3d")
+SEPARATORS = ("notch", "comb2", "comb3", "comb3d", "combA")
 
 
 def stencil_signal(plan: ModemPlan, comp: jax.Array, decoder: str) -> jax.Array:
@@ -57,5 +57,47 @@ def stencil_signal(plan: ModemPlan, comp: jax.Array, decoder: str) -> jax.Array:
 
 def separate(plan: ModemPlan, comp: jax.Array, decoder: str):
     """(..., L, N) composite -> (luma, chroma_band)."""
+    if decoder == "combA":
+        return separate_adaptive(plan, comp)
     chroma_band = fir_same(stencil_signal(plan, comp, decoder), plan.chroma_bpf)
+    return comp - chroma_band, chroma_band
+
+
+def separate_adaptive(plan: ModemPlan, comp: jax.Array):
+    """Soft-switching adaptive comb (K5+, 'combA').
+
+    A fixed comb averages across vertical color transitions and smears
+    them; an adaptive comb picks the neighbor that actually matches.  The
+    match metric is the COMB COMPLEMENT: the band-limited SUM with a
+    neighbor cancels chroma exactly when that neighbor carries the same
+    chroma (the phase flips at the comb spacing), so its smoothed energy
+    measures mismatch directly.  (The difference's energy — the first
+    thing tried — is wrong: across a hue edge the two chromas partially
+    cancel in the difference, making the WRONG side look quiet.)  The two
+    difference estimates blend with weights inversely proportional to the
+    complements' energies — a CONTINUOUS switch (hard selection would be
+    fp-fragile at decision boundaries and visibly noisy).  Matches the
+    golden oracle's combA float-for-float; plain jnp on every backend.
+    """
+    from color_modem_tpu.standards.decoders import (
+        ADAPTIVE_BIAS,
+        ADAPTIVE_EPS,
+    )
+
+    p = comb_spacing(plan.cfg)
+    prev = prev_reflect(comp, p)
+    nxt = next_reflect(comp, p)
+    d1 = fir_same((comp - prev) / 2.0, plan.chroma_bpf)
+    d2 = fir_same((comp - nxt) / 2.0, plan.chroma_bpf)
+    k1 = fir_same((comp + prev) / 2.0, plan.chroma_bpf)
+    k2 = fir_same((comp + nxt) / 2.0, plan.chroma_bpf)
+    e1 = fir_same(k1 * k1, plan.comb_sel_lpf)
+    e2 = fir_same(k2 * k2, plan.comb_sel_lpf)
+    # chroma-scale bias: without it, near-zero complements on smooth
+    # content let noise swing the weights (standards/decoders.py note)
+    bias = ADAPTIVE_BIAS * fir_same(
+        d1 * d1 + d2 * d2, plan.comb_sel_lpf
+    ) + ADAPTIVE_EPS
+    w1 = (e2 + bias) / (e1 + e2 + 2.0 * bias)
+    chroma_band = w1 * d1 + (1.0 - w1) * d2
     return comp - chroma_band, chroma_band

@@ -13,7 +13,24 @@ from color_modem_tpu.standards.base import FmParams, StandardConfig
 #: adjacent lines — equivalent to the hardware subcarrier delay-line trick
 #: under ideal demodulation; 'avg' is the reference's chroma-averaging
 #: wrapper, the same operation applied to any QAM standard [MEM-M].
-QAM_DECODERS = ("notch", "comb2", "comb3", "delayline", "avg")
+#: 'combA' is the ADAPTIVE comb (soft-switching, like late-generation TV
+#: chips): blends the up/down line differences by local smoothed energy,
+#: so vertical color transitions take the matching neighbor instead of
+#: averaging across the edge; runs on the XLA path (pipeline.decode_block).
+QAM_DECODERS = ("notch", "comb2", "comb3", "combA", "delayline", "avg")
+#: adaptive-comb soft-switch regularizers (shared by the JAX path and the
+#: golden oracle so they stay float-comparable).  EPS is an absolute
+#: floor; BIAS adds a chroma-scale term to both complement energies so the
+#: blend stays at the symmetric comb (w=1/2) unless mismatch evidence is
+#: comparable to the chroma itself — without it, smooth content (near-zero
+#: in-band luma) lets complement NOISE swing the weights and inject the
+#: single-sided combs' asymmetry error (measured: -10 dB on smooth scenes).
+ADAPTIVE_EPS = 1e-9
+#: swept 0.25/0.1/0.05 on the edge + smooth fixtures: smooth PSNR is flat
+#: across the range (the chroma-scale bias dominates the near-zero
+#: complements there regardless), edge PSNR rises as the bias drops
+#: (36.1/38.5/39.7 dB vs comb3's 31.0)
+ADAPTIVE_BIAS = 0.05
 FM_DECODERS = ("notch",)
 #: 'comb3d' — TEMPORAL comb: the chroma phase also inverts at 1-2 FRAME
 #: spacing (NTSC: 227.5 cyc/line * 525 lines = half-integer cycles/frame),

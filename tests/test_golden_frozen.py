@@ -19,7 +19,12 @@ FROZEN = {
     # REFUSES decoder='comb3d' (it used to fall through to notch silently;
     # the per-frame oracle cannot represent a cross-frame decoder).  No
     # numerical path changed.
-    "frame.py": "4475133be628fd47",
+    # frame.py updated 2026-08-17: ADDITIVE change — a 'combA' branch
+    # (adaptive soft-switching comb, a new decoder with no reference
+    # counterpart) was added to _decode_qam.  Every pre-existing decoder's
+    # numerical path is untouched; the new branch was written first here,
+    # per-scanline NumPy, then mirrored in separate/comb.py.
+    "frame.py": "61da070d8c00afcd",
     "modems.py": "4450943b469337c1",
 }
 
