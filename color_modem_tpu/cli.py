@@ -248,10 +248,11 @@ def _load_input(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if getattr(args, "decoder", None) == "comb3d" and args.cmd != "video":
+    if (getattr(args, "decoder", None) in ("comb3d", "comb3dA")
+            and args.cmd != "video"):
         raise SystemExit(
-            "comb3d is a temporal decoder (combs along the frame axis) — "
-            "use the 'video' subcommand"
+            f"{args.decoder} is a temporal decoder (combs along the frame "
+            "axis) — use the 'video' subcommand"
         )
     if getattr(args, "burst_locked", False):
         # validate before any compute: needs a rastered line and a standard
@@ -429,7 +430,7 @@ def main(argv=None) -> int:
             )
             dec_notch = None
             for decoder in allowed_decoders(cfg):
-                if decoder == "comb3d":
+                if decoder in ("comb3d", "comb3dA"):
                     continue  # temporal: needs a frame sequence, not a still
                 _, dec, _ = make_pipeline(plan, decoder, args.backend)
                 if decoder == "notch":

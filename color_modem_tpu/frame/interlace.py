@@ -110,7 +110,7 @@ def make_interlaced_pipeline(
     pulses are not modeled, as in the progressive raster path).
     """
     check_decoder(plan, decoder)
-    temporal = decoder == "comb3d"
+    temporal = decoder in ("comb3d", "comb3dA")
     rp = None
     if raster:
         from color_modem_tpu.frame.raster import (

@@ -86,7 +86,7 @@ def decode_block(
         else:
             ycc = secam_mod.decode(plan, comp, gline)
     else:
-        if backend == "pallas" and decoder != "combA":
+        if backend == "pallas" and decoder not in ("combA", "comb3dA"):
             # combA's data-dependent blend lives outside the fused-kernel
             # structure (stencil -> shared BPF); it runs on the XLA path
             # regardless of backend (standards/decoders.py note)

@@ -232,7 +232,7 @@ def process_video(
     frame_axis = int(mesh.devices.shape[0]) if mesh is not None else 1
     min_per_dev = 1
     overlap = 0
-    if decoder == "comb3d":
+    if decoder in ("comb3d", "comb3dA"):
         from color_modem_tpu.standards.decoders import temporal_comb_spacing
 
         pt = temporal_comb_spacing(plan.cfg) or 1

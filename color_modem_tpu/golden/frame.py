@@ -70,12 +70,12 @@ def decode_frame(
         raise ValueError(
             f"{cfg.name} supports decoders {allowed}, got {decoder!r}"
         )
-    if decoder == "comb3d":
+    if decoder in ("comb3d", "comb3dA"):
         # temporal: crosses frames, which this per-frame oracle by design
         # cannot represent — refuse rather than silently fall back to notch
         raise NotImplementedError(
-            "the golden oracle decodes one frame at a time; comb3d is "
-            "verified from first principles in tests/test_comb3d.py"
+            "the golden oracle decodes one frame at a time; the temporal "
+            "combs are verified from first principles in tests/test_comb3d.py"
         )
     if isinstance(cfg.chroma, FmParams):
         ycc = _decode_secam(plan, comp, frame)

@@ -41,9 +41,10 @@ from color_modem_tpu.parallel.mesh import FRAME_AXIS, LINE_AXIS
 
 
 def required_halo(plan: ModemPlan, decoder: str) -> int:
-    """Stencil depth of the decode path: comb spacing, else the 1-line
+    """LINE-stencil depth of the decode path: comb spacing for every
+    line-comb variant (fixed and adaptive), else the 1-line
     pairing/averaging shift (SECAM pairing, NIIR normalize, delay-line)."""
-    if decoder in ("comb2", "comb3"):
+    if decoder in ("comb2", "comb3", "combA", "comb3dA"):
         return comb_spacing(plan.cfg)
     return 1
 
@@ -107,17 +108,23 @@ def make_sharded_pipeline(
     def _decode_blk(comp_blk, frame0):
         b_blk, l_blk, _ = comp_blk.shape
         g = _block_gline(plan, frame0, b_blk, l_blk)
-        if decoder == "comb3d":
+        if decoder in ("comb3d", "comb3dA"):
             # the temporal comb's stencil crosses the FRAME (data-parallel)
-            # axis instead of the line axis: exchange frame halos on the
-            # frame ring, decode the extended block, crop the halo frames.
-            # gline for the halo frames is computed locally (it is pure
-            # arithmetic of the mesh position — no collective needed).
+            # axis: exchange frame halos on the frame ring, decode the
+            # extended block, crop the halo frames.  gline for the halo
+            # frames is computed locally (pure arithmetic of the mesh
+            # position — no collective needed).  comb3dA's spatial half
+            # additionally needs the usual LINE halos: extend both axes,
+            # crop both.
             pt = temporal_comb_spacing(plan.cfg)
             cext = halo_extend_frames(comp_blk, pt, FRAME_AXIS)
             gext = _block_gline_frames_ext(plan, frame0, b_blk, l_blk, pt)
+            if decoder == "comb3dA":
+                cext = halo_extend(cext, h, LINE_AXIS)
+                gext = halo_extend_lines(gext, h, LINE_AXIS)
             rgb = decode_block(plan, cext, gext, decoder, backend)
-            return rgb[pt : pt + b_blk]
+            rgb = rgb[pt : pt + b_blk]
+            return crop_halo(rgb, h) if decoder == "comb3dA" else rgb
         cext = halo_extend(comp_blk, h, LINE_AXIS)
         gext = halo_extend_lines(g, h, LINE_AXIS)
         rgb = decode_block(plan, cext, gext, decoder, backend)

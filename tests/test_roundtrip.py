@@ -74,9 +74,10 @@ def _variant_pairs():
         (name, dec)
         for name, factory in ALL_STANDARDS.items()
         for dec in allowed_decoders(factory())
-        # comb3d is temporal: meaningless on this single-frame fixture and
-        # beyond the per-frame golden oracle — tests/test_comb3d.py instead
-        if (name, dec) not in ROUNDTRIP_BOUNDS and dec != "comb3d"
+        # the temporal combs are meaningless on this single-frame fixture
+        # and beyond the per-frame golden oracle — tests/test_comb3d.py
+        if (name, dec) not in ROUNDTRIP_BOUNDS
+        and dec not in ("comb3d", "comb3dA")
     )
 
 
