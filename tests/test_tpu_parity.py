@@ -22,7 +22,8 @@ from color_modem_tpu.utils.testimages import smooth_scene
 
 CASES = [("ntsc", "comb3", "pallas"), ("ntsc", "comb3", "xla"),
          ("secam", "notch", "pallas"), ("pal", "delayline", "pallas"),
-         ("ntsc", "comb3d", "pallas")]
+         ("ntsc", "comb3d", "pallas"),
+         ("ntsc", "combA", "xla"), ("ntsc", "comb3dA", "xla")]
 
 _SCRIPT = """
 import sys, numpy as np
@@ -176,7 +177,17 @@ def test_tpu_matches_cpu(tmp_path):
             tpu[f"{name}-{decoder}-{backend}-comp"], np.asarray(comp),
             atol=2e-4, err_msg=f"{name}-{decoder}-{backend} composite",
         )
-        np.testing.assert_allclose(
-            tpu[f"{name}-{decoder}-{backend}-rgb"], np.asarray(dec(comp, 0)),
-            atol=2e-3, err_msg=f"{name}-{decoder}-{backend} rgb",
+        err = np.abs(
+            tpu[f"{name}-{decoder}-{backend}-rgb"] - np.asarray(dec(comp, 0))
         )
+        if decoder in ("combA", "comb3dA"):
+            # the adaptive soft switch is fp-sensitive exactly where the
+            # complement energies tie: isolated samples may pick slightly
+            # different blends on TPU (measured 0.013% of samples, <=0.02)
+            frac = float((err > 2e-3).mean())
+            assert frac < 1e-3 and err.max() < 0.05, (
+                f"{name}-{decoder}-{backend} rgb: {frac:.5f} outliers, "
+                f"max {err.max():.4f}")
+        else:
+            assert err.max() < 2e-3, (
+                f"{name}-{decoder}-{backend} rgb: max {err.max():.5f}")
