@@ -159,6 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-chunk GCR ghost cancellation before decode")
     vid.add_argument("--vhs", action="store_true",
                      help="VHS color-under playback signature per chunk")
+    vid.add_argument("--nr", action="store_true",
+                     help="motion-gated temporal noise reduction on the "
+                     "decoded frames (auto noise-floor estimation)")
     vid.add_argument("--interlaced", action="store_true",
                      help="transmit frames as 2:1 interlaced fields "
                      "(single-device)")
@@ -520,6 +523,7 @@ def main(argv=None) -> int:
             lines=lines,
             channel=channel,
             interlaced=args.interlaced,
+            nr=args.nr,
         )
         print(json.dumps(summary))
         return 0

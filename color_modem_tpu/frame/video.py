@@ -91,6 +91,7 @@ def process_video(
     lines: int | None = None,
     channel: dict | None = None,
     interlaced: bool = False,
+    nr: bool = False,
 ) -> dict:
     """Round-trip ``n_frames`` frames in chunks; returns the run summary.
 
@@ -112,6 +113,9 @@ def process_video(
     ``interlaced``: transmit each frame as two 2:1 fields
     (frame.interlace); single-device only (the sharded pipeline shards
     progressive frame/line axes).  comb3d combs same-parity fields.
+
+    ``nr``: motion-gated temporal noise reduction on the decoded frames
+    (frame.nr, auto noise-floor estimation) inside the jitted chunk step.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = ChunkManifest(out_dir) if resume else None
@@ -126,6 +130,7 @@ def process_video(
         "backend": backend,
         "channel": channel,
         "interlaced": interlaced,
+        "nr": nr,
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
     if manifest:
@@ -215,14 +220,29 @@ def process_video(
         fp = fingerprint_jnp(out * mask[:, None, None, None])
         return q, fp
 
+    if nr:
+        from color_modem_tpu.frame.nr import temporal_nr
+
+        # known channel noise: pass it as the gate threshold (the
+        # composite sigma lower-bounds the decoded-plane sigma, so the
+        # gate errs conservative).  Auto-estimation is the fallback, and
+        # it mis-gates under whole-frame motion (frame.nr docstring).
+        nr_sigma = None
+        if channel and float(channel.get("noise_sigma", 0.0)) > 0.0:
+            nr_sigma = float(channel["noise_sigma"])
+
+    def _roundtrip_nr(rgb, frame0):
+        out = roundtrip(rgb, frame0)
+        return temporal_nr(out, nr_sigma) if nr else out
+
     @jax.jit
     def step(rgb, frame0, off, n_real):
-        out = roundtrip(rgb, frame0)
+        out = _roundtrip_nr(rgb, frame0)
         return (out,) + _metrics(out, rgb, off, n_real)
 
     @jax.jit
     def step_metrics(rgb, frame0, off, n_real):
-        out = roundtrip(rgb, frame0)
+        out = _roundtrip_nr(rgb, frame0)
         return _metrics(out, rgb, off, n_real)
 
     # the sharded pipeline needs the frame batch to divide the mesh frame

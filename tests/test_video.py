@@ -97,6 +97,24 @@ def test_video_ghost_equalize(tmp_path):
     assert good["min_psnr_db"] - bad["min_psnr_db"] > 3.0, (bad, good)
 
 
+def test_video_nr(tmp_path):
+    """Noisy static video through --nr gains several dB per chunk."""
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    plan = get_plan("ntsc")
+    one = smooth_scene(L, TEST_SAMPLES, seed=3).astype(np.float32)
+    static = lambda start, count: np.broadcast_to(  # noqa: E731
+        one, (count,) + one.shape
+    )
+    noise = {"noise_sigma": 0.02}
+    raw = process_video(plan, static, 4, str(tmp_path / "raw"),
+                        decoder="comb3", chunk=4, channel=dict(noise))
+    den = process_video(plan, static, 4, str(tmp_path / "den"),
+                        decoder="comb3", chunk=4, channel=dict(noise),
+                        nr=True)
+    assert den["min_psnr_db"] - raw["min_psnr_db"] > 2.5, (raw, den)
+
+
 def test_chunk_fingerprints_are_deterministic(tmp_path):
     plan = get_plan("ntsc")
     src = synthetic_source(L, TEST_SAMPLES)
