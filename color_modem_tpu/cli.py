@@ -159,9 +159,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-chunk GCR ghost cancellation before decode")
     vid.add_argument("--vhs", action="store_true",
                      help="VHS color-under playback signature per chunk")
-    vid.add_argument("--nr", action="store_true",
-                     help="motion-gated temporal noise reduction on the "
-                     "decoded frames (auto noise-floor estimation)")
+    vid.add_argument("--nr", type=float, default=None, metavar="SIGMA",
+                     help="motion-gated temporal noise reduction with this "
+                     "expected noise sigma (explicit by design: the "
+                     "auto-estimator mis-gates under whole-frame motion)")
     vid.add_argument("--interlaced", action="store_true",
                      help="transmit frames as 2:1 interlaced fields "
                      "(single-device)")
@@ -523,7 +524,8 @@ def main(argv=None) -> int:
             lines=lines,
             channel=channel,
             interlaced=args.interlaced,
-            nr=args.nr,
+            nr=args.nr is not None,
+            nr_sigma=args.nr,
         )
         print(json.dumps(summary))
         return 0

@@ -28,6 +28,8 @@ from color_modem_tpu.separate.stencil import (
 def _box_smooth(x: jax.Array, width: int, axis: int) -> jax.Array:
     """O(n) cumulative-sum box filter along one axis, edge-held borders
     (no conv lowering involved — see the lax.conv pitfall in equalize.py)."""
+    if width % 2 != 1:
+        raise ValueError(f"box width must be odd, got {width}")
     pad = width // 2
     xm = jnp.moveaxis(x, axis, -1)
     xp = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(pad, pad)], mode="edge")

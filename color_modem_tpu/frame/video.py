@@ -92,6 +92,7 @@ def process_video(
     channel: dict | None = None,
     interlaced: bool = False,
     nr: bool = False,
+    nr_sigma: float | None = None,
 ) -> dict:
     """Round-trip ``n_frames`` frames in chunks; returns the run summary.
 
@@ -115,7 +116,10 @@ def process_video(
     progressive frame/line axes).  comb3d combs same-parity fields.
 
     ``nr``: motion-gated temporal noise reduction on the decoded frames
-    (frame.nr, auto noise-floor estimation) inside the jitted chunk step.
+    (frame.nr) inside the jitted chunk step.  Gate threshold priority:
+    explicit ``nr_sigma``, else the channel's known ``noise_sigma``, else
+    the auto noise-floor estimator — which mis-gates under whole-frame
+    motion (frame.nr docstring), so prefer an explicit sigma.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = ChunkManifest(out_dir) if resume else None
@@ -130,7 +134,9 @@ def process_video(
         "backend": backend,
         "channel": channel,
         "interlaced": interlaced,
-        "nr": nr,
+        # sparse (cli.py convention): a new always-present key would refuse
+        # to resume every run whose manifest predates the option
+        **({"nr": True} if nr else {}),
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
     if manifest:
@@ -223,12 +229,13 @@ def process_video(
     if nr:
         from color_modem_tpu.frame.nr import temporal_nr
 
-        # known channel noise: pass it as the gate threshold (the
-        # composite sigma lower-bounds the decoded-plane sigma, so the
-        # gate errs conservative).  Auto-estimation is the fallback, and
-        # it mis-gates under whole-frame motion (frame.nr docstring).
-        nr_sigma = None
-        if channel and float(channel.get("noise_sigma", 0.0)) > 0.0:
+        # explicit sigma wins; else known channel noise (the composite
+        # sigma lower-bounds the decoded-plane sigma, so the gate errs
+        # conservative); auto-estimation is the last resort and mis-gates
+        # under whole-frame motion (frame.nr docstring)
+        if nr_sigma is None and channel and float(
+            channel.get("noise_sigma", 0.0)
+        ) > 0.0:
             nr_sigma = float(channel["noise_sigma"])
 
     def _roundtrip_nr(rgb, frame0):
@@ -262,6 +269,13 @@ def process_video(
         # per side and the decoder's stencil sees TRUE neighbors at chunk
         # boundaries (only the video's global first/last frames substitute)
         overlap = pt
+    if nr:
+        # NR's 3-frame stencil needs >= 2 frames per block (a tail chunk
+        # of one frame would crash) and TRUE neighbors at chunk edges —
+        # without the overlap, boundary frames averaged in-chunk
+        # substitutes and the result depended on the chunk size
+        min_per_dev = max(min_per_dev, 2)
+        overlap = max(overlap, 1)
 
     def _pad_frames(rgb):
         b = rgb.shape[0]

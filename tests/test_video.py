@@ -113,6 +113,27 @@ def test_video_nr(tmp_path):
                         decoder="comb3", chunk=4, channel=dict(noise),
                         nr=True)
     assert den["min_psnr_db"] - raw["min_psnr_db"] > 2.5, (raw, den)
+    # a one-frame tail chunk must pad, not crash the 3-frame stencil
+    s = process_video(plan, static, 5, str(tmp_path / "tail"),
+                      decoder="comb3", chunk=4, channel=dict(noise),
+                      nr=True)
+    assert s["frames_processed_this_run"] == 5
+
+
+def test_video_nr_chunk_independent(tmp_path):
+    """NR at chunk boundaries must see TRUE neighbor frames (overlap
+    fetch), so the denoised output cannot depend on the chunk size."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)  # distinct frame per index
+    outs = {}
+    for chunk in (2, 6):
+        d = str(tmp_path / f"c{chunk}")
+        process_video(plan, src, 6, d, decoder="comb3", chunk=chunk,
+                      nr=True, nr_sigma=0.5, save_outputs=True)
+        outs[chunk] = np.concatenate([
+            np.load(f"{d}/rgb_{s:06d}.npy") for s in range(0, 6, chunk)
+        ])
+    np.testing.assert_allclose(outs[2], outs[6], atol=1e-6)
 
 
 def test_chunk_fingerprints_are_deterministic(tmp_path):
