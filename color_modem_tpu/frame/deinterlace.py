@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from color_modem_tpu.frame.nr import _box_smooth
+from color_modem_tpu.frame.nr import box_smooth
 
 
 def fields_from_framerate(rgb2x: jax.Array) -> jax.Array:
@@ -89,8 +89,12 @@ def deinterlace(
     planes, as in :func:`frame.nr.temporal_nr`.
     """
     b2 = fields.shape[0]
-    if b2 % 2 != 0:
-        raise ValueError("needs a field-sequential batch (even count)")
+    if b2 % 2 != 0 or b2 < 4:
+        raise ValueError(
+            "needs a field-sequential batch of >= 4 fields (even count): "
+            "the same-parity motion metric compares fields two instants "
+            f"apart, got {b2}"
+        )
     x = fields.astype(jnp.float32)
     # temporal neighbor (the other parity, previous instant; first field
     # borrows its successor)
@@ -99,26 +103,22 @@ def deinterlace(
     # geometry, so their difference is phase- and position-consistent
     same_par_prev = jnp.concatenate([x[2:4], x[:-2]], axis=0)
     d = jnp.mean((x - same_par_prev) ** 2, axis=1, keepdims=True)
-    d = _box_smooth(_box_smooth(d, spatial_smooth, -1), spatial_smooth, -2)
+    d = box_smooth(box_smooth(d, spatial_smooth, -1), spatial_smooth, -2)
     noise_floor = 4.0 * sigma * sigma
     w_static = (2.0 * noise_floor) / (
         2.0 * noise_floor + jnp.maximum(d - noise_floor, 0.0) + 1e-9
     )
-    bobbed = bob(x)
-    woven_fill = neighbor  # the other field's rows, at their true parity
-    parity = jnp.arange(b2) % 2
-    out = bobbed
-    # replace the filled rows with a weave/bob blend: for top fields the
-    # filled rows are the odd ones (neighbor carries odd rows), and vice
-    # versa
-    blend = w_static * woven_fill + (1.0 - w_static) * jnp.where(
-        parity[:, None, None, None] == 0,
-        bobbed[..., 1::2, :],
-        bobbed[..., 0::2, :],
+    # fill candidates at HALF height (no full-frame temporaries): bob's
+    # vertical interpolation per parity, and the neighbor field's rows
+    prev_line = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+    next_line = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+    parity = (jnp.arange(b2) % 2)[:, None, None, None]
+    bob_fill = jnp.where(
+        parity == 0, 0.5 * (x + next_line), 0.5 * (x + prev_line)
     )
-    out = jnp.where(
-        (parity[:, None, None, None] == 0),
-        out.at[..., 1::2, :].set(blend),
-        out.at[..., 0::2, :].set(blend),
-    )
-    return out
+    blend = w_static * neighbor + (1.0 - w_static) * bob_fill
+    # interleave own/filled rows in one reshape (the weave_fields pattern)
+    even_rows = jnp.where(parity == 0, x, blend)
+    odd_rows = jnp.where(parity == 0, blend, x)
+    pair = jnp.stack([even_rows, odd_rows], axis=-2)  # (2B, 3, L/2, 2, N)
+    return pair.reshape(pair.shape[:-3] + (-1, pair.shape[-1]))

@@ -25,7 +25,7 @@ from color_modem_tpu.separate.stencil import (
 )
 
 
-def _box_smooth(x: jax.Array, width: int, axis: int) -> jax.Array:
+def box_smooth(x: jax.Array, width: int, axis: int) -> jax.Array:
     """O(n) cumulative-sum box filter along one axis, edge-held borders
     (no conv lowering involved — see the lax.conv pitfall in equalize.py)."""
     if width % 2 != 1:
@@ -83,7 +83,7 @@ def temporal_nr(
     # motion metric: mean-square frame difference over channels, smoothed
     # over a small spatial window (noise averages down, real motion stays)
     d = jnp.mean((x - prev) ** 2 + (x - nxt) ** 2, axis=0, keepdims=True)
-    d = _box_smooth(_box_smooth(d, spatial_smooth, -1), spatial_smooth, -2)
+    d = box_smooth(box_smooth(d, spatial_smooth, -1), spatial_smooth, -2)
     # two uncorrelated noise differences contribute E[d] = 4 sigma^2; the
     # gate stays open for that and closes as the EXCESS grows picture-sized
     if sigma is None:

@@ -135,8 +135,10 @@ def process_video(
         "channel": channel,
         "interlaced": interlaced,
         # sparse (cli.py convention): a new always-present key would refuse
-        # to resume every run whose manifest predates the option
-        **({"nr": True} if nr else {}),
+        # to resume every run whose manifest predates the option.  The
+        # sigma is part of the config: resuming with a different gate
+        # threshold would mix denoise levels across chunk boundaries.
+        **({"nr": True, "nr_sigma": nr_sigma} if nr else {}),
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
     if manifest:

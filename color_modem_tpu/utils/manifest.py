@@ -38,11 +38,19 @@ class ChunkManifest:
     def _key(start: int, end: int) -> str:
         return f"{start}-{end}"
 
+    @staticmethod
+    def _normalize(config: dict) -> dict:
+        # configs use SPARSE optional keys (cli.py convention) so that new
+        # options don't refuse old manifests; drop falsy optional keys that
+        # one interim version recorded unconditionally
+        return {k: v for k, v in config.items()
+                if not (k == "nr" and not v)}
+
     def check_config(self, config: dict) -> None:
         """A manifest written under a different config must not be resumed."""
         if self.data["config"] is None:
             self.data["config"] = config
-        elif self.data["config"] != config:
+        elif self._normalize(self.data["config"]) != self._normalize(config):
             raise ValueError(
                 f"manifest at {self.path} was written with config "
                 f"{self.data['config']}, refusing to resume with {config}"

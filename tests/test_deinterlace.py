@@ -19,7 +19,6 @@ from color_modem_tpu.frame.deinterlace import (
     weave,
 )
 from color_modem_tpu.frame.interlace import (
-    field_line_index,
     make_interlaced_pipeline,
     split_fields,
 )
