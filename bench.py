@@ -64,11 +64,6 @@ def main() -> None:
             file=sys.stderr,
         )
         args.decoder = fallback
-    backend = args.backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    _, _, roundtrip = make_pipeline(plan, args.decoder, backend)
-
     from color_modem_tpu.utils.testimages import smooth_scene
 
     # band-limited scene: makes the reported PSNR a meaningful health check
@@ -79,11 +74,6 @@ def main() -> None:
     )
 
     from color_modem_tpu.utils.profiling import force
-
-    # warmup / compile
-    out = roundtrip(rgb, 0)
-    force(out)
-    quality = psnr(np.asarray(out), np.asarray(rgb))
 
     # HONEST timing through the axon relay tunnel (CLAUDE.md; every piece
     # is load-bearing):
@@ -104,20 +94,43 @@ def main() -> None:
     # output buffers in order instead of holding `count` frames live.
     frame_counter = [0]
 
-    def _window(count: int) -> float:
-        t0 = time.perf_counter()
-        acc = []
-        for _ in range(count):
-            o = roundtrip(rgb, frame_counter[0])
-            frame_counter[0] += 1
-            acc.append(o.ravel()[:4].sum())
-        force(acc)
-        return time.perf_counter() - t0
+    def _measure(backend_name: str):
+        _, _, rt = make_pipeline(plan, args.decoder, backend_name)
+        out = rt(rgb, 0)
+        force(out)  # warmup / compile
+        q = psnr(np.asarray(out), np.asarray(rgb))
 
-    small = max(4, args.iters // 10)
-    t_small = min(_window(small) for _ in range(3))
-    t_big = min(_window(args.iters) for _ in range(3))
-    dt = (t_big - t_small) / (args.iters - small)
+        def _window(count: int) -> float:
+            t0 = time.perf_counter()
+            acc = []
+            for _ in range(count):
+                o = rt(rgb, frame_counter[0])
+                frame_counter[0] += 1
+                acc.append(o.ravel()[:4].sum())
+            force(acc)
+            return time.perf_counter() - t0
+
+        small = max(4, args.iters // 10)
+        t_small = min(_window(small) for _ in range(3))
+        t_big = min(_window(args.iters) for _ in range(3))
+        return (t_big - t_small) / (args.iters - small), q, rt
+
+    backend = args.backend
+    if backend == "auto" and jax.default_backend() == "tpu":
+        # the relay tunnel routes executables to backend instances of
+        # varying speed (measured: the same pallas executable 711-1995
+        # Mpix/s across sessions while xla held 1670) — measure BOTH
+        # formulations and report the better configuration
+        dt_p, q_p, rt_p = _measure("pallas")
+        dt_x, q_x, rt_x = _measure("xla")
+        if dt_p <= dt_x:
+            dt, quality, roundtrip, backend = dt_p, q_p, rt_p, "pallas"
+        else:
+            dt, quality, roundtrip, backend = dt_x, q_x, rt_x, "xla"
+    else:
+        if backend == "auto":
+            backend = "xla"
+        dt, quality, roundtrip = _measure(backend)
 
     pixels = args.batch * lines * args.samples
     mpix_s = pixels / dt / 1e6
