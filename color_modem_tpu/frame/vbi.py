@@ -53,6 +53,38 @@ class DataLineSpec:
         return fs / self.f_bit
 
 
+def cc_pack(text: str) -> jax.Array:
+    """Two characters -> the EIA-608 line payload: 16 bits, each byte
+    7-bit ASCII + ODD parity, LSB first (the real line-21 framing)."""
+    if len(text) != 2:
+        raise ValueError(f"a caption line carries exactly 2 chars, got "
+                         f"{len(text)}")
+    bits = []
+    for ch in text:
+        v = ord(ch)
+        if v > 0x7F:
+            raise ValueError(f"EIA-608 is 7-bit: {ch!r}")
+        data = [(v >> i) & 1 for i in range(7)]           # LSB first
+        parity = 1 - (sum(data) % 2)                       # odd parity
+        bits.extend(data + [parity])
+    return jnp.asarray(bits, jnp.int32)
+
+
+def cc_unpack(bits: jax.Array) -> tuple[str, bool]:
+    """Inverse of :func:`cc_pack`: 16 decoded bits -> (2 chars, parity_ok).
+
+    Host-side (tiny, called after the device decode); parity failure
+    flags a transmission error the caption decoder would discard."""
+    b = [int(v) for v in bits]
+    chars, ok = [], True
+    for k in range(2):
+        byte = b[8 * k : 8 * k + 8]
+        v = sum(bit << i for i, bit in enumerate(byte[:7]))
+        ok = ok and (sum(byte) % 2 == 1)
+        chars.append(chr(v))
+    return "".join(chars), ok
+
+
 def cc_spec(plan: ModemPlan, n_bits: int = 16) -> DataLineSpec:
     """EIA-608-style spec: clock at 32x the line rate (~0.503 MHz on NTSC),
     7-cycle run-in, start 001, 16 payload bits, 50-IRE data level."""

@@ -115,6 +115,28 @@ def test_data_line_embedded_in_composite():
     assert psnr(out[0, :, 1:], img[0, :, 1:]) > 30.0  # picture survives too
 
 
+def test_cc_byte_framing_roundtrip():
+    """EIA-608 framing: 7-bit ASCII + odd parity, LSB first, end to end
+    through the waveform."""
+    from color_modem_tpu.frame.vbi import cc_pack, cc_unpack
+
+    plan = get_plan("ntsc")
+    spec = cc_spec(plan)
+    bits = cc_pack("Hi")
+    wave = encode_data_line(plan, spec, bits)
+    got, _ = decode_data_line(plan, spec, wave)
+    text, ok = cc_unpack(got)
+    assert (text, ok) == ("Hi", True)
+    # a flipped bit must trip the parity flag
+    corrupted = got.at[3].set(1 - got[3])
+    _, ok2 = cc_unpack(corrupted)
+    assert not ok2
+    with pytest.raises(ValueError, match="2 chars"):
+        cc_pack("abc")
+    with pytest.raises(ValueError, match="7-bit"):
+        cc_pack("é!")
+
+
 def test_too_many_bits_rejected():
     plan = get_plan("ntsc")
     spec = cc_spec(plan, n_bits=400)
