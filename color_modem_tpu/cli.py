@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
         "numbering; weaves decoded fields back)",
     )
     rt.add_argument(
+        "--svideo", action="store_true",
+        help="transmit separate Y/C planes (no shared wire: no separation "
+        "stage, no cross-color; decoder choice is ignored)",
+    )
+    rt.add_argument(
         "--diff-gain", type=float, default=0.0,
         help="differential (luma-tracking) chroma gain error at 100%% luma",
     )
@@ -538,7 +543,17 @@ def main(argv=None) -> int:
         rgb, cfg = _load_input(args)
     plan = make_plan(cfg, args.width)
     interlaced = getattr(args, "interlaced", False)
-    if interlaced:
+    svideo = getattr(args, "svideo", False)
+    if svideo:
+        if interlaced or args.raster or getattr(args, "burst_locked", False):
+            raise SystemExit(
+                "--svideo does not combine with --interlaced/--raster/"
+                "--burst-locked (separate wires carry no raster)"
+            )
+        from color_modem_tpu.frame.svideo import make_svideo_pipeline
+
+        encode, decode, _ = make_svideo_pipeline(plan, args.backend)
+    elif interlaced:
         if getattr(args, "burst_locked", False):
             raise SystemExit(
                 "--interlaced does not combine with --burst-locked"
@@ -557,6 +572,9 @@ def main(argv=None) -> int:
               "device": jax.default_backend(), "raster": args.raster}
     if interlaced:
         result["interlaced"] = True
+    if svideo:
+        result["svideo"] = True
+        result["decoder"] = "svideo"
 
     t0 = time.perf_counter()
     if args.cmd == "encode":
@@ -684,6 +702,10 @@ def main(argv=None) -> int:
 
                 save_composite(args.composite,
                                np.asarray(weave_fields(comp_b))[0])
+            elif svideo:
+                # two wires: visualize the luma plane (the C plane has no
+                # meaningful grayscale rendering)
+                save_composite(args.composite, np.asarray(comp_b)[0, 0])
             else:
                 save_composite(args.composite, np.asarray(comp_b)[0])
             result["composite"] = args.composite
