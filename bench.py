@@ -113,7 +113,22 @@ def main() -> None:
         small = max(4, args.iters // 10)
         t_small = min(_window(small) for _ in range(3))
         t_big = min(_window(args.iters) for _ in range(3))
-        return (t_big - t_small) / (args.iters - small), q, rt
+        dt = (t_big - t_small) / (args.iters - small)
+        if dt <= 0:
+            # Same guard as utils/profiling.measure: a latency burst during
+            # the small windows can make the slope negative.  Fall back to
+            # the whole-window mean — a strict upper bound on per-call time
+            # (includes the ~0.1 s readback), so throughput is understated,
+            # never absurd.
+            import sys
+
+            print(
+                "bench: slope timing below resolution (latency burst); "
+                "using whole-window upper bound",
+                file=sys.stderr,
+            )
+            dt = t_big / args.iters
+        return dt, q, rt
 
     backend = args.backend
     if backend == "auto" and jax.default_backend() == "tpu":

@@ -276,8 +276,11 @@ class Simple3DCombModem:
 class ColorAveragingModem:
     """Chroma-averaging wrapper (C6 [MEM-M]): averages demodulated chroma
     with the previous line's — the PAL delay-line decoder when wrapped
-    around PalModem (A.3), and a vertical-chroma-resolution halver for any
-    QAM modem."""
+    around PalModem (A.3), and a vertical-chroma-resolution halver for ANY
+    base modem: QAM, SECAM (averages the assembled Dr/Db pair, i.e. each
+    component over its two nearest carrier lines) and NIIR (averages the
+    reference-normalized chroma) — matching the batch pipeline's 'avg'
+    decoder (standards/decoders.py)."""
 
     latency = 0
 

@@ -144,6 +144,11 @@ def measure_differential(
     * ``dg``      — differential gain, ``(Amax - Amin) / Amax``;
     * ``dp_deg``  — differential phase, max-minus-min step phase;
     * ``step_gain`` / ``step_phase_deg`` — the per-step curves.
+
+    NIIR reads through the decoder's reference-line normalization (its
+    reference-carrier lines hold no chroma to measure), so its numbers
+    show the residual AFTER correction — near zero for channel-induced
+    DG/DP, which is the measurement that makes sense for that system.
     """
     if not isinstance(plan.cfg.chroma, QamParams):
         raise ValueError(
@@ -153,6 +158,7 @@ def measure_differential(
     chroma_band = fir_same(comp.astype(jnp.float32), plan.chroma_bpf)
     c1, c2 = qam.demodulate_carrier(plan, chroma_band, gline)
     n = comp.shape[-1]
+    niir_ref = plan.cfg.chroma.reference_amplitude is not None
     steps = len(_STEP_LUMA)
     width = n / steps
     masks = []
@@ -167,7 +173,19 @@ def measure_differential(
     # other, and averaging both arms cancels it to pure saturation loss
     # (that cancellation IS the PAL trick; a real PAL vectorscope shows
     # the two arms separately).  NTSC/NIIR have a single class.
-    sel = (qam.v_sign(plan, gline) > 0.0).astype(jnp.float32)[..., None]
+    if niir_ref:
+        # NIIR: odd lines carry the unmodulated reference carrier, not
+        # chroma — averaging them in would corrupt the step vectors.  The
+        # vectorscope reads what the decoder delivers, which is always the
+        # reference-normalized chroma (modem/niir.normalize); with the
+        # normalization applied, NIIR's DG/DP through an impaired channel
+        # reads near zero — that immunity is the system's design goal.
+        from color_modem_tpu.modem import niir
+
+        c1, c2 = niir.normalize(plan, c1, c2, gline)
+        sel = niir.is_chroma_line(gline).astype(jnp.float32)[..., None]
+    else:
+        sel = (qam.v_sign(plan, gline) > 0.0).astype(jnp.float32)[..., None]
     flat1 = (c1 * sel).reshape(-1, n)
     flat2 = (c2 * sel).reshape(-1, n)
     denom = jnp.sum(masks, axis=-1) * jnp.maximum(jnp.sum(sel), 1.0)

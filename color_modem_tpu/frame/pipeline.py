@@ -85,6 +85,17 @@ def decode_block(
             ycc = secam_k.decode(plan, comp, gline)
         else:
             ycc = secam_mod.decode(plan, comp, gline)
+        if decoder == "avg":
+            # chroma-averaging wrapper on the assembled Dr/Db planes
+            # (standards/decoders.py FM_DECODERS note): a cheap
+            # elementwise pass outside the kernel, identical both backends
+            ycc = jnp.concatenate(
+                [
+                    ycc[..., :1, :, :],
+                    average_with_neighbor(ycc[..., 1:, :, :]),
+                ],
+                axis=-3,
+            )
     else:
         if backend == "pallas" and decoder not in ("combA", "comb3dA"):
             # combA's data-dependent blend lives outside the fused-kernel
@@ -104,11 +115,16 @@ def decode_block(
             s = qam.v_sign(plan, gline)[..., None]
             cd, sd = jnp.cos(d), jnp.sin(d)
             c1, c2 = cd * c1 + s * sd * c2, -s * sd * c1 + cd * c2
-        if decoder in ("delayline", "avg"):
+        if decoder in ("delayline", "avg") and p.reference_amplitude is None:
             c1 = average_with_neighbor(c1)
             c2 = average_with_neighbor(c2)
         if p.reference_amplitude is not None:
             c1, c2 = niir.normalize(plan, c1, c2, gline)
+            if decoder == "avg":
+                # NIIR averaging must follow normalization: raw demod
+                # alternates chroma and reference measurements per line
+                c1 = average_with_neighbor(c1)
+                c2 = average_with_neighbor(c2)
         ycc = jnp.stack([luma, c1, c2], axis=-3)
     return clamp01(apply_mat3(plan.ycc_to_rgb, ycc))
 

@@ -102,9 +102,9 @@ def process_video(
 
     ``channel``: optional impairment kwargs for :func:`frame.channel.impair`
     (noise_sigma / chroma_gain / chroma_phase_deg / ghost_delay_us /
-    ghost_gain) applied between encode and decode of every chunk; noise keys
-    derive from the absolute chunk start so resumed runs reproduce the same
-    channel.  An extra ``"vhs": True`` key applies the VHS color-under
+    ghost_gain) applied between encode and decode of every chunk; noise is
+    keyed on each frame's ABSOLUTE index, so resumed runs and different
+    chunk sizes reproduce the identical channel realization per frame.  An extra ``"vhs": True`` key applies the VHS color-under
     playback signature (channel.vhs_playback); ``"equalize": True``
     enables per-chunk GCR ghost
     cancellation (frame.equalize): a reference line rides the same channel
@@ -163,13 +163,21 @@ def process_video(
         )
     else:
         enc_f, dec_f, roundtrip = make_pipeline(plan, decoder, backend)
+    chan_noise_sigma = 0.0
     if channel:
         from color_modem_tpu.frame.channel import impair
 
         channel = dict(channel)
         equalize = bool(channel.pop("equalize", False))
         vhs = bool(channel.pop("vhs", False))
-        noisy = float(channel.get("noise_sigma", 0.0)) > 0.0
+        # Noise is keyed per ABSOLUTE frame index (fold_in below), not per
+        # chunk: overlap frames fetched by adjacent chunks then see the
+        # identical realization, so comb3d/NR results stay chunk-size
+        # independent under a noisy channel too (a chunk-keyed PRNG gave
+        # each chunk its own realization on the shared frames).
+        chan_noise_sigma = float(channel.pop("noise_sigma", 0.0))
+        noisy = chan_noise_sigma > 0.0
+        noise_base = jax.random.PRNGKey(0)
         if equalize:
             from color_modem_tpu.frame.equalize import (
                 apply_equalizer,
@@ -183,24 +191,37 @@ def process_video(
                 plan, float(channel.get("ghost_delay_us", 0.0))
             )
 
+        def _add_noise(comp, frame0):
+            g = frame0 + jnp.arange(comp.shape[0], dtype=jnp.int32)
+            per = jax.vmap(
+                lambda i: jax.random.normal(
+                    jax.random.fold_in(noise_base, i),
+                    comp.shape[1:], dtype=jnp.float32,
+                )
+            )(g)
+            return comp + jnp.float32(chan_noise_sigma) * per
+
         def roundtrip(rgb, frame0):  # noqa: F811 — impaired variant
             comp = enc_f(rgb, frame0)
-            key = (
-                jax.random.PRNGKey(jnp.asarray(frame0, jnp.int32))
-                if noisy else None
-            )
-            comp = impair(plan, comp, key=key, **channel)
+            comp = impair(plan, comp, **channel)
+            if noisy:
+                comp = _add_noise(comp, frame0)
             if vhs:
                 from color_modem_tpu.frame.channel import vhs_playback
 
                 comp = vhs_playback(plan, comp)
             if equalize:
-                rx = impair(
-                    plan, gcr,
-                    # the reference record sees its own noise realization
-                    key=jax.random.fold_in(key, 1) if noisy else None,
-                    **channel,
-                )[0]
+                rx = impair(plan, gcr, **channel)[0]
+                if noisy:
+                    # the reference record sees its own realization; keyed
+                    # off the frame-index stream via a nested fold_in so it
+                    # can never collide with a frame's noise
+                    rx = rx + jnp.float32(chan_noise_sigma) * jax.random.normal(
+                        jax.random.fold_in(
+                            jax.random.fold_in(noise_base, frame0), 1
+                        ),
+                        rx.shape, dtype=jnp.float32,
+                    )
                 comp = apply_equalizer(
                     comp, design_equalizer(plan, rx, ntaps=eq_ntaps)
                 )
@@ -235,10 +256,8 @@ def process_video(
         # sigma lower-bounds the decoded-plane sigma, so the gate errs
         # conservative); auto-estimation is the last resort and mis-gates
         # under whole-frame motion (frame.nr docstring)
-        if nr_sigma is None and channel and float(
-            channel.get("noise_sigma", 0.0)
-        ) > 0.0:
-            nr_sigma = float(channel["noise_sigma"])
+        if nr_sigma is None and chan_noise_sigma > 0.0:
+            nr_sigma = chan_noise_sigma
 
     def _roundtrip_nr(rgb, frame0):
         out = roundtrip(rgb, frame0)

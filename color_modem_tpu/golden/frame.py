@@ -78,7 +78,7 @@ def decode_frame(
             "combs are verified from first principles in tests/test_comb3d.py"
         )
     if isinstance(cfg.chroma, FmParams):
-        ycc = _decode_secam(plan, comp, frame)
+        ycc = _decode_secam(plan, comp, frame, decoder)
     else:
         ycc = _decode_qam(plan, comp, frame, decoder)
     rgb = np.einsum("cd,dln->cln", plan.ycc_to_rgb, ycc)
@@ -136,19 +136,27 @@ def _decode_qam(plan, comp, frame, decoder):
         luma[l] = y
         c1[l], c2[l] = modem.demodulate_carrier(g, chroma_band)
 
-    if decoder in ("delayline", "avg"):
-        c1a = np.empty_like(c1)
-        c2a = np.empty_like(c2)
-        for l in range(n_lines):
-            m = _neighbor(l, n_lines)
-            c1a[l] = 0.5 * (c1[l] + c1[m])
-            c2a[l] = 0.5 * (c2[l] + c2[m])
-        c1, c2 = c1a, c2a
-
     qp: QamParams = cfg.chroma
+    if decoder in ("delayline", "avg") and qp.reference_amplitude is None:
+        c1, c2 = _average_neighbor(c1), _average_neighbor(c2)
+
     if qp.reference_amplitude is not None:
         c1, c2 = _niir_normalize(plan, c1, c2, frame)
+        if decoder == "avg":
+            # NIIR chroma averaging follows the reference normalization:
+            # the raw demod output alternates chroma and reference-carrier
+            # measurements per line, which must not be mixed by averaging
+            c1, c2 = _average_neighbor(c1), _average_neighbor(c2)
     return np.stack([luma, c1, c2])
+
+
+def _average_neighbor(c: np.ndarray) -> np.ndarray:
+    """c'[l] = (c[l] + c[_neighbor(l)]) / 2 — the chroma-averaging wrapper."""
+    n_lines = c.shape[0]
+    out = np.empty_like(c)
+    for l in range(n_lines):
+        out[l] = 0.5 * (c[l] + c[_neighbor(l, n_lines)])
+    return out
 
 
 def _niir_normalize(plan, c1, c2, frame):
@@ -177,7 +185,7 @@ def _niir_normalize(plan, c1, c2, frame):
     return out.real.copy(), out.imag.copy()
 
 
-def _decode_secam(plan, comp, frame):
+def _decode_secam(plan, comp, frame, decoder="notch"):
     cfg = plan.cfg
     modem = GoldenSecamModem(plan)
     n_lines = comp.shape[0]
@@ -194,4 +202,10 @@ def _decode_secam(plan, comp, frame):
         m = _neighbor(l, n_lines)  # opposite-parity partner (A.4: 1-line memory)
         dr[l] = v[l] if is_r[l] else v[m]
         db[l] = v[m] if is_r[l] else v[l]
+    if decoder == "avg":
+        # chroma-averaging wrapper on the ASSEMBLED planes: consecutive
+        # assembled lines share one component and differ in the other, so
+        # this averages each component over its two nearest carrier lines
+        # (standards/decoders.py FM_DECODERS note)
+        dr, db = _average_neighbor(dr), _average_neighbor(db)
     return np.stack([luma, dr, db])

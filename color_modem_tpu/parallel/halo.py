@@ -36,13 +36,25 @@ def _reflect_bot(x: jax.Array, h: int) -> jax.Array:
     return _take_lines(x, slice(n - h - 1, n - 1))[..., ::-1, :]
 
 
-def halo_extend(x: jax.Array, h: int, axis_name: str) -> jax.Array:
+def halo_extend(
+    x: jax.Array, h: int, axis_name: str, edge: str = "reflect"
+) -> jax.Array:
     """Extend a per-device line block with ``h`` neighbor lines on each side.
 
     Must be called inside ``shard_map``.  ``x`` is the device-local block
     ``(..., L_blk, N)``; the result is ``(..., L_blk + 2h, N)``.  Interior
     block boundaries receive true neighbor lines via ring ``ppermute``;
-    the global top/bottom edges receive locally reflected lines.
+    the global top/bottom edges receive ``edge``-rule lines:
+
+    * ``"reflect"`` — lines ``1..h`` reversed, matching the single-stencil
+      ``prev_reflect``/``_neighbor`` rule (combs, pairing, delay-line).
+    * ``"copy"`` — lines ``0..h-1`` in order.  Required by decoders that
+      CHAIN two 1-line prev-stencils (FM/NIIR 'avg': pairing/normalize,
+      then neighbor averaging): running the chain block-locally on a
+      copy-extended block reproduces the unsharded chain bit-exactly at the
+      global top edge (ext[h-1] = x[h-1] is the pos-h neighbor and its own
+      chained value uses raw x[h-2], exactly what the unsharded second
+      stencil reads), which the reflect rule does not.
     """
     if h < 1:
         raise ValueError("halo must be >= 1")
@@ -50,11 +62,18 @@ def halo_extend(x: jax.Array, h: int, axis_name: str) -> jax.Array:
         raise ValueError(
             f"line block of {x.shape[-2]} lines too small for halo {h}"
         )
+    if edge == "reflect":
+        top_edge, bot_edge = _reflect_top(x, h), _reflect_bot(x, h)
+    elif edge == "copy":
+        n = x.shape[-2]
+        top_edge = _take_lines(x, slice(0, h))
+        bot_edge = _take_lines(x, slice(n - h, n))
+    else:
+        raise ValueError(f"edge must be 'reflect' or 'copy', got {edge!r}")
     n_blk = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     if n_blk == 1:
-        top, bot = _reflect_top(x, h), _reflect_bot(x, h)
-        return jnp.concatenate([top, x, bot], axis=-2)
+        return jnp.concatenate([top_edge, x, bot_edge], axis=-2)
 
     down = [(i, (i + 1) % n_blk) for i in range(n_blk)]  # send toward larger idx
     up = [(i, (i - 1) % n_blk) for i in range(n_blk)]    # send toward smaller idx
@@ -63,14 +82,16 @@ def halo_extend(x: jax.Array, h: int, axis_name: str) -> jax.Array:
     # my top h lines become the PREVIOUS block's bottom halo
     from_next = lax.ppermute(_take_lines(x, slice(0, h)), axis_name, up)
 
-    top = jnp.where(idx == 0, _reflect_top(x, h), from_prev)
-    bot = jnp.where(idx == n_blk - 1, _reflect_bot(x, h), from_next)
+    top = jnp.where(idx == 0, top_edge, from_prev)
+    bot = jnp.where(idx == n_blk - 1, bot_edge, from_next)
     return jnp.concatenate([top, x, bot], axis=-2)
 
 
-def halo_extend_lines(v: jax.Array, h: int, axis_name: str) -> jax.Array:
+def halo_extend_lines(
+    v: jax.Array, h: int, axis_name: str, edge: str = "reflect"
+) -> jax.Array:
     """:func:`halo_extend` for per-line (not per-sample) arrays ``(..., L)``."""
-    return halo_extend(v[..., None], h, axis_name)[..., 0]
+    return halo_extend(v[..., None], h, axis_name, edge)[..., 0]
 
 
 def crop_halo(x: jax.Array, h: int) -> jax.Array:

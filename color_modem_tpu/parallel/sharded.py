@@ -43,9 +43,18 @@ from color_modem_tpu.parallel.mesh import FRAME_AXIS, LINE_AXIS
 def required_halo(plan: ModemPlan, decoder: str) -> int:
     """LINE-stencil depth of the decode path: comb spacing for every
     line-comb variant (fixed and adaptive), else the 1-line
-    pairing/averaging shift (SECAM pairing, NIIR normalize, delay-line)."""
+    pairing/averaging shift (SECAM pairing, NIIR normalize, delay-line).
+
+    FM/NIIR 'avg' CHAINS two 1-line stencils — pairing (SECAM) or
+    reference normalization (NIIR), then neighbor averaging — so its
+    composed reach is 2 lines."""
     if decoder in ("comb2", "comb3", "combA", "comb3dA"):
         return comb_spacing(plan.cfg)
+    if decoder == "avg" and (
+        plan.cfg.is_fm
+        or getattr(plan.cfg.chroma, "reference_amplitude", None) is not None
+    ):
+        return 2
     return 1
 
 
@@ -125,8 +134,13 @@ def make_sharded_pipeline(
             rgb = decode_block(plan, cext, gext, decoder, backend)
             rgb = rgb[pt : pt + b_blk]
             return crop_halo(rgb, h) if decoder == "comb3dA" else rgb
-        cext = halo_extend(comp_blk, h, LINE_AXIS)
-        gext = halo_extend_lines(g, h, LINE_AXIS)
+        # FM/NIIR 'avg' chains two 1-line prev-stencils; its global-edge
+        # rule is 'copy' (see halo_extend docstring), single stencils use
+        # the reflect rule — both bit-identical to the unsharded pipeline
+        edge = "copy" if required_halo(plan, decoder) == 2 and decoder == "avg" \
+            else "reflect"
+        cext = halo_extend(comp_blk, h, LINE_AXIS, edge)
+        gext = halo_extend_lines(g, h, LINE_AXIS, edge)
         rgb = decode_block(plan, cext, gext, decoder, backend)
         return crop_halo(rgb, h)
 

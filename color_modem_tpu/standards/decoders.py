@@ -31,7 +31,15 @@ ADAPTIVE_EPS = 1e-9
 #: complements there regardless), edge PSNR rises as the bias drops
 #: (36.1/38.5/39.7 dB vs comb3's 31.0)
 ADAPTIVE_BIAS = 0.05
-FM_DECODERS = ("notch",)
+#: FM (SECAM) decoders: 'notch' is the bell/discriminator path; 'avg' adds
+#: the reference's chroma-averaging wrapper on top — the assembled Dr/Db
+#: planes average with the opposite-parity neighbor line, which (because
+#: consecutive assembled lines share one component and differ in the other)
+#: averages each component over its two nearest carrier lines [MEM-M: the
+#: reference's ColorAveragingModem wraps ANY base modem].  NIIR gets the
+#: same pair, with the averaging applied AFTER reference-line normalization
+#: (averaging raw demod output would mix chroma and reference measurements).
+FM_DECODERS = ("notch", "avg")
 #: 'comb3d' — TEMPORAL comb: the chroma phase also inverts at 1-2 FRAME
 #: spacing (NTSC: 227.5 cyc/line * 525 lines = half-integer cycles/frame),
 #: so combing along the batched frame axis separates static content
@@ -79,10 +87,12 @@ def temporal_comb_spacing(cfg: StandardConfig) -> int | None:
 def allowed_decoders(cfg: StandardConfig) -> tuple:
     """Decoders meaningful for a standard (SURVEY.md K13, A.6).
 
-    SECAM is FM — only the notch path applies.  NIIR alternates chroma and
-    reference-carrier lines, so cross-line combs/averaging would mix the two
-    streams (and its fsc gives no 180-deg flip at spacing 2 either): notch
-    only.  Standards whose phase law never flips ~180 deg at 1- or 2-line
+    SECAM is FM — the notch path plus post-assembly chroma averaging
+    ('avg').  NIIR alternates chroma and reference-carrier lines, so
+    cross-line combs would mix the two streams (and its fsc gives no
+    180-deg flip at spacing 2 either): notch, plus 'avg' applied after the
+    reference normalization.  Standards whose phase law never flips ~180
+    deg at 1- or 2-line
     spacing (NTSC-4.43: 22.4 deg off at best — measured 7.5 dB WORSE than
     notch) get no comb variants; baseband averaging (delayline/avg) doesn't
     depend on the carrier phase law and stays.

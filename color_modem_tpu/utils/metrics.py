@@ -44,9 +44,16 @@ def fingerprint_jnp(x):
     import jax.numpy as jnp
 
     f = x.astype(jnp.float32).ravel()
-    i = jnp.arange(f.shape[0], dtype=jnp.float32)
-    s1 = jnp.dot(f, jnp.cos(i * 1.7e-3))
-    s2 = jnp.dot(f * f, jnp.cos(i * 0.9e-3 + 1.0))
+    # Weight phase from an int32 iota reduced mod a prime period: a float32
+    # arange collapses consecutive indices above 2^24 elements (~16.8M; a
+    # 16-frame 576x720 PAL chunk is ~19.9M), giving identical weights to
+    # adjacent tail elements.  i % P stays exact in int32 and < 2^24 after
+    # the cast; the coarse i // P term keeps distant segments distinct.
+    ii = jnp.arange(f.shape[0], dtype=jnp.int32)
+    lo = (ii % 7919).astype(jnp.float32)
+    hi = (ii // 7919).astype(jnp.float32)
+    s1 = jnp.dot(f, jnp.cos(lo * 1.7e-3 + hi * 0.61))
+    s2 = jnp.dot(f * f, jnp.cos(lo * 0.9e-3 + hi * 1.13 + 1.0))
     return jnp.stack([s1, s2])
 
 

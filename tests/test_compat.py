@@ -45,6 +45,10 @@ CASES = [
     ("pal", "delayline", lambda: DelayLinePalModem(N), 1),
     ("secam", "notch", lambda: SecamModem(N), 1),
     ("niir", "notch", lambda: NiirModem(N), 1),
+    # FM/NIIR chroma averaging chains two 1-line streaming states
+    # (pairing/normalize + averaging) -> 2-line seam
+    ("secam", "avg", lambda: ColorAveragingModem(SecamModem(N)), 2),
+    ("niir", "avg", lambda: ColorAveragingModem(NiirModem(N)), 2),
 ]
 
 

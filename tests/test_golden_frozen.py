@@ -26,7 +26,15 @@ FROZEN = {
     # per-scanline NumPy, then mirrored in separate/comb.py.
     # frame.py updated again 2026-08-17 (guard-only): the temporal-decoder
     # refusal now also names comb3dA.
-    "frame.py": "b6c297339f354ba7",
+    # frame.py updated 2026-08-17 (round 2): ADDITIVE change per VERDICT.md
+    # item 7 — the chroma-averaging wrapper ('avg') now also applies to
+    # SECAM (post-assembly Dr/Db averaging) and NIIR (post-normalization),
+    # re-derived from SURVEY.md C6 [MEM-M] "wrapping any base modem" + A.4/
+    # A.5.  The shared `_average_neighbor` helper replaces the inline QAM
+    # averaging loop with identical arithmetic; every pre-existing
+    # (standard, decoder) numerical path is unchanged (enforced by the
+    # parity tests, which passed unmodified across this edit).
+    "frame.py": "eb92d3d97eb8b09f",
     "modems.py": "4450943b469337c1",
 }
 

@@ -66,6 +66,28 @@ def test_static_phase_reads_zero_differential():
     assert rep["dp_deg"] < 3.0, rep["dp_deg"]
 
 
+def test_niir_clean_channel_reads_near_zero():
+    """Reference-carrier lines must be excluded from the step vectors —
+    averaging them in corrupted the readout (ADVICE r1)."""
+    plan, comp, g = _comp("niir")
+    rep = measure_differential(plan, comp, g)
+    assert rep["dg"] < 0.03, rep["dg"]
+    assert rep["dp_deg"] < 2.0, rep["dp_deg"]
+
+
+def test_niir_normalization_cancels_channel_errors():
+    """The vectorscope reads through the decoder's reference-line
+    normalization, so channel gain/phase errors (static AND luma-tracking
+    — on a staircase every line sees the same luma, reference lines
+    included) must read near zero: NIIR's design goal, measured."""
+    plan, comp, g = _comp(
+        "niir", chroma_gain=0.6, chroma_phase_deg=25.0, diff_phase_deg=20.0
+    )
+    rep = measure_differential(plan, comp, g)
+    assert rep["dg"] < 0.05, rep["dg"]
+    assert rep["dp_deg"] < 3.0, rep["dp_deg"]
+
+
 def test_secam_rejected():
     plan = get_plan("secam")
     with pytest.raises(ValueError, match="immune"):

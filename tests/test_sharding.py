@@ -34,6 +34,10 @@ CASES = [
     ("pal", "delayline"),
     ("secam", "notch"),
     ("niir", "notch"),
+    # FM/NIIR chroma averaging: chained 1-line stencils -> halo 2 with the
+    # 'copy' global-edge rule (parallel/halo.py)
+    ("secam", "avg"),
+    ("niir", "avg"),
 ]
 
 

@@ -136,6 +136,25 @@ def test_video_nr_chunk_independent(tmp_path):
     np.testing.assert_allclose(outs[2], outs[6], atol=1e-6)
 
 
+def test_video_noise_chunk_independent(tmp_path):
+    """Channel noise is keyed per ABSOLUTE frame index (ADVICE r1): a
+    frame fetched as chunk overlap must see the identical realization it
+    gets as a chunk interior, so noisy comb3d/NR output cannot depend on
+    the chunk size."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    noise = {"noise_sigma": 0.02}
+    outs = {}
+    for chunk in (2, 6):
+        d = str(tmp_path / f"n{chunk}")
+        process_video(plan, src, 6, d, decoder="comb3", chunk=chunk,
+                      channel=dict(noise), nr=True, save_outputs=True)
+        outs[chunk] = np.concatenate([
+            np.load(f"{d}/rgb_{s:06d}.npy") for s in range(0, 6, chunk)
+        ])
+    np.testing.assert_allclose(outs[2], outs[6], atol=1e-6)
+
+
 def test_chunk_fingerprints_are_deterministic(tmp_path):
     plan = get_plan("ntsc")
     src = synthetic_source(L, TEST_SAMPLES)
