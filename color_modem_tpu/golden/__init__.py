@@ -10,6 +10,7 @@ from color_modem_tpu.golden.frame import (  # noqa: F401
     allowed_decoders,
     comb_spacing,
     decode_frame,
+    decode_sequence,
     encode_frame,
 )
 from color_modem_tpu.golden.modems import (  # noqa: F401

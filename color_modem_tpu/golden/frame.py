@@ -71,11 +71,11 @@ def decode_frame(
             f"{cfg.name} supports decoders {allowed}, got {decoder!r}"
         )
     if decoder in ("comb3d", "comb3dA"):
-        # temporal: crosses frames, which this per-frame oracle by design
-        # cannot represent — refuse rather than silently fall back to notch
+        # temporal: crosses frames, which this per-frame entry point cannot
+        # represent — use decode_sequence on the (F, L, N) composite stack
         raise NotImplementedError(
-            "the golden oracle decodes one frame at a time; the temporal "
-            "combs are verified from first principles in tests/test_comb3d.py"
+            "decode_frame decodes one frame at a time; use "
+            "golden.decode_sequence for the temporal combs"
         )
     if isinstance(cfg.chroma, FmParams):
         ycc = _decode_secam(plan, comp, frame, decoder)
@@ -183,6 +183,104 @@ def _niir_normalize(plan, c1, c2, frame):
         denom = np.where(np.abs(zr) < 1e-6, a_ref, zr)
         out[l] = zc * (a_ref / denom)
     return out.real.copy(), out.imag.copy()
+
+
+def _frame_prev(f: int, n_frames: int, p: int) -> int:
+    """Frame index ``p`` before ``f`` under the phase-safe edge rule of
+    separate.stencil.prev_reflect_frames: a missing top frame borrows from
+    ``f + p`` (an odd multiple of the comb spacing away, so its chroma
+    phase is opposite — an index reflection would pair an edge frame with
+    its own parity and halve its chroma)."""
+    return f - p if f >= p else f + p
+
+
+def _frame_next(f: int, n_frames: int, p: int) -> int:
+    return f + p if f + p < n_frames else f - p
+
+
+def decode_sequence(
+    plan: ModemPlan,
+    comps: np.ndarray,
+    frame0: int = 0,
+    decoder: str = "comb3d",
+) -> np.ndarray:
+    """(F, L, N) composite stack -> (F, 3, L, N) RGB — the MULTI-frame oracle.
+
+    Temporal decoders (comb3d, comb3dA) comb along the frame axis, which the
+    per-frame :func:`decode_frame` cannot represent; this is their golden
+    mirror: sequential per-line NumPy loops over a small frame stack, frame
+    neighbors per the phase-safe edge rule (see :func:`_frame_prev`), line
+    neighbors per ``_reflect``.  Non-temporal decoders fall through to
+    :func:`decode_frame` per frame (convenience, same numbers).
+    """
+    comps = np.asarray(comps, dtype=np.float64)
+    if comps.ndim != 3:
+        raise ValueError(f"need a (F, L, N) stack, got {comps.shape}")
+    if decoder not in ("comb3d", "comb3dA"):
+        return np.stack([
+            decode_frame(plan, comps[f], frame=frame0 + f, decoder=decoder)
+            for f in range(comps.shape[0])
+        ])
+    cfg = plan.cfg
+    if decoder not in allowed_decoders(cfg):
+        raise ValueError(
+            f"{cfg.name} supports decoders {allowed_decoders(cfg)}, "
+            f"got {decoder!r}"
+        )
+    from color_modem_tpu.standards.decoders import (
+        ADAPTIVE_BIAS,
+        ADAPTIVE_EPS,
+        temporal_comb_spacing,
+    )
+
+    pt = temporal_comb_spacing(cfg)
+    n_frames, n_lines, _ = comps.shape
+    if n_frames < 2 * pt:
+        raise ValueError(f"temporal comb needs >= {2 * pt} frames")
+    p = comb_spacing(cfg)
+    modem = GoldenQamModem(plan)
+    out = np.empty((n_frames, 3, n_lines, plan.n_samples))
+    for f in range(n_frames):
+        fp, fn = _frame_prev(f, n_frames, pt), _frame_next(f, n_frames, pt)
+        for l in range(n_lines):
+            g = (frame0 + f) * cfg.total_lines + l
+            cur = comps[f, l]
+            if decoder == "comb3d":
+                chroma_band = conv_same(
+                    (2.0 * cur - comps[fp, l] - comps[fn, l]) / 4.0,
+                    plan.chroma_bpf,
+                )
+            else:  # comb3dA — 4 candidates, inverse-squared-energy blend
+                neighbors = (
+                    comps[f, _reflect(l - p, n_lines)],
+                    comps[f, _reflect(l + p, n_lines)],
+                    comps[fp, l],
+                    comps[fn, l],
+                )
+                ds = [
+                    conv_same((cur - nb) / 2.0, plan.chroma_bpf)
+                    for nb in neighbors
+                ]
+                es = [
+                    conv_same(
+                        conv_same((cur + nb) / 2.0, plan.chroma_bpf) ** 2,
+                        plan.comb_sel_lpf,
+                    )
+                    for nb in neighbors
+                ]
+                bias = ADAPTIVE_BIAS * conv_same(
+                    sum(d * d for d in ds) / 2.0, plan.comb_sel_lpf
+                ) + ADAPTIVE_EPS
+                inv = [1.0 / (e + bias) ** 2 for e in es]
+                chroma_band = sum(
+                    w * d for w, d in zip(inv, ds)
+                ) / sum(inv)
+            out[f, 0, l] = cur - chroma_band
+            out[f, 1, l], out[f, 2, l] = modem.demodulate_carrier(
+                g, chroma_band
+            )
+    rgb = np.einsum("cd,fdln->fcln", plan.ycc_to_rgb, out)
+    return np.clip(rgb, 0.0, 1.0)
 
 
 def _decode_secam(plan, comp, frame, decoder="notch"):

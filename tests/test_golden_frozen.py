@@ -14,7 +14,8 @@ import pathlib
 import color_modem_tpu.golden as golden
 
 FROZEN = {
-    "__init__.py": "36e19cbea8ec99fb",
+    # __init__.py updated 2026-08-17 (round 2): re-export decode_sequence.
+    "__init__.py": "9d669d5672a2bddb",
     # frame.py updated 2026-08-16: guard-only change — decode_frame now
     # REFUSES decoder='comb3d' (it used to fall through to notch silently;
     # the per-frame oracle cannot represent a cross-frame decoder).  No
@@ -34,7 +35,13 @@ FROZEN = {
     # averaging loop with identical arithmetic; every pre-existing
     # (standard, decoder) numerical path is unchanged (enforced by the
     # parity tests, which passed unmodified across this edit).
-    "frame.py": "eb92d3d97eb8b09f",
+    # frame.py updated 2026-08-17 (round 2, VERDICT item 6): ADDITIVE
+    # multi-frame oracle `decode_sequence` for the temporal combs (per-line
+    # NumPy loops over a frame stack; frame neighbors follow the phase-safe
+    # odd-multiple edge rule re-derived from the phase law, line neighbors
+    # the existing _reflect).  decode_frame's temporal refusal message now
+    # points to it.  No pre-existing numerical path changed.
+    "frame.py": "3813e2aabb857474",
     "modems.py": "4450943b469337c1",
 }
 

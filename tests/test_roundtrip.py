@@ -101,6 +101,46 @@ def test_every_allowed_pair_roundtrips(name, decoder):
     assert p >= 25.0, f"{name}/{decoder}: {p:.1f} dB"
 
 
+# (standard, temporal decoder) -> minimum STATIC-scene round-trip PSNR.
+# Measured 2026-08-17 (41.6-43.7 dB on the 4-frame static 32x720 fixture;
+# the taller 48-line fixture reads ~46 dB — edge lines weigh more here)
+# minus ~1.5 dB margin.  Golden oracle: decode_sequence (multi-frame).
+TEMPORAL_BOUNDS = {
+    ("ntsc", "comb3d"): 40.0,
+    ("ntsc", "comb3dA"): 40.0,
+    ("pal", "comb3d"): 42.0,
+    ("pal", "comb3dA"): 41.5,
+}
+
+
+@pytest.mark.parametrize(
+    "name,decoder", sorted(TEMPORAL_BOUNDS), ids=lambda v: str(v)
+)
+def test_temporal_roundtrip_and_parity(name, decoder):
+    """Temporal combs vs the multi-frame golden oracle (VERDICT r1 item 6):
+    golden.decode_sequence mirrors the frame-axis stencils per-scanline, so
+    the temporal decoders get the same >=60 dB parity bar as every other
+    (standard, decoder) pair — plus the static-scene round-trip bound that
+    is their reason to exist."""
+    from color_modem_tpu.standards.decoders import temporal_comb_spacing
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    plan = get_plan(name)
+    pt = temporal_comb_spacing(plan.cfg)
+    f = max(4, 2 * pt)
+    one = smooth_scene(32, TEST_SAMPLES, seed=7).astype(np.float32)
+    batch = np.broadcast_to(one, (f,) + one.shape).copy()
+    enc, dec, _ = make_pipeline(plan, decoder)
+    comp = np.asarray(enc(jnp.asarray(batch), 0))
+    out = np.asarray(dec(jnp.asarray(comp), 0))
+    rgb_g = golden.decode_sequence(plan, comp, frame0=0, decoder=decoder)
+    p_par = psnr(out, rgb_g)
+    assert p_par >= PARITY_BOUND, f"decode parity {p_par:.1f} dB"
+    p_rt = psnr(out, batch)
+    bound = TEMPORAL_BOUNDS[(name, decoder)]
+    assert p_rt >= bound, f"round-trip {p_rt:.1f} dB < {bound} dB"
+
+
 def test_batched_encode_matches_per_frame(scene):
     """Frame batching must reproduce per-frame encodes with the right
     frame phase sequence (NTSC 4-field cycle etc.)."""
