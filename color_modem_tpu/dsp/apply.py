@@ -64,6 +64,56 @@ def toeplitz_same(taps, n: int) -> np.ndarray:
     return _toeplitz_cached(taps.tobytes(), len(taps), n)
 
 
+@lru_cache(maxsize=64)
+def _toeplitz_held_cached(
+    taps_bytes: bytes, t: int, n: int, nv: int
+) -> np.ndarray:
+    taps = np.frombuffer(taps_bytes, dtype=np.float64)
+    half = (t - 1) // 2
+    mat = np.zeros((n, n), dtype=np.float64)
+    j = np.arange(nv)
+    # out[j] = sum_k taps[k] * x[clip(j + half - k, 0, nv-1)]
+    for k in range(t):
+        src = np.clip(j + half - k, 0, nv - 1)
+        np.add.at(mat, (src, j), taps[k])
+    return np.ascontiguousarray(mat.astype(np.float32))
+
+
+def toeplitz_same_held(taps, n: int, n_valid: int | None = None) -> np.ndarray:
+    """(N, N) matrix M with ``x @ M`` = held-edge 'same' convolution.
+
+    Like :func:`toeplitz_same` but the out-of-range taps read the EDGE
+    sample instead of zero (``np.pad(mode='edge')`` folded into the
+    matrix — same matmul cost).  ``n_valid`` < n restricts both outputs and
+    the held edge to the first ``n_valid`` columns (lane-padded kernels).
+    """
+    taps = np.asarray(taps, dtype=np.float64)
+    return _toeplitz_held_cached(taps.tobytes(), len(taps), n, n_valid or n)
+
+
+def fir_same_held(x: jax.Array, taps, method: str | None = None) -> jax.Array:
+    """Held-edge variant of :func:`fir_same` (edge-replicate padding).
+
+    For BASEBAND signals this is the boundary rule that matches physical
+    receivers: the analog signal continues through blanking, so the active
+    line's neighborhood is ~its edge value, not zero.  Zero-padded edges
+    put a full-scale step at both line ends — through SECAM's 257-tap
+    de-emphasis (1.9 us exponential tail) that step smeared ~60 samples of
+    garbage into each line edge and capped the whole standard's round-trip
+    accuracy (measured: FM chain 54 dB in the line interior, 28 dB with
+    the edge columns included).  Carrier-band filters keep the zero rule
+    (holding one sample of a carrier would extend a DC, not a carrier).
+    """
+    method = method or _DEFAULT_METHOD
+    if method == "matmul":
+        mat = jnp.asarray(toeplitz_same_held(taps, x.shape[-1]))
+        return jnp.matmul(x, mat, precision=lax.Precision.HIGH)
+    t = len(np.asarray(taps))
+    h = (t - 1) // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(h, h)], mode="edge")
+    return fir_same(xp, taps, method)[..., h : h + x.shape[-1]]
+
+
 def fir_same(x: jax.Array, taps, method: str | None = None) -> jax.Array:
     """Linear convolution along the last axis, 'same' length, zero-pad edges.
 

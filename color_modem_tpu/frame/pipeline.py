@@ -79,12 +79,13 @@ def decode_block(
     check_decoder(plan, decoder)
     comp = comp.astype(jnp.float32)
     if plan.cfg.is_fm:
+        pairing = "interp" if decoder == "interp" else "copy"
         if backend == "pallas":
             from color_modem_tpu.kernels import secam as secam_k
 
-            ycc = secam_k.decode(plan, comp, gline)
+            ycc = secam_k.decode(plan, comp, gline, pairing)
         else:
-            ycc = secam_mod.decode(plan, comp, gline)
+            ycc = secam_mod.decode(plan, comp, gline, pairing)
         if decoder == "avg":
             # chroma-averaging wrapper on the assembled Dr/Db planes
             # (standards/decoders.py FM_DECODERS note): a cheap

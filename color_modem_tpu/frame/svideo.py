@@ -50,8 +50,10 @@ def decode_yc(
     y = yc[..., 0, :, :]
     c = yc[..., 1, :, :]
     if plan.cfg.is_fm:
+        # ideal receiver: interpolated pairing (modem/secam.
+        # pair_components_interp), the best assembly the framework offers
         _, v = secam_mod.demodulate_lines(plan, c, gline)
-        c1, c2 = secam_mod.pair_components(v, gline)
+        c1, c2 = secam_mod.pair_components_interp(v, gline)
     else:
         c1, c2 = qam.demodulate_carrier(plan, c, gline)
         if plan.cfg.chroma.reference_amplitude is not None:

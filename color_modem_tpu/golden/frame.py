@@ -297,9 +297,17 @@ def _decode_secam(plan, comp, frame, decoder="notch"):
     dr = np.empty_like(comp)
     db = np.empty_like(comp)
     for l in range(n_lines):
-        m = _neighbor(l, n_lines)  # opposite-parity partner (A.4: 1-line memory)
-        dr[l] = v[l] if is_r[l] else v[m]
-        db[l] = v[m] if is_r[l] else v[l]
+        if decoder == "interp":
+            # linear interpolation between BOTH adjacent carrier lines
+            # (beyond-reference 'interp'; reflected edges like the stencils)
+            o = 0.5 * (
+                v[_reflect(l - 1, n_lines)] + v[_reflect(l + 1, n_lines)]
+            )
+        else:
+            m = _neighbor(l, n_lines)  # opposite-parity partner (A.4)
+            o = v[m]
+        dr[l] = v[l] if is_r[l] else o
+        db[l] = o if is_r[l] else v[l]
     if decoder == "avg":
         # chroma-averaging wrapper on the ASSEMBLED planes: consecutive
         # assembled lines share one component and differ in the other, so

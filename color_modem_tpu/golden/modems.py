@@ -32,6 +32,21 @@ def conv_same(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
     return np.convolve(x, taps, mode="same")
 
 
+def conv_same_held(x: np.ndarray, taps: np.ndarray) -> np.ndarray:
+    """Held-edge 'same' convolution — the BASEBAND boundary rule (A.4 note).
+
+    The analog signal continues through blanking, so a baseband filter's
+    neighborhood beyond the active line is ~the edge value, not zero; a
+    zero edge puts a full-scale step through SECAM's long-tailed emphasis
+    filters and corrupts ~60 samples per line end.  Carrier-band filters
+    (anticloche/bell/notch) keep the zero rule — holding one carrier
+    sample would extend a DC, not a carrier.
+    """
+    h = (len(taps) - 1) // 2
+    xp = np.pad(x, (h, h), mode="edge")
+    return np.convolve(xp, taps, mode="same")[h : h + len(x)]
+
+
 def line_phase0_exact(cpl_num: int, cpl_den: int, gline: int) -> float:
     """Exact line-start subcarrier phase via Python big-int arithmetic."""
     return TWO_PI * ((cpl_num * gline) % cpl_den) / cpl_den
@@ -128,23 +143,47 @@ class GoldenSecamModem:
     def modulate_components(self, gline, y, dr, db) -> np.ndarray:
         plan = self.plan
         d = dr if self.is_r_line(gline) else db
-        d = conv_same(d, plan.comp_lpf)
-        d = conv_same(d, plan.preemph)
+        d = conv_same_held(d, plan.comp_lpf)
+        d = conv_same_held(d, plan.preemph)
         f0, dev = self._f0_dev(gline)
         f_inst = f0 + dev * d
-        phi = TWO_PI * np.cumsum(f_inst) / plan.fs  # per-line phase integral
+        # per-line phase integral, MIDPOINT rule: phi[n] corresponds to
+        # f_inst at exactly sample n, so the decoder's symmetric-derivative
+        # discriminator reads the component with zero group delay (the
+        # rectangle rule put it a half-sample early: +13.3 deg/MHz measured)
+        phi = TWO_PI * (np.cumsum(f_inst) - 0.5 * f_inst) / plan.fs
         carrier = np.cos(phi)
         chroma = conv_same(carrier, plan.anticloche)
         return y + chroma
 
+    def _extend_blanking(self, gline, composite):
+        """Reconstruct the blanking neighborhoods (modem/secam.py
+        ``extend_blanking``): both margins carry the line's luma pedestal
+        (mean of the K edge samples — the carrier averages out); the left
+        margin adds the undeviated rest carrier, whose phase at sample 0
+        is a shared modem convention."""
+        plan = self.plan
+        m = plan.fm_margin
+        k = plan.fm_luma_est
+        lum_l = composite[:k].mean()
+        lum_r = composite[-k:].mean()
+        parity = 1 if self.is_r_line(gline) else 0
+        left = lum_l + np.asarray(plan.fm_margin_carrier, np.float64)[parity]
+        right = np.full(m, lum_r)
+        return np.concatenate([left, composite, right])
+
     def demodulate_component(self, gline, composite):
         """Returns (luma, d_hat) where d_hat is THIS line's D'R or D'B."""
         plan = self.plan
-        takeoff = conv_same(composite, plan.bell_takeoff)
-        luma = composite - conv_same(composite, plan.luma_notch)
+        m = plan.fm_margin
+        n = len(composite)
+        ext = self._extend_blanking(gline, composite)
+        mix_ext = np.asarray(plan.mix_ramp_ext, np.float64)
+        takeoff = conv_same(ext, plan.bell_takeoff)
+        luma = (ext - conv_same(ext, plan.luma_notch))[m : m + n]
         # quadrature mix to the band center, then LPF -> analytic I/Q
-        i = conv_same(2.0 * takeoff * np.cos(self.mix_ramp), plan.mix_lpf)
-        q = conv_same(-2.0 * takeoff * np.sin(self.mix_ramp), plan.mix_lpf)
+        i = conv_same(2.0 * takeoff * np.cos(mix_ext), plan.mix_lpf)
+        q = conv_same(-2.0 * takeoff * np.sin(mix_ext), plan.mix_lpf)
         di = conv_same(i, plan.diff)
         dq = conv_same(q, plan.diff)
         a2 = np.maximum(i * i + q * q, 1e-9)  # the "limiter": amplitude cancels
@@ -153,4 +192,4 @@ class GoldenSecamModem:
         d_hat = (f_inst - f0) / dev
         d_hat = conv_same(d_hat, plan.deemph)
         d_hat = conv_same(d_hat, plan.demod_lpf)
-        return luma, d_hat
+        return luma, d_hat[m : m + n]

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from color_modem_tpu.dsp.apply import toeplitz_same
+from color_modem_tpu.dsp.apply import toeplitz_same, toeplitz_same_held
 from color_modem_tpu.dsp.nco import TWO_PI
 from color_modem_tpu.kernels.common import (
     compiler_params,
@@ -40,7 +40,11 @@ from color_modem_tpu.kernels.common import (
     split_bf16_host,
 )
 from color_modem_tpu.modem.plan import ModemPlan
-from color_modem_tpu.modem.secam import is_r_line, pair_components
+from color_modem_tpu.modem.secam import (
+    is_r_line,
+    pair_components,
+    pair_components_interp,
+)
 from color_modem_tpu.standards.base import FmParams
 
 
@@ -73,6 +77,17 @@ def _compose_same(taps_a, taps_b, n_valid: int, n_total: int) -> np.ndarray:
     a = toeplitz_same(taps_a, n_total)
     b = np.array(toeplitz_same(taps_b, n_total))  # copy: toeplitz is cached
     b[n_valid:, :] = 0.0
+    return a @ b
+
+
+def _compose_held(taps_a, taps_b, n_valid: int, n_total: int) -> np.ndarray:
+    """Held-edge composition: fir_same_held(fir_same_held(x, a), b).
+
+    The held matrices built at ``n_valid`` read/write only the first
+    ``n_valid`` columns by construction, so the product needs no row
+    zeroing (nothing ever spills into the lane padding)."""
+    a = toeplitz_same_held(taps_a, n_total, n_valid)
+    b = toeplitz_same_held(taps_b, n_total, n_valid)
     return a @ b
 
 
@@ -110,8 +125,10 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
             isr * devr + (1.0 - isr) * devb
         ) * dpre
         # phase integral: dphi accumulates to ~+-250 rad — the log-depth
-        # fp32 scan is the most accurate formulation available (see above)
-        dphi = _cumsum_lanes(df)
+        # fp32 scan is the most accurate formulation available (see above).
+        # Midpoint rule (scan - df/2), matching modem/secam.py and the
+        # half-sample-offset plan.fm_carrier_ramp
+        dphi = _cumsum_lanes(df) - 0.5 * df
         # mask lane padding: cos of the unpadded carrier ramp is garbage the
         # anti-cloche filter would smear into the last half-tap of real cols
         carrier = jnp.cos(base_ref[:] + dphi) * lane_mask(n, np_)
@@ -121,7 +138,9 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
     col = pl.BlockSpec((lb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ramp = pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((np_, np_), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    m_comb = _compose_same(plan.comp_lpf, plan.preemph, n, np_)
+    # held-edge baseband chain, matching modem/secam.py and the golden
+    # oracle (dsp/apply.fir_same_held rationale)
+    m_comb = _compose_held(plan.comp_lpf, plan.preemph, n, np_)
     mch, mcl = split_bf16_host(m_comb)
     mah, mal = split_bf16_host(toeplitz_same(plan.anticloche, np_))
     base = np.zeros(np_, np.float32)
@@ -144,12 +163,25 @@ def encode(plan: ModemPlan, ycc: jax.Array, gline: jax.Array) -> jax.Array:
 
 
 def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
-    """Pallas twin of modem.secam.demodulate_lines -> (luma, v)."""
+    """Pallas twin of modem.secam.demodulate_lines -> (luma, v).
+
+    The blanking reconstruction (modem/secam.extend_blanking) runs as a
+    cheap XLA pass before the kernel; the kernel then works at the
+    extended width ``n + 2*fm_margin`` (lane-padded: 816 -> 896 for
+    720-sample lines, +36% matmul FLOPs vs the unextended width — the
+    price of the +3 dB SECAM accuracy, see plan.SECAM_MARGIN) and the
+    wrapper crops the margins off both outputs.
+    """
+    from color_modem_tpu.modem.secam import extend_blanking
+
     p: FmParams = plan.cfg.chroma
     n = plan.n_samples
+    mg = plan.fm_margin
+    n_ext = n + 2 * mg
     lead = comp.shape[:-2]
     l = comp.shape[-2]
-    (flat, total) = pad_lines(comp.reshape(-1, n))
+    ext = extend_blanking(plan, comp, gline)
+    (flat, total) = pad_lines(ext.reshape(-1, n_ext))
     (isr, _) = pad_lines(_isr_col(gline))
     (flat, _) = pad_lanes(flat)
     np_ = flat.shape[-1]
@@ -161,13 +193,13 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     inv2pi = float(fs / TWO_PI)
 
     mix = np.zeros(np_, dtype=np.float64)
-    mix[:n] = np.asarray(plan.mix_ramp, dtype=np.float64)
+    mix[:n_ext] = np.asarray(plan.mix_ramp_ext, dtype=np.float64)
     mixcos = np.cos(mix).astype(np.float32)[None, :]
     mixsin = np.sin(mix).astype(np.float32)[None, :]
-    mixcos[:, n:] = 0.0  # mask lane padding out of the demod mix inputs
-    mixsin[:, n:] = 0.0
+    mixcos[:, n_ext:] = 0.0  # mask lane padding out of the demod mix inputs
+    mixsin[:, n_ext:] = 0.0
     m_mix = toeplitz_same(plan.mix_lpf, np_)
-    m_mixdiff = _compose_same(plan.mix_lpf, plan.diff, n, np_)
+    m_mixdiff = _compose_same(plan.mix_lpf, plan.diff, n_ext, np_)
 
     # Weight handling: five (N, N) weight matrices do not fit the 16 MB
     # VMEM budget if Mosaic double-buffers them as f32 blocked operands, and
@@ -178,7 +210,7 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     # The output chain (de-emphasis then demod LPF, composed) and the luma
     # notch are folded in too — keeping them as separate XLA matmuls cost
     # two extra HBM round-trips of the whole block.
-    m_out = _compose_same(plan.deemph, plan.demod_lpf, n, np_)
+    m_out = _compose_same(plan.deemph, plan.demod_lpf, n_ext, np_)
     # same-input dots share one wide matmul: concatenating the weight
     # matrices along N costs identical FLOPs but runs wider (better-tiled)
     # MXU passes — [bell | luma_notch] both filter the composite,
@@ -229,7 +261,7 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
         f0 = isr * f0r + (1.0 - isr) * f0b
         dev = isr * devr + (1.0 - isr) * devb
         # mask lane padding out of f_inst garbage before the output filter
-        v = (f_inst - f0) / dev * lane_mask(n, np_)
+        v = (f_inst - f0) / dev * lane_mask(n_ext, np_)
         v_ref[:] = dot3(v, out_hi, out_lo)
 
     line = pl.BlockSpec((lb, np_), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -257,11 +289,18 @@ def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
         *weight_args,
     )
     shape = lead + (l, n)
-    return luma[:total, :n].reshape(shape), v[:total, :n].reshape(shape)
+    return (
+        luma[:total, mg : mg + n].reshape(shape),
+        v[:total, mg : mg + n].reshape(shape),
+    )
 
 
-def decode(plan: ModemPlan, comp: jax.Array, gline: jax.Array) -> jax.Array:
+def decode(
+    plan: ModemPlan, comp: jax.Array, gline: jax.Array,
+    pairing: str = "copy",
+) -> jax.Array:
     """Full SECAM decode (Pallas core + XLA pairing), twin of secam.decode."""
     luma, v = demodulate_lines(plan, comp, gline)
-    dr, db = pair_components(v, gline)
+    pair = pair_components_interp if pairing == "interp" else pair_components
+    dr, db = pair(v, gline)
     return jnp.stack([luma, dr, db], axis=-3)

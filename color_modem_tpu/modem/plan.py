@@ -31,6 +31,20 @@ from color_modem_tpu.standards.base import FmParams, QamParams, StandardConfig
 #: (+0.6 dB); below ~1.2 MHz sideband truncation starts distorting
 #: saturated transitions.
 SECAM_MIX_LPF = 1.4e6
+#: SECAM decode-side blanking reconstruction margin, samples (A.4: the real
+#: signal carries the undeviated rest carrier through blanking; the
+#: active-only composite's hard edges put a luma-step + carrier-cut
+#: transient through the long decode filters that cost ~2.5 dB round-trip).
+#: The decoder extends each line by M samples per side — held luma pedestal
+#: (estimated from the edge samples) plus, on the left, the rest carrier
+#: whose phase is known by modem convention (the per-line FM integral
+#: starts at phase 2*pi*f0*0.5/fs at sample 0).  Swept 16-256: plateau
+#: from ~32, 48 is robust across fixtures; 720+2*48=816 keeps the Pallas
+#: lane padding at 896 (vs 768, +36% kernel FLOPs on SECAM only).
+SECAM_MARGIN = 48
+#: samples averaged for the blanking luma pedestal estimate (~8.5 carrier
+#: cycles: the carrier averages out of the mean)
+SECAM_LUMA_EST = 27
 #: Half-width of the SECAM chroma takeoff / luma-notch band around bell_f0.
 SECAM_TAKEOFF_HALFWIDTH = 2.0e6
 SECAM_BAND_TRANSITION = 0.4e6
@@ -71,11 +85,39 @@ class ModemPlan:
     demod_lpf: Optional[np.ndarray] = None     # final component LPF
     mix_ramp: Optional[np.ndarray] = None      # (N,) 2*pi*frac(fc/fs*n)
     f_center: float = 0.0                      # quadrature mix frequency
-    # carrier phase base 2*pi*frac(fc*(n+1)/fs): the inclusive-cumsum FM
-    # integral splits as phi = base[n] + 2*pi/fs * cumsum(f_inst - fc), so the
+    # decode-side blanking reconstruction (SECAM_MARGIN comment):
+    fm_margin: int = 0                         # M, samples per side
+    fm_luma_est: int = 0                       # K, pedestal-estimate samples
+    fm_margin_carrier: Optional[np.ndarray] = None  # (2, M): [B, R] parity
+    mix_ramp_ext: Optional[np.ndarray] = None  # (N + 2M,) mix ramp from -M
+    # carrier phase base 2*pi*frac(fc*(n+0.5)/fs): the MIDPOINT-rule FM
+    # integral phi[n] = 2*pi/fs*(sum_{k<=n} f[k] - f[n]/2) splits as
+    # base[n] + 2*pi/fs*(cumsum(f_inst - fc) - (f_inst[n] - fc)/2), so the
     # on-device float32 cumsum only ever sees the small deviation term
     # (|sum| < ~250 rad) instead of the 3e9-magnitude raw integral.
+    # Midpoint (not inclusive-rectangle) because the decoder's SYMMETRIC
+    # derivative then reads the instantaneous frequency at exactly sample n:
+    # the rectangle rule put f[n] a half-sample early, measured as a +13.3
+    # deg/MHz linear phase error on the demodulated components (-5 dB on
+    # 1 MHz chroma detail).
     fm_carrier_ramp: Optional[np.ndarray] = None
+
+
+#: the sample rate the default tap counts were tuned at (every standard's
+#: 720-sample active line) — tap counts scale as fs/REF_FS so each filter
+#: keeps its TIME span (transition width in Hz, tail coverage in us)
+#: across line widths.  At 720 the factor is exactly 1: plans there are
+#: bit-identical to the pre-scaling ones.  Without this the 1440-sample
+#: "quality" configuration was WORSE than 720 (same taps at 2x fs = half
+#: the covered time span: the 1.9 us de-emphasis tail and the relatively
+#: 2x-sharper transitions all degrade; measured SECAM notch 31.8 dB at
+#: 1440 vs 35.1 at 720 before scaling).
+REF_FS = 13.5e6
+
+
+def _odd(x: float) -> int:
+    v = max(3, int(round(x)))
+    return v if v % 2 == 1 else v + 1
 
 
 def make_plan(
@@ -88,6 +130,13 @@ def make_plan(
     emph_ntaps: int = 257,
 ) -> ModemPlan:
     fs = cfg.sample_rate(n_samples)
+    k = fs / REF_FS  # tap-count scale (REF_FS comment)
+    ntaps = _odd(ntaps * k)
+    bell_ntaps = _odd(bell_ntaps * k)
+    diff_ntaps = _odd(diff_ntaps * k)
+    emph_ntaps = _odd(emph_ntaps * k)
+    margin = int(round(SECAM_MARGIN * k))
+    luma_est = max(3, int(round(SECAM_LUMA_EST * k)))
     common = dict(
         cfg=cfg,
         n_samples=n_samples,
@@ -164,6 +213,27 @@ def make_plan(
         demod_lpf=design.lowpass_taps(fs, ch.demod_lpf, ntaps),
         mix_ramp=sample_phase_ramp(f_center, fs, n_samples),
         f_center=f_center,
-        fm_carrier_ramp=sample_phase_ramp(f_center, fs, n_samples + 1)[1:],
+        fm_margin=margin,
+        fm_luma_est=luma_est,
+        # left blanking carrier per line parity (B even / R odd gline):
+        # amplitude = the anti-cloche floor M0 (its gain at the rest
+        # frequency, F(f0)=0), phase per the sample-0 convention
+        fm_margin_carrier=np.stack([
+            ch.bell_m0 * np.cos(
+                2.0 * np.pi * f0 / fs
+                * (np.arange(-margin, 0, dtype=np.float64) + 0.5)
+            )
+            for f0 in (ch.f0b, ch.f0r)
+        ]),
+        mix_ramp_ext=2.0 * np.pi * np.mod(
+            f_center / fs
+            * np.arange(-margin, n_samples + margin,
+                        dtype=np.float64),
+            1.0,
+        ),
+        # 2*pi*frac(fc*(n+0.5)/fs) — see the field comment (midpoint rule)
+        fm_carrier_ramp=2.0
+        * np.pi
+        * np.mod(f_center / fs * (np.arange(n_samples) + 0.5), 1.0),
         **common,
     )

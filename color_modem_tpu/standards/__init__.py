@@ -7,8 +7,12 @@ SURVEY.md §0.2); here each standard is one frozen config object.
 The common ``t_active = 720 / 13.5 MHz`` (the BT.601 convention) maps the
 default 720-sample row onto exactly fs = 13.5 MHz, giving fs/fsc = 3.77 (NTSC)
 and 3.05 (PAL) — both above the 2.5x floor required by SURVEY.md A.1.  Wider
-rows raise fs proportionally (1440 px -> 27 MHz), which is the recommended
-setting for SECAM where the FM sidebands reach ~6.2 MHz.
+rows raise fs proportionally (1440 px -> 27 MHz); filter tap counts scale
+with fs (modem/plan.REF_FS) so accuracy holds across widths.  For SECAM the
+extra sideband headroom at 27 MHz (~6.2 MHz sidebands vs the 6.75 MHz
+Nyquist at 720) was MEASURED worth < 0.2 dB once the round-2 boundary fixes
+landed — both widths sit at the FM chain's ~35 dB (notch) / 38.5 dB
+(interp) limit, enforced in tests/test_roundtrip.py at both widths.
 """
 
 from __future__ import annotations

@@ -39,7 +39,11 @@ ADAPTIVE_BIAS = 0.05
 #: reference's ColorAveragingModem wraps ANY base modem].  NIIR gets the
 #: same pair, with the averaging applied AFTER reference-line normalization
 #: (averaging raw demod output would mix chroma and reference measurements).
-FM_DECODERS = ("notch", "avg")
+#: 'interp' (SECAM only) replaces the copy-pairing with linear
+#: interpolation between BOTH adjacent carrier lines — beyond-reference
+#: quality, +12 dB on the pairing floor (modem/secam.pair_components_interp).
+FM_DECODERS = ("notch", "avg", "interp")
+NIIR_DECODERS = ("notch", "avg")
 #: 'comb3d' — TEMPORAL comb: the chroma phase also inverts at 1-2 FRAME
 #: spacing (NTSC: 227.5 cyc/line * 525 lines = half-integer cycles/frame),
 #: so combing along the batched frame axis separates static content
@@ -100,7 +104,7 @@ def allowed_decoders(cfg: StandardConfig) -> tuple:
     if isinstance(cfg.chroma, FmParams):
         return FM_DECODERS
     if cfg.chroma.reference_amplitude is not None:
-        return FM_DECODERS
+        return NIIR_DECODERS
     if comb_flip_error(cfg) > COMB_FLIP_TOL:
         base = tuple(d for d in QAM_DECODERS if not d.startswith("comb"))
     else:

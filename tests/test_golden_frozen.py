@@ -41,8 +41,35 @@ FROZEN = {
     # odd-multiple edge rule re-derived from the phase law, line neighbors
     # the existing _reflect).  decode_frame's temporal refusal message now
     # points to it.  No pre-existing numerical path changed.
-    "frame.py": "3813e2aabb857474",
-    "modems.py": "4450943b469337c1",
+    # frame.py + modems.py updated 2026-08-17 (round 2, VERDICT "what's
+    # weak" item 1 — SECAM floor): three SPEC-derived physics corrections,
+    # each re-derived from A.4 and mirrored golden-first:
+    #  1. held-edge baseband convolution (conv_same_held) for the component
+    #     LPF + pre-emphasis: the analog line continues through blanking, so
+    #     a baseband filter's neighborhood is ~the edge value, not zero
+    #     (zero edges put a full-scale step through the 1.9 us de-emphasis
+    #     tail).  Carrier-band filters keep zero edges.
+    #  2. midpoint-rule FM phase integral (cumsum - f/2): the decoder's
+    #     symmetric-derivative discriminator then reads f_inst at exactly
+    #     sample n (the rectangle rule advanced it a half-sample: measured
+    #     +13.3 deg/MHz component phase error).
+    #  3. decode-side blanking reconstruction (_extend_blanking): the real
+    #     signal carries black + the undeviated rest carrier through
+    #     blanking; the oracle rebuilds M=48 samples per side (pedestal
+    #     from the K=27-sample edge mean; left margin adds the rest carrier
+    #     at its convention phase) before the long decode filters.
+    # Plus an ADDITIVE 'interp' pairing branch in _decode_secam (average of
+    # both adjacent carrier lines — beyond-reference, mirrored from
+    # modem/secam.pair_components_interp which was written golden-first).
+    # Net: SECAM round-trip 32.8 -> 35.1 dB (notch) / 38.5 dB (interp) on
+    # the 64x720 smooth fixture; thresholds raised in test_roundtrip.py in
+    # this same commit.
+    # modems.py touched once more in the same commit: the blanking
+    # pedestal-estimate length K now reads plan.fm_luma_est (fs-scaled,
+    # = the old SECAM_LUMA_EST constant at 720-sample lines) so the oracle
+    # follows the pipeline's tap/margin scaling at wider lines.
+    "frame.py": "2157eb6003944eb2",
+    "modems.py": "924c6a7c750d55b0",
 }
 
 
