@@ -88,7 +88,10 @@ def init_distributed(coordinator: str | None = None, **kw) -> None:
     it; on a pod slice each host calls this before :func:`make_mesh`
     (SURVEY.md §4.3 'Multi-host smoke').
     """
-    if jax.process_count() > 1:
+    # NOTE: do not probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run (bug
+    # found the first time this path actually executed, round 2)
+    if jax.distributed.is_initialized():
         return  # already initialized by the launcher
     if coordinator is not None:
         jax.distributed.initialize(coordinator_address=coordinator, **kw)

@@ -56,6 +56,9 @@ def scene():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: needs the real TPU chip")
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running (still in default run)"
+    )
 
 
 def pytest_collection_modifyitems(config, items):

@@ -1,0 +1,39 @@
+"""Multi-process ``jax.distributed`` smoke (SURVEY.md §4.3 'Multi-host
+smoke'; VERDICT r1 item 2 — the first actual execution of the multi-host
+code path).
+
+Two real OS processes, each with 4 virtual CPU devices, join through a
+localhost coordinator and run the sharded flagship round trip over the
+global (2, 4) (frame x lineblk) mesh — frame axis across processes (the
+DCN/host axis), line blocks within.  Cross-process halo exchange rides the
+Gloo CPU collectives; a global PSNR reduction proves cross-process psum.
+
+Equivalence bar: multi-process output is BIT-identical to the in-process
+sharded pipeline on the same (2, 4) mesh factoring — the per-device program
+is the same, so crossing process boundaries (Gloo collectives instead of
+intra-process transfers) must change nothing at all.  Against the unsharded
+pipeline the bound is the usual float 1e-6 (per-block shapes change XLA
+CPU's fp scheduling; tests/test_sharding.py's bit-equality rows hold at
+that suite's specific block geometry, not this one — measured 1.8e-7 here).
+"""
+
+import numpy as np
+import pytest
+
+from color_modem_tpu.parallel.multihost import launch_smoke
+
+
+@pytest.mark.slow
+def test_two_process_sharded_roundtrip_matches_single_process():
+    r = launch_smoke(num_processes=2, devices_per_proc=4)
+    # both processes computed the SAME global collective scalar
+    assert r["psnr"][0] == pytest.approx(r["psnr"][1], abs=1e-4)
+    assert r["psnr"][0] > 40.0, f"garbage roundtrip: {r['psnr']}"
+    # vs IN-PROCESS SHARDED on the same mesh factoring: crossing process
+    # boundaries changes nothing — bit-identical, encode and roundtrip
+    np.testing.assert_array_equal(r["enc"], r["sharded_enc"])
+    np.testing.assert_array_equal(r["out"], r["sharded_rt"])
+    # vs UNSHARDED: the float composition bound (block shapes change
+    # XLA CPU fp scheduling; measured max 1.8e-7 at this geometry)
+    np.testing.assert_allclose(r["enc"], r["ref_enc"], atol=1e-6, rtol=0)
+    np.testing.assert_allclose(r["out"], r["ref"], atol=1e-6, rtol=0)
