@@ -112,8 +112,10 @@ def process_video(
     the jitted chunk step, so no extra host round trips.
 
     ``interlaced``: transmit each frame as two 2:1 fields
-    (frame.interlace); single-device only (the sharded pipeline shards
-    progressive frame/line axes).  comb3d combs same-parity fields.
+    (frame.interlace); with a ``mesh``, fields shard DP over frames x CP
+    over field-row blocks (parallel.sharded.make_sharded_interlaced_pipeline
+    — requires an even line count whose half divides the line axis).
+    comb3d combs same-parity fields.
 
     ``nr``: motion-gated temporal noise reduction on the decoded frames
     (frame.nr) inside the jitted chunk step.  Gate threshold priority:
@@ -146,15 +148,21 @@ def process_video(
 
     if interlaced:
         if mesh is not None:
-            raise NotImplementedError(
-                "interlaced video is single-device (the sharded pipeline "
-                "shards progressive frame/line axes)"
+            from color_modem_tpu.parallel.sharded import (
+                make_sharded_interlaced_pipeline,
             )
-        from color_modem_tpu.frame.interlace import make_interlaced_pipeline
 
-        enc_f, dec_f, roundtrip = make_interlaced_pipeline(
-            plan, decoder, backend
-        )
+            enc_f, dec_f, roundtrip = make_sharded_interlaced_pipeline(
+                plan, mesh, decoder, backend
+            )
+        else:
+            from color_modem_tpu.frame.interlace import (
+                make_interlaced_pipeline,
+            )
+
+            enc_f, dec_f, roundtrip = make_interlaced_pipeline(
+                plan, decoder, backend
+            )
     elif mesh is not None:
         from color_modem_tpu.parallel.sharded import make_sharded_pipeline
 

@@ -176,3 +176,137 @@ def make_sharded_pipeline(
         return dec_sm(enc_sm(rgb, f0), f0)
 
     return encode, decode, roundtrip
+
+
+# --- sharded 2:1 interlaced pipeline ---------------------------------------
+
+
+def _field_gline(plan: ModemPlan, frame0, b_blk: int, rows_blk: int):
+    """(2*b_blk, rows_blk) absolute line indices for this device's
+    field-sequential block (frame.interlace.field_line_index, offset by the
+    mesh position: frames along FRAME_AXIS, field ROWS along LINE_AXIS)."""
+    off = (plan.cfg.total_lines + 1) // 2  # interlace.field_offset
+    foff = lax.axis_index(FRAME_AXIS) * b_blk
+    roff = lax.axis_index(LINE_AXIS) * rows_blk
+    f = jnp.asarray(frame0, jnp.int32) + foff + jnp.arange(b_blk, dtype=jnp.int32)
+    p = jnp.arange(2, dtype=jnp.int32)
+    r = roff + jnp.arange(rows_blk, dtype=jnp.int32)
+    g = (
+        f[:, None, None] * jnp.int32(plan.cfg.total_lines)
+        + p[None, :, None] * off
+        + r[None, None, :]
+    )
+    return g.reshape(2 * b_blk, rows_blk)
+
+
+def _field_gline_frames_ext(plan: ModemPlan, frame0, b_blk: int,
+                            rows_blk: int, pt: int):
+    """(2, b_blk + 2*pt, rows_blk) gline for the parity-major frame-halo-
+    extended block: same frame-index arithmetic as
+    :func:`_block_gline_frames_ext` (odd-multiple edge substitution), line
+    part from the field parity and row offset."""
+    nf = lax.axis_size(FRAME_AXIS)
+    idx = lax.axis_index(FRAME_AXIS)
+    foff = idx * b_blk
+    e = jnp.arange(b_blk + 2 * pt, dtype=jnp.int32)
+    f = foff + e - pt
+    f = jnp.where((idx == 0) & (e < pt), foff + e + pt, f)
+    f = jnp.where((idx == nf - 1) & (e >= b_blk + pt), foff + e - 3 * pt, f)
+    f = jnp.asarray(frame0, jnp.int32) + f
+    off = (plan.cfg.total_lines + 1) // 2
+    roff = lax.axis_index(LINE_AXIS) * rows_blk
+    p = jnp.arange(2, dtype=jnp.int32)
+    r = roff + jnp.arange(rows_blk, dtype=jnp.int32)
+    return (
+        f[None, :, None] * jnp.int32(plan.cfg.total_lines)
+        + p[:, None, None] * off
+        + r[None, None, :]
+    )
+
+
+def make_sharded_interlaced_pipeline(
+    plan: ModemPlan, mesh: Mesh, decoder: str = "notch", backend: str = "xla"
+):
+    """Sharded 2:1 interlaced pipeline (frame.interlace over the mesh).
+
+    Same contract as :func:`frame.interlace.make_interlaced_pipeline` —
+    ``encode (B,3,L,N) -> (2B, L/2, N)`` field-sequential composite,
+    ``decode`` weaves back — sharded DP over frames x CP over field-row
+    blocks.  Both the field split and the weave are device-local: a device
+    owning spatial lines ``[jL_b, (j+1)L_b)`` owns field rows
+    ``[jL_b/2, (j+1)L_b/2)`` of BOTH parities, which are contiguous runs of
+    the global field-row axis, so the composite shards ``(frame, lineblk)``
+    with no relayout.  Line combs comb transmitted-adjacent lines =
+    field-row neighbors, so the usual row-axis ring halos apply unchanged;
+    ``comb3d``/``comb3dA`` regroup parity-major per device (each device
+    holds both fields of its frames) and exchange frame halos around the DP
+    ring per parity group.
+
+    Needs ``B`` divisible by the frame axis (``>= 2*spacing`` frames per
+    device for the temporal combs), ``L`` even and ``L/2`` divisible by the
+    line axis with ``>=`` halo+1 rows per block.
+    """
+    from color_modem_tpu.frame.interlace import split_fields, weave_fields
+    from color_modem_tpu.standards.decoders import temporal_comb_spacing
+
+    check_decoder(plan, decoder)
+    h = required_halo(plan, decoder)
+    comp_spec = P(FRAME_AXIS, LINE_AXIS, None)
+    rgb_spec = P(FRAME_AXIS, None, LINE_AXIS, None)
+    scalar = P()
+
+    def _encode_blk(rgb_blk, frame0):
+        b_blk, _, l_blk, _ = rgb_blk.shape
+        fields = split_fields(rgb_blk)  # (2b, 3, l_blk/2, N)
+        g = _field_gline(plan, frame0, b_blk, l_blk // 2)
+        return encode_block(plan, fields, g, backend)
+
+    def _decode_blk(comp_blk, frame0):
+        b2, rows_blk, n = comp_blk.shape
+        b_blk = b2 // 2
+        if decoder in ("comb3d", "comb3dA"):
+            pt = temporal_comb_spacing(plan.cfg)
+            # parity-major regroup (device-local: both fields of each of
+            # this device's frames are here), then frame halos per parity
+            cp = comp_blk.reshape(b_blk, 2, rows_blk, n).transpose(1, 0, 2, 3)
+            cext = halo_extend_frames(cp, pt, FRAME_AXIS)
+            gext = _field_gline_frames_ext(plan, frame0, b_blk, rows_blk, pt)
+            if decoder == "comb3dA":
+                cext = halo_extend(cext, h, LINE_AXIS)
+                gext = halo_extend_lines(gext, h, LINE_AXIS)
+            out = decode_block(plan, cext, gext, decoder, backend)
+            out = out[:, pt : pt + b_blk]  # (2, b, 3, rows', n)
+            if decoder == "comb3dA":
+                out = crop_halo(out, h)
+            out = out.transpose(1, 0, 2, 3, 4).reshape(b2, 3, rows_blk, n)
+            return weave_fields(out)
+        g = _field_gline(plan, frame0, b_blk, rows_blk)
+        edge = "copy" if h == 2 and decoder == "avg" else "reflect"
+        cext = halo_extend(comp_blk, h, LINE_AXIS, edge)
+        gext = halo_extend_lines(g, h, LINE_AXIS, edge)
+        out = crop_halo(decode_block(plan, cext, gext, decoder, backend), h)
+        return weave_fields(out)
+
+    enc_sm = jax.shard_map(
+        _encode_blk, mesh=mesh, in_specs=(rgb_spec, scalar),
+        out_specs=comp_spec, check_vma=False,
+    )
+    dec_sm = jax.shard_map(
+        _decode_blk, mesh=mesh, in_specs=(comp_spec, scalar),
+        out_specs=rgb_spec, check_vma=False,
+    )
+
+    @jax.jit
+    def encode(rgb, frame0=0):
+        return enc_sm(rgb, jnp.asarray(frame0, jnp.int32))
+
+    @jax.jit
+    def decode(comp, frame0=0):
+        return dec_sm(comp, jnp.asarray(frame0, jnp.int32))
+
+    @jax.jit
+    def roundtrip(rgb, frame0=0):
+        f0 = jnp.asarray(frame0, jnp.int32)
+        return dec_sm(enc_sm(rgb, f0), f0)
+
+    return encode, decode, roundtrip

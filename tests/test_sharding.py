@@ -181,6 +181,50 @@ def test_uneven_block_raises(batch):
         jax.block_until_ready(enc_s(batch[:, :, : L - 4, :]))  # 60 % 8 != 0
 
 
+INTERLACED_CASES = [
+    ("ntsc", "comb3"),
+    ("pal", "delayline"),
+    ("secam", "notch"),
+    ("secam", "avg"),
+    ("ntsc", "comb3d"),
+    ("ntsc", "comb3dA"),
+]
+
+
+@pytest.mark.parametrize("name,decoder", INTERLACED_CASES, ids=str)
+def test_sharded_interlaced_equals_unsharded(name, decoder, batch):
+    """Sharded interlaced (fields DP over frames x CP over field-row
+    blocks) vs the single-device interlaced pipeline — the two flagship
+    features (interlace, sharding) composing (VERDICT r1 item 5).
+
+    Same bit/1e-6 bar as the progressive rows; the temporal combs need
+    >= 2*spacing frames per device, so they skip factorings whose frame
+    blocks are too small.
+    """
+    from color_modem_tpu.frame.interlace import make_interlaced_pipeline
+    from color_modem_tpu.parallel import make_sharded_interlaced_pipeline
+    from color_modem_tpu.standards.decoders import temporal_comb_spacing
+
+    plan = get_plan(name)
+    enc_u, dec_u, _ = make_interlaced_pipeline(plan, decoder)
+    comp_u = np.asarray(enc_u(batch, 5))
+    rgb_u = np.asarray(dec_u(jnp.asarray(comp_u), 5))
+    temporal = decoder in ("comb3d", "comb3dA")
+    pt = temporal_comb_spacing(plan.cfg) if temporal else 0
+    ran = 0
+    for mesh in _meshes():
+        fr = mesh.devices.shape[0]
+        if temporal and B // fr < 2 * pt:
+            continue
+        enc_s, dec_s, _ = make_sharded_interlaced_pipeline(plan, mesh, decoder)
+        comp_s = np.asarray(enc_s(batch, 5))
+        _assert_equiv(comp_s, comp_u, name, f"interlaced encode {mesh.shape}")
+        rgb_s = np.asarray(dec_s(jnp.asarray(comp_u), 5))
+        _assert_equiv(rgb_s, rgb_u, name, f"interlaced decode {mesh.shape}")
+        ran += 1
+    assert ran >= 3, "mesh skip logic left too few factorings"
+
+
 def test_sharded_pallas_backend_matches(batch):
     """Pallas kernels inside shard_map (interpret mode on CPU)."""
     plan = get_plan("ntsc")
