@@ -229,6 +229,15 @@ def build_parser() -> argparse.ArgumentParser:
         "chroma phase sequence, notch decoder)",
     )
 
+    from color_modem_tpu.benchmark import add_bench_args
+
+    bm = sub.add_parser(
+        "bench",
+        help="round-trip throughput benchmark (relay-honest slope timing; "
+        "same protocol as the root bench.py)",
+    )
+    add_bench_args(bm)
+
     sub.add_parser("info", help="list standards, decoders, devices")
     return ap
 
@@ -257,6 +266,13 @@ def _load_input(args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd == "bench":
+        # broadcast-batch frames: the temporal decoders are fine here, so
+        # the comb3d guard below (still-image subcommands) does not apply
+        from color_modem_tpu.benchmark import run as bench_run
+
+        bench_run(args)
+        return 0
     if (getattr(args, "decoder", None) in ("comb3d", "comb3dA")
             and args.cmd != "video"):
         raise SystemExit(
