@@ -199,8 +199,14 @@ def process_video(
                 plan, float(channel.get("ghost_delay_us", 0.0))
             )
 
+        # Interlaced encode returns FIELDS on the leading axis (2 per
+        # frame), so the absolute index of leading-axis slot i is
+        # frame0 * units + i — keying off frame0 + i directly would make
+        # field noise depend on the chunk start.
+        units = 2 if interlaced else 1
+
         def _add_noise(comp, frame0):
-            g = frame0 + jnp.arange(comp.shape[0], dtype=jnp.int32)
+            g = frame0 * units + jnp.arange(comp.shape[0], dtype=jnp.int32)
             per = jax.vmap(
                 lambda i: jax.random.normal(
                     jax.random.fold_in(noise_base, i),
@@ -221,14 +227,13 @@ def process_video(
             if equalize:
                 rx = impair(plan, gcr, **channel)[0]
                 if noisy:
-                    # the reference record sees its own realization; keyed
-                    # off the frame-index stream via a nested fold_in so it
-                    # can never collide with a frame's noise
+                    # the reference record sees its own fixed realization:
+                    # a separate base key (never the frame stream, so no
+                    # collision) and no frame0 dependence, so the designed
+                    # taps — and therefore the decoded output — are
+                    # identical across chunk sizes and resumes
                     rx = rx + jnp.float32(chan_noise_sigma) * jax.random.normal(
-                        jax.random.fold_in(
-                            jax.random.fold_in(noise_base, frame0), 1
-                        ),
-                        rx.shape, dtype=jnp.float32,
+                        jax.random.PRNGKey(1), rx.shape, dtype=jnp.float32,
                     )
                 comp = apply_equalizer(
                     comp, design_equalizer(plan, rx, ntaps=eq_ntaps)

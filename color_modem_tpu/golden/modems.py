@@ -129,7 +129,6 @@ class GoldenSecamModem:
         assert isinstance(plan.cfg.chroma, FmParams)
         self.plan = plan
         self.p: FmParams = plan.cfg.chroma
-        self.mix_ramp = np.asarray(plan.mix_ramp, dtype=np.float64)
 
     @staticmethod
     def is_r_line(gline: int) -> bool:

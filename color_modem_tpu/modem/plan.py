@@ -83,7 +83,6 @@ class ModemPlan:
     mix_lpf: Optional[np.ndarray] = None       # post-quadrature-mix LPF
     diff: Optional[np.ndarray] = None          # FIR differentiator
     demod_lpf: Optional[np.ndarray] = None     # final component LPF
-    mix_ramp: Optional[np.ndarray] = None      # (N,) 2*pi*frac(fc/fs*n)
     f_center: float = 0.0                      # quadrature mix frequency
     # decode-side blanking reconstruction (SECAM_MARGIN comment):
     fm_margin: int = 0                         # M, samples per side
@@ -211,7 +210,6 @@ def make_plan(
         mix_lpf=design.lowpass_taps(fs, SECAM_MIX_LPF, ntaps),
         diff=design.differentiator_taps(fs, diff_ntaps),
         demod_lpf=design.lowpass_taps(fs, ch.demod_lpf, ntaps),
-        mix_ramp=sample_phase_ramp(f_center, fs, n_samples),
         f_center=f_center,
         fm_margin=margin,
         fm_luma_est=luma_est,

@@ -39,6 +39,13 @@ SMOKE_FRAMES = 2
 SMOKE_LINES = 32
 
 
+def smoke_frames(num_processes: int) -> int:
+    """Fixture frame count: the frame mesh axis spans the processes, so it
+    must divide the frame count.  max() keeps the historical 2-frame
+    fixture for 1-2 processes and scales 1 frame/process beyond."""
+    return max(SMOKE_FRAMES, num_processes)
+
+
 def _fixture(frames: int, lines: int, samples: int = 720) -> np.ndarray:
     from color_modem_tpu.utils.testimages import smooth_scene
 
@@ -136,7 +143,7 @@ def worker_main(process_id: int, num_processes: int, port: int,
     plan = make_plan(ALL_STANDARDS[SMOKE_STANDARD](), 720)
     encode, _, roundtrip = make_sharded_pipeline(plan, mesh, SMOKE_DECODER)
 
-    data = _fixture(SMOKE_FRAMES * (num_processes // 2 or 1), SMOKE_LINES)
+    data = _fixture(smoke_frames(num_processes), SMOKE_LINES)
     sharding = rgb_sharding(mesh)
     x = jax.make_array_from_callback(
         data.shape, sharding, lambda idx: data[idx]
@@ -231,7 +238,7 @@ def launch_smoke(
             if p.poll() is None:
                 p.kill()
 
-    frames = SMOKE_FRAMES * (num_processes // 2 or 1)
+    frames = smoke_frames(num_processes)
     ref_enc, ref_rt = reference_outputs(frames, SMOKE_LINES)
     out = np.full_like(ref_rt, np.nan)
     enc = np.full_like(ref_enc, np.nan)

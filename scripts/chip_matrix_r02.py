@@ -1,0 +1,97 @@
+"""Round-2 chip evidence matrix (VERDICT r1 item 8).
+
+Runs the per-standard benchmark best-of-3 through bench's relay-honest
+protocol (each bench call already takes the min of 3 slope-window pairs;
+this script additionally repeats each config 3 times and keeps the best,
+because the relay routes executables to backend instances of varying speed
+— BASELINE.md measured 0.7-2.0 Gpix/s across sessions for the same
+binary).  Also records per-config round-trip PSNR on the chip.
+
+Writes results/chip_matrix_r02.json; BASELINE.md's table is refreshed from
+it by hand in the same commit.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from color_modem_tpu.frame.pipeline import make_pipeline
+from color_modem_tpu.modem.plan import make_plan
+from color_modem_tpu.standards import ALL_STANDARDS
+from color_modem_tpu.utils.metrics import psnr
+from color_modem_tpu.utils.profiling import measure
+
+#: standard -> (headline decoder, samples) — the per-standard flagship
+#: configurations the README accuracy/perf tables report
+CONFIGS = [
+    ("ntsc", "comb3", 720),
+    ("pal", "delayline", 720),
+    ("pal", "comb3", 720),
+    ("secam", "interp", 720),
+    ("secam", "interp", 1440),   # the quality-qualified SECAM config
+    ("niir", "notch", 720),
+    ("ntsc443", "notch", 720),  # no ~180-deg line flip: combs are gated off
+    ("pal_m", "comb3", 720),
+    ("pal_n", "comb3", 720),
+    ("pal60", "delayline", 720),
+]
+
+REPEATS = 3
+
+
+def main(batch: int = 16, iters: int = 60) -> None:
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    out = {"ts": time.time(), "device": jax.default_backend(),
+           "device_kind": jax.devices()[0].device_kind,
+           "batch": batch, "iters": iters, "repeats": REPEATS, "rows": []}
+    from color_modem_tpu.standards.decoders import allowed_decoders
+
+    for name, decoder, samples in CONFIGS:
+        cfg = ALL_STANDARDS[name]()
+        assert decoder in allowed_decoders(cfg), (name, decoder)
+        lines = cfg.active_lines
+        plan = make_plan(cfg, samples)
+        one = smooth_scene(lines, samples, seed=0)
+        rgb = jnp.asarray(
+            np.broadcast_to(one, (batch, 3, lines, samples)), jnp.float32
+        )
+        pixels = batch * lines * samples
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        _, _, rt = make_pipeline(plan, decoder, backend)
+        best = None
+        for _ in range(REPEATS):
+            r = measure(rt, rgb, 0, iters=iters)
+            if r.get("below_timing_resolution"):
+                continue
+            if best is None or r["seconds_per_call"] < best:
+                best = r["seconds_per_call"]
+        q = float(psnr(np.asarray(rt(rgb, 0)), np.asarray(rgb)))
+        row = {
+            "standard": name, "decoder": decoder, "backend": backend,
+            "shape": [batch, lines, samples],
+            "mpix_per_s": round(pixels / best / 1e6, 1) if best else None,
+            "roundtrip_psnr_db": round(q, 2),
+        }
+        out["rows"].append(row)
+        print(json.dumps(row), flush=True)
+    os.makedirs("results", exist_ok=True)
+    with open("results/chip_matrix_r02.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=60)
+    a = ap.parse_args()
+    main(a.batch, a.iters)

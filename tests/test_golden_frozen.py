@@ -68,8 +68,14 @@ FROZEN = {
     # pedestal-estimate length K now reads plan.fm_luma_est (fs-scaled,
     # = the old SECAM_LUMA_EST constant at 720-sample lines) so the oracle
     # follows the pipeline's tap/margin scaling at wider lines.
+    # modems.py updated 2026-08-17 (round 2, review finding): removed the
+    # DEAD ``self.mix_ramp`` copy in GoldenSecamModem.__init__ — every
+    # consumer (golden demodulate included) moved to plan.mix_ramp_ext in
+    # the blanking-reconstruction commit, and ModemPlan.mix_ramp itself is
+    # deleted in this same commit.  No numerical path touched (attribute
+    # was never read).
     "frame.py": "2157eb6003944eb2",
-    "modems.py": "924c6a7c750d55b0",
+    "modems.py": "4c4b4578a727cf70",
 }
 
 

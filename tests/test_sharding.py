@@ -38,6 +38,9 @@ CASES = [
     # 'copy' global-edge rule (parallel/halo.py)
     ("secam", "avg"),
     ("niir", "avg"),
+    # interp pairing reads BOTH adjacent carrier lines: exercises the
+    # next_reflect (bottom-edge) side of the halo, which nothing above does
+    ("secam", "interp"),
 ]
 
 

@@ -173,6 +173,45 @@ def test_video_noise_chunk_independent(tmp_path):
     np.testing.assert_allclose(outs[2], outs[6], atol=1e-6)
 
 
+def test_video_noise_chunk_independent_interlaced(tmp_path):
+    """Interlaced encode puts FIELDS (2/frame) on the leading axis, so the
+    absolute noise key must scale frame0 by the fields-per-frame factor —
+    keying fields off frame0 + i directly tied the realization to the
+    chunk start (review finding r2: max |diff| 0.15 between chunk sizes)."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    outs = {}
+    for chunk in (2, 4):
+        d = str(tmp_path / f"i{chunk}")
+        process_video(plan, src, 4, d, decoder="comb3", chunk=chunk,
+                      interlaced=True, channel={"noise_sigma": 0.02},
+                      save_outputs=True)
+        outs[chunk] = np.concatenate([
+            np.load(f"{d}/rgb_{s:06d}.npy") for s in range(0, 4, chunk)
+        ])
+    np.testing.assert_allclose(outs[2], outs[4], atol=1e-6)
+
+
+def test_video_noise_chunk_independent_equalize(tmp_path):
+    """The GCR equalizer's noisy reference record uses a FIXED key (its own
+    base, no frame0), so designed taps — and decoded frames — match across
+    chunk layouts too (review finding r2: a frame0-derived key made
+    equalize+noise output chunk-size dependent)."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    chan = {"noise_sigma": 0.02, "equalize": True,
+            "ghost_delay_us": 0.5, "ghost_gain": 0.2}
+    outs = {}
+    for chunk in (2, 4):
+        d = str(tmp_path / f"e{chunk}")
+        process_video(plan, src, 4, d, decoder="comb3", chunk=chunk,
+                      channel=dict(chan), save_outputs=True)
+        outs[chunk] = np.concatenate([
+            np.load(f"{d}/rgb_{s:06d}.npy") for s in range(0, 4, chunk)
+        ])
+    np.testing.assert_allclose(outs[2], outs[4], atol=1e-6)
+
+
 def test_chunk_fingerprints_are_deterministic(tmp_path):
     plan = get_plan("ntsc")
     src = synthetic_source(L, TEST_SAMPLES)
