@@ -273,6 +273,17 @@ def main(argv=None) -> int:
 
         bench_run(args)
         return 0
+    if getattr(args, "standard", None) == "secam" and args.width < 1440:
+        # quality-qualified SECAM configuration (VERDICT r1 item 1):
+        # 1440 samples = 27 MHz keeps the ~6.2 MHz FM sidebands inside
+        # Nyquist; measured +3 dB round trip over the 720 default
+        # (tests/test_roundtrip.py::test_secam_quality_width_1440)
+        print(
+            "note: secam at --width %d; --width 1440 (27 MHz) is the "
+            "quality-qualified configuration (~+3 dB round trip)"
+            % args.width,
+            file=sys.stderr,
+        )
     if (getattr(args, "decoder", None) in ("comb3d", "comb3dA")
             and args.cmd != "video"):
         raise SystemExit(

@@ -36,6 +36,8 @@ CONFIGS = [
     ("pal", "comb3", 720),
     ("secam", "interp", 720),
     ("secam", "interp", 1440),   # the quality-qualified SECAM config
+    ("secam", "avg", 720),       # FM chroma-averaging (VERDICT r1 item 7)
+    ("ntsc", "comb3d", 720),     # temporal comb (frame-axis stencil)
     ("niir", "notch", 720),
     ("ntsc443", "notch", 720),  # no ~180-deg line flip: combs are gated off
     ("pal_m", "comb3", 720),
