@@ -273,11 +273,23 @@ def main(argv=None) -> int:
 
         bench_run(args)
         return 0
-    if getattr(args, "standard", None) == "secam" and args.width < 1440:
-        # quality-qualified SECAM configuration (VERDICT r1 item 1):
-        # 1440 samples = 27 MHz keeps the ~6.2 MHz FM sidebands inside
-        # Nyquist; measured +3 dB round trip over the 720 default
-        # (tests/test_roundtrip.py::test_secam_quality_width_1440)
+    # quality-qualified SECAM configuration (VERDICT r1 item 1): 1440
+    # samples = 27 MHz keeps the ~6.2 MHz FM sidebands inside Nyquist;
+    # measured +3 dB round trip over the 720 default
+    # (tests/test_roundtrip.py::test_secam_quality_width_1440).  Only
+    # advise where --width actually picks the encode grid: on `decode` the
+    # composite's geometry was fixed at encode time, so the note would
+    # point at a knob that cannot act; `transcode` re-encodes, so it gets
+    # the note when either side is SECAM.
+    secam_encoding = (
+        "secam" in (args.src, args.dst)
+        if args.cmd == "transcode"
+        else (
+            getattr(args, "standard", None) == "secam"
+            and args.cmd != "decode"
+        )
+    )
+    if secam_encoding and args.width < 1440:
         print(
             "note: secam at --width %d; --width 1440 (27 MHz) is the "
             "quality-qualified configuration (~+3 dB round trip)"

@@ -141,6 +141,15 @@ def process_video(
         # sigma is part of the config: resuming with a different gate
         # threshold would mix denoise levels across chunk boundaries.
         **({"nr": True, "nr_sigma": nr_sigma} if nr else {}),
+        # Sparse, noisy runs only: names the PRNG keying scheme so a manifest
+        # written under the old chunk-keyed noise refuses to resume (its
+        # config lacks the key) instead of silently mixing two channel
+        # realizations in one output directory.
+        **(
+            {"noise_keying": "abs-frame"}
+            if channel and float(channel.get("noise_sigma", 0.0) or 0.0) > 0.0
+            else {}
+        ),
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
     if manifest:

@@ -183,6 +183,70 @@ def worker_main(process_id: int, num_processes: int, port: int,
           f"{len(out.addressable_shards)} local shards", flush=True)
 
 
+class _WorkerFailed(Exception):
+    """A worker exited nonzero; carries which one and its combined log."""
+
+    def __init__(self, process_id: int, returncode: int, log: str):
+        super().__init__(f"worker {process_id} rc={returncode}")
+        self.process_id = process_id
+        self.returncode = returncode
+        self.log = log
+
+
+def _spawn_and_wait(
+    num_processes: int,
+    devices_per_proc: int,
+    port: int,
+    od: str,
+    env: dict,
+    repo: str,
+    timeout: float,
+) -> list[str]:
+    """Spawn the workers and poll them ALL: a worker that dies early (import
+    error, bad env, port race) surfaces within ~0.2 s instead of after the
+    coordinator's full timeout, which is what a sequential communicate()
+    loop pinned on process 0 would cost."""
+    import time
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "color_modem_tpu.parallel.multihost",
+             "--process-id", str(i), "--num-processes", str(num_processes),
+             "--port", str(port), "--outdir", od,
+             "--devices-per-proc", str(devices_per_proc)],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(num_processes)
+    ]
+    logs: list[str | None] = [None] * num_processes
+    deadline = time.monotonic() + timeout
+    try:
+        pending = set(range(num_processes))
+        while pending:
+            for i in sorted(pending):
+                if procs[i].poll() is None:
+                    continue
+                logs[i] = procs[i].stdout.read()
+                procs[i].stdout.close()
+                pending.discard(i)
+                if procs[i].returncode != 0:
+                    raise _WorkerFailed(i, procs[i].returncode, logs[i])
+            if pending:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"multihost workers {sorted(pending)} still running "
+                        f"after {timeout:.0f}s"
+                    )
+                time.sleep(0.2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return logs
+
+
 def launch_smoke(
     num_processes: int = 2,
     devices_per_proc: int = 4,
@@ -194,10 +258,6 @@ def launch_smoke(
     import tempfile
 
     od = outdir or tempfile.mkdtemp(prefix="cmtpu_multihost_")
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devices_per_proc}"
@@ -213,30 +273,28 @@ def launch_smoke(
     except Exception:
         pass
     repo = str(pathlib.Path(__file__).resolve().parents[2])
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "color_modem_tpu.parallel.multihost",
-             "--process-id", str(i), "--num-processes", str(num_processes),
-             "--port", str(port), "--outdir", od,
-             "--devices-per-proc", str(devices_per_proc)],
-            env=env, cwd=repo,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(num_processes)
-    ]
-    logs = []
-    try:
-        for p in procs:
-            stdout, _ = p.communicate(timeout=timeout)
-            logs.append(stdout)
-            if p.returncode != 0:
+    # The port comes from a bind-then-close probe, so another process can
+    # grab it between the close and the coordinator's own bind (TOCTOU).
+    # A coordinator that dies on a bind error is retried on a fresh port;
+    # any other worker failure (or a timeout) propagates immediately.
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        try:
+            logs = _spawn_and_wait(
+                num_processes, devices_per_proc, port, od, env, repo, timeout
+            )
+            break
+        except _WorkerFailed as e:
+            bind_race = e.process_id == 0 and (
+                "address in use" in e.log.lower() or "bind" in e.log.lower()
+            )
+            if not (bind_race and attempt < 2):
                 raise RuntimeError(
-                    f"multihost worker failed (rc={p.returncode}):\n{stdout}"
-                )
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+                    f"multihost worker {e.process_id} failed "
+                    f"(rc={e.returncode}):\n{e.log}"
+                ) from None
 
     frames = smoke_frames(num_processes)
     ref_enc, ref_rt = reference_outputs(frames, SMOKE_LINES)

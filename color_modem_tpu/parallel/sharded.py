@@ -58,6 +58,17 @@ def required_halo(plan: ModemPlan, decoder: str) -> int:
     return 1
 
 
+def halo_edge_rule(plan: ModemPlan, decoder: str) -> str:
+    """Global-edge substitution rule PAIRED with :func:`required_halo` —
+    one fact about a decoder, stated once: the chained 1-line prev-stencils
+    of FM/NIIR 'avg' need 'copy' (see halo_extend docstring for the index
+    algebra), every single stencil uses 'reflect'.  Both rules are
+    bit-identical to the unsharded pipeline's boundary treatment."""
+    if decoder == "avg" and required_halo(plan, decoder) == 2:
+        return "copy"
+    return "reflect"
+
+
 def _block_gline(plan: ModemPlan, frame0, b_blk: int, l_blk: int):
     """Absolute line indices for this device's (frame, line) block."""
     foff = lax.axis_index(FRAME_AXIS) * b_blk
@@ -67,9 +78,9 @@ def _block_gline(plan: ModemPlan, frame0, b_blk: int, l_blk: int):
     return b[:, None] * jnp.int32(plan.cfg.total_lines) + l[None, :]
 
 
-def _block_gline_frames_ext(plan: ModemPlan, frame0, b_blk: int, l_blk: int,
-                            pt: int):
-    """gline for a frame-halo-extended block, computed locally.
+def _ext_frame_offsets(b_blk: int, pt: int):
+    """Frame offsets (block-start relative) of a frame-halo-extended block:
+    the ONE place the temporal edge rule lives for locally computed gline.
 
     The halo frames' indices are pure arithmetic of the mesh position — no
     need to ppermute them like the composite data: interior halos are the
@@ -86,7 +97,14 @@ def _block_gline_frames_ext(plan: ModemPlan, frame0, b_blk: int, l_blk: int,
     f = jnp.where(
         (idx == nf - 1) & (e >= b_blk + pt), foff + e - 3 * pt, f
     )
-    b = jnp.asarray(frame0, jnp.int32) + f
+    return f
+
+
+def _block_gline_frames_ext(plan: ModemPlan, frame0, b_blk: int, l_blk: int,
+                            pt: int):
+    """gline for a frame-halo-extended block, computed locally
+    (frame-index arithmetic in :func:`_ext_frame_offsets`)."""
+    b = jnp.asarray(frame0, jnp.int32) + _ext_frame_offsets(b_blk, pt)
     loff = lax.axis_index(LINE_AXIS) * l_blk
     l = loff + jnp.arange(l_blk, dtype=jnp.int32)
     return b[:, None] * jnp.int32(plan.cfg.total_lines) + l[None, :]
@@ -134,11 +152,7 @@ def make_sharded_pipeline(
             rgb = decode_block(plan, cext, gext, decoder, backend)
             rgb = rgb[pt : pt + b_blk]
             return crop_halo(rgb, h) if decoder == "comb3dA" else rgb
-        # FM/NIIR 'avg' chains two 1-line prev-stencils; its global-edge
-        # rule is 'copy' (see halo_extend docstring), single stencils use
-        # the reflect rule — both bit-identical to the unsharded pipeline
-        edge = "copy" if required_halo(plan, decoder) == 2 and decoder == "avg" \
-            else "reflect"
+        edge = halo_edge_rule(plan, decoder)
         cext = halo_extend(comp_blk, h, LINE_AXIS, edge)
         gext = halo_extend_lines(g, h, LINE_AXIS, edge)
         rgb = decode_block(plan, cext, gext, decoder, backend)
@@ -202,17 +216,10 @@ def _field_gline(plan: ModemPlan, frame0, b_blk: int, rows_blk: int):
 def _field_gline_frames_ext(plan: ModemPlan, frame0, b_blk: int,
                             rows_blk: int, pt: int):
     """(2, b_blk + 2*pt, rows_blk) gline for the parity-major frame-halo-
-    extended block: same frame-index arithmetic as
-    :func:`_block_gline_frames_ext` (odd-multiple edge substitution), line
-    part from the field parity and row offset."""
-    nf = lax.axis_size(FRAME_AXIS)
-    idx = lax.axis_index(FRAME_AXIS)
-    foff = idx * b_blk
-    e = jnp.arange(b_blk + 2 * pt, dtype=jnp.int32)
-    f = foff + e - pt
-    f = jnp.where((idx == 0) & (e < pt), foff + e + pt, f)
-    f = jnp.where((idx == nf - 1) & (e >= b_blk + pt), foff + e - 3 * pt, f)
-    f = jnp.asarray(frame0, jnp.int32) + f
+    extended block: frame-index arithmetic shared with the progressive path
+    via :func:`_ext_frame_offsets`, line part from the field parity and row
+    offset."""
+    f = jnp.asarray(frame0, jnp.int32) + _ext_frame_offsets(b_blk, pt)
     off = (plan.cfg.total_lines + 1) // 2
     roff = lax.axis_index(LINE_AXIS) * rows_blk
     p = jnp.arange(2, dtype=jnp.int32)
@@ -281,7 +288,7 @@ def make_sharded_interlaced_pipeline(
             out = out.transpose(1, 0, 2, 3, 4).reshape(b2, 3, rows_blk, n)
             return weave_fields(out)
         g = _field_gline(plan, frame0, b_blk, rows_blk)
-        edge = "copy" if h == 2 and decoder == "avg" else "reflect"
+        edge = halo_edge_rule(plan, decoder)
         cext = halo_extend(comp_blk, h, LINE_AXIS, edge)
         gext = halo_extend_lines(g, h, LINE_AXIS, edge)
         out = crop_halo(decode_block(plan, cext, gext, decoder, backend), h)

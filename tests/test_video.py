@@ -44,6 +44,34 @@ def test_resume_rejects_config_change(tmp_path):
         process_video(plan, src, 2, out, decoder="comb3", chunk=2)
 
 
+def test_resume_rejects_old_noise_keying(tmp_path):
+    """A noisy-run manifest written before the per-absolute-frame noise
+    keying (its config lacks ``noise_keying``) must REFUSE to resume: the
+    remaining chunks would be generated under a different channel
+    realization, silently mixing two realizations in one directory."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    out = str(tmp_path / "run")
+    chan = {"noise_sigma": 0.02}
+    process_video(plan, src, 2, out, decoder="notch", chunk=2, channel=chan)
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m["config"]["noise_keying"] == "abs-frame"
+    del m["config"]["noise_keying"]  # simulate a pre-change manifest
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        process_video(plan, src, 2, out, decoder="notch", chunk=2,
+                      channel=chan)
+    # a clean (noiseless) run stays resumable across the change: the key is
+    # sparse, present only when noise is actually applied
+    out2 = str(tmp_path / "clean")
+    process_video(plan, src, 2, out2, decoder="notch", chunk=2)
+    with open(os.path.join(out2, "manifest.json")) as f:
+        assert "noise_keying" not in json.load(f)["config"]
+
+
 def test_video_sharded(tmp_path):
     plan = get_plan("pal")
     src = synthetic_source(L, TEST_SAMPLES)
