@@ -91,5 +91,13 @@ if __name__ == "__main__":
     ap.add_argument("--lines", type=int, default=480)
     ap.add_argument("--samples", type=int, default=720)
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="pin the CPU backend (the axon sitecustomize pins "
+        "JAX_PLATFORMS, so the env var alone cannot; script validation "
+        "while the chip is unavailable)",
+    )
     a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
     main(a.batch, a.lines, a.samples, a.iters)
