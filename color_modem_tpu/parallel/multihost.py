@@ -334,6 +334,12 @@ def _cli() -> None:
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--devices-per-proc", type=int, default=4)
     a = ap.parse_args()
+    # Fault-injection hook (SURVEY.md §5.3): lets the failure-detection test
+    # kill a chosen worker at startup and assert the launcher surfaces it
+    # fast instead of burning the coordinator timeout.
+    if os.environ.get("CMTPU_MULTIHOST_FAIL_PID") == str(a.process_id):
+        print("fault injection: worker dying at startup", flush=True)
+        sys.exit(3)
     worker_main(a.process_id, a.num_processes, a.port, a.outdir,
                 a.devices_per_proc)
 

@@ -17,10 +17,43 @@ CPU's fp scheduling; tests/test_sharding.py's bit-equality rows hold at
 that suite's specific block geometry, not this one — measured 1.8e-7 here).
 """
 
+import os
+import pathlib
+import socket
+import time
+
 import numpy as np
 import pytest
 
+from color_modem_tpu.parallel import multihost
 from color_modem_tpu.parallel.multihost import launch_smoke
+
+
+def test_dead_worker_surfaces_fast(tmp_path):
+    """Failure detection (SURVEY.md §5.3): a worker that dies at startup is
+    reported within seconds — naming the dead worker and its log — instead
+    of the launcher blocking on the coordinator until its full timeout
+    (what a sequential communicate() pinned on process 0 used to cost)."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    env["CMTPU_MULTIHOST_FAIL_PID"] = "1"  # fault injection: kill worker 1
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo = str(pathlib.Path(multihost.__file__).resolve().parents[2])
+    t0 = time.monotonic()
+    with pytest.raises(multihost._WorkerFailed) as ei:
+        multihost._spawn_and_wait(
+            2, 2, port, str(tmp_path), env, repo, timeout=300.0
+        )
+    elapsed = time.monotonic() - t0
+    assert ei.value.process_id == 1
+    assert ei.value.returncode == 3
+    assert "fault injection" in ei.value.log
+    # far below the 300 s coordinator timeout: detection is by polling,
+    # not by waiting out process 0's jax.distributed.initialize
+    assert elapsed < 60.0, f"dead worker took {elapsed:.0f}s to surface"
 
 
 @pytest.mark.slow
