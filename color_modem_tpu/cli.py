@@ -129,6 +129,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="decode with the burst-measured subcarrier phase (needs "
         "--raster; cancels --chroma-phase like a real receiver)",
     )
+    rt.add_argument(
+        "--rf", action="store_true",
+        help="transmit over the RF layer: VSB negative-AM picture at a "
+        "low IF, Nyquist-flank receiver + synchronous detection "
+        "(frame/rf.py) between encode and the composite channel",
+    )
+    rt.add_argument(
+        "--rf-noise", type=float, default=0.0,
+        help="AWGN sigma added at RF (fractions of peak carrier); "
+        "implies --rf",
+    )
 
     vid = sub.add_parser(
         "video", help="chunked, resumable synthetic-video roundtrip run"
@@ -634,6 +645,28 @@ def main(argv=None) -> int:
         # composite is kept batch-shaped — and device-resident (transfers
         # through the tunnel are the bottleneck, CLAUDE.md) — throughout
         comp_b = encode(rgb[None], args.frame)
+        if args.rf or args.rf_noise > 0.0:
+            # RF hop first (it IS the transmission); the composite-level
+            # impairments below then model the receiver-side degradations
+            from color_modem_tpu.frame.rf import (
+                make_rf_plan,
+                rf_demodulate,
+                rf_modulate,
+            )
+
+            rfp = make_rf_plan(plan)
+            rf_sig = rf_modulate(rfp, comp_b, args.frame)
+            if args.rf_noise > 0.0:
+                rf_sig = rf_sig + args.rf_noise * jax.random.normal(
+                    jax.random.PRNGKey(2), rf_sig.shape, dtype=rf_sig.dtype
+                )
+            comp_b = rf_demodulate(rfp, rf_sig, args.frame)
+            result["rf"] = {
+                "fc_mhz": round(rfp.fc / 1e6, 3),
+                "f_snd_mhz": round(rfp.f_snd / 1e6, 3),
+                "fs_rf_mhz": round(rfp.fs_rf / 1e6, 2),
+                **({"noise": args.rf_noise} if args.rf_noise else {}),
+            }
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,
                    "diff_gain": args.diff_gain,

@@ -1,0 +1,356 @@
+"""RF/IF vestigial-sideband picture transmission (beyond-reference).
+
+Extends the simulation chain one layer outward from the composite signal:
+
+    composite -> negative-AM VSB picture signal at a low IF
+              -> Nyquist-flank receiver + synchronous detection -> composite
+
+None of this exists in the reference (SURVEY.md §2.1 stops at the
+composite), but it is the canonical next stage of every real analog TV
+chain (BT.470 §3: vestigial-sideband AM, negative polarity for Systems
+M/B/G/D/K; the receiver Nyquist flank is standard texbook practice).
+
+Time model: row-major composite samples are treated as ONE contiguous
+stream per frame — the same convention as frame/channel.py's ghost delay
+(`_stream_delay`).  Works for active-only (L, N) blocks and for rastered
+lines (frame/raster.py), where the stream really is gap-free time.
+
+TPU-first design:
+
+* The picture carrier is a closed-form NCO, like the chroma subcarrier
+  (dsp/nco.py): the carrier frequency is snapped to a HALF-INTEGER number
+  of cycles per row, so the row-start phase alternates 0/pi — a (-1)^row
+  sign, no sequential phase state.  Rows, frames and batch items stay
+  independent: vmap/shard-compatible, continuous across the stream.
+* All filtering is design-time FIR taps (dsp/design.freq_sampled_taps)
+  applied by pow2-FFT convolution over the whole stream
+  (dsp/apply.fir_same_fft): line-seam-free, one HBM pass per filter, and
+  pow2 FFTs are solid on the axon backend (CLAUDE.md).  The long (~1k
+  tap) channel filters cost the same as short ones this way — the regime
+  where FFT conv beat lax.conv by ~1000x (frame/equalize.py).
+* Integer-R up/down sampling reuses the one video lowpass design as both
+  the interpolation (anti-image) filter on the way up and the
+  post-detection/decimation filter on the way down.
+
+Transparency vs authenticity: the default video bandwidth is 0.46*fs
+("transparency mode" — the RF hop passes everything the composite can
+carry, so it composes with any decoder at full quality).  Authentic
+channel bandwidths (NTSC 4.2 MHz, PAL B/G 5.0, SECAM 6.0) can be forced
+with ``f_video=`` — narrower than the composite's chroma top end, so
+expect the authentic quality loss.  The sound intercarrier (FM, phase 2)
+sits above the video sideband either way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from color_modem_tpu.dsp import design
+from color_modem_tpu.dsp.apply import fir_same_fft
+from color_modem_tpu.dsp.nco import sample_phase_ramp
+from color_modem_tpu.modem.plan import ModemPlan
+
+#: Negative-modulation envelope map (BT.470 System M levels, fractions of
+#: peak carrier): sync tip 100 %, blanking 75 %, peak white 12.5 %.  With
+#: raster.SYNC_LEVEL = -0.4 video units, one linear map covers all three:
+#: env = BLANK - (BLANK - WHITE) * v  ->  env(-0.4) = 1.0 exactly.
+ENV_BLANK = 0.75
+ENV_WHITE = 0.125
+
+#: Design margins (Hz): band-edge transition width, guard to DC/Nyquist.
+_TRANSITION = 0.3e6
+_GUARD = 0.2e6
+
+
+def _nyquist_flank(f, fc: float, f_vestige: float, f_video: float):
+    """Receiver response: raised-cosine flank through 0.5 at the carrier
+    (width 2*f_vestige), flat over the upper sideband, raised-cosine
+    rolloff after ``fc + f_video``.  The flank folds the twice-received
+    DSB band [fc - f_v, fc + f_v] back to unity: H(fc+f) + H(fc-f) = 1."""
+    f = np.asarray(f, dtype=np.float64)
+    lo, hi = fc - f_vestige, fc + f_vestige
+    flank = np.where(
+        f <= lo, 0.0,
+        np.where(f >= hi, 1.0, 0.5 * (1 - np.cos(np.pi * (f - lo) / (hi - lo)))),
+    )
+    top = fc + f_video
+    roll = np.where(
+        f <= top, 1.0,
+        np.where(
+            f >= top + _TRANSITION, 0.0,
+            0.5 * (1 + np.cos(np.pi * (f - top) / _TRANSITION)),
+        ),
+    )
+    return flank * roll
+
+
+@dataclasses.dataclass(frozen=True)
+class RFPlan:
+    """Config-time RF geometry + filter taps for one (plan, R) pair."""
+
+    plan: ModemPlan
+    r: int                  # oversampling: fs_rf = r * plan.fs
+    fc: float               # picture carrier, Hz (exact: cpl_num/2 cycles/row)
+    cpl_num: int            # carrier cycles per row = cpl_num / 2 (odd)
+    f_vestige: float        # lower (vestigial) sideband width, Hz
+    f_video: float          # upper sideband width, Hz
+    tx_taps: np.ndarray     # VSB shaping bandpass (fs_rf)
+    rx_taps: np.ndarray     # Nyquist-flank receiver bandpass (fs_rf)
+    det_taps: np.ndarray    # post-detection video lowpass (fs_rf)
+    ramp: np.ndarray        # (N*r,) within-row carrier phase ramp, f64
+    # --- intercarrier FM sound (None-free; sound is always designed) ----
+    f_snd: float            # sound carrier, Hz (exact: snd_num/2 cycles/row)
+    snd_num: int
+    snd_dev: float          # peak FM deviation, Hz (audio in [-1, 1])
+    snd_amp: float          # sound carrier amplitude vs peak picture carrier
+    snd_bpf: np.ndarray     # receiver sound-takeoff bandpass (fs_rf)
+    snd_lpf: np.ndarray     # post-mix I/Q lowpass (fs_rf)
+    aud_lpf: np.ndarray     # recovered-audio lowpass (composite rate fs)
+    snd_ramp: np.ndarray    # (N*r,) sound-carrier phase ramp, f64
+
+    @property
+    def fs_rf(self) -> float:
+        return self.r * self.plan.fs
+
+    @property
+    def n_rf(self) -> int:
+        """RF samples per row."""
+        return self.plan.n_samples * self.r
+
+
+def make_rf_plan(
+    plan: ModemPlan,
+    r: int = 4,
+    fc: float | None = None,
+    f_video: float | None = None,
+    ntaps: int = 1025,
+    intercarrier: float | None = None,
+    snd_dev: float | None = None,
+    snd_amp: float = 0.2,
+    audio_bw: float = 15e3,
+    snd_ntaps: int = 4097,
+) -> RFPlan:
+    """Design the RF geometry and filters for ``plan`` at oversampling ``r``.
+
+    The carrier frequency is snapped to the nearest half-integer number of
+    cycles per row so its phase law is closed-form (see module docstring);
+    defaults put it at ``f_video + 2 MHz``, comfortably clear of both the
+    synchronous detector's 2fc image band and RF Nyquist.
+    """
+    fs = plan.fs
+    fs_rf = r * fs
+    n = plan.n_samples
+    if f_video is None:
+        # transparency mode (module docstring).  SECAM's FM sidebands run
+        # right up to ~6.5 MHz (standards/__init__.py), so the FM standards
+        # get the extra headroom: 0.46 fs clipped the sideband tops to a
+        # 40.6 dB composite transparency, 0.49 fs measures 56.7 dB (the
+        # decoded picture is unaffected either way — the clipped tops are
+        # above the bell takeoff — but headroom is free here).
+        f_video = (0.49 if plan.cfg.is_fm else 0.46) * fs
+    # vestige per BT.470: 0.75 MHz for System M (525), 1.25 MHz for 625-line
+    f_vestige = 0.75e6 if plan.cfg.total_lines == 525 else 1.25e6
+    if fc is None:
+        fc = f_video + 2.0e6
+    # snap to a half-integer number of carrier cycles per N-sample row
+    cpl_num = 2 * int(round(fc * n / fs - 0.5)) + 1
+    fc = cpl_num / 2 * fs / n
+    # feasibility: [the synchronous detector's sum band, lowest component
+    # 2fc - f_vestige, must clear the video band] and [upper sideband +
+    # transition inside RF Nyquist] and [vestige clear of DC]
+    if 2 * fc - f_vestige < f_video + _TRANSITION + _GUARD:
+        raise ValueError(
+            f"fc={fc/1e6:.2f} MHz too low: the 2fc detection image "
+            f"(down to {(2*fc - f_vestige)/1e6:.2f} MHz) overlaps the "
+            f"{f_video/1e6:.2f} MHz video band — raise fc"
+        )
+    if fc + f_video + _TRANSITION > fs_rf / 2 - _GUARD:
+        raise ValueError(
+            f"fc+f_video={(fc+f_video)/1e6:.2f} MHz exceeds RF Nyquist "
+            f"{fs_rf/2e6:.2f} MHz — raise r (r={r})"
+        )
+    if fc - f_vestige < _GUARD:
+        raise ValueError(f"fc={fc/1e6:.2f} MHz leaves no room for the vestige")
+
+    tx_taps = design.freq_sampled_taps(
+        fs_rf,
+        lambda f: design.raised_cosine_bandpass_response(
+            f, fc - f_vestige, fc + f_video, _TRANSITION
+        ),
+        ntaps,
+    )
+    rx_taps = design.freq_sampled_taps(
+        fs_rf, lambda f: _nyquist_flank(f, fc, f_vestige, f_video), ntaps
+    )
+    det_taps = design.lowpass_taps(fs_rf, f_video + _TRANSITION, ntaps)
+
+    # --- intercarrier FM sound ------------------------------------------
+    # Authentic intercarrier spacings (4.5 / 5.5 / 6.5 MHz) assume the
+    # authentic video bandwidths; in transparency mode (f_video = 0.46 fs)
+    # the carrier must clear the wider video sideband, so the default is
+    # relative: f_video + 0.75 MHz.  Deviation per BT.470: +-25 kHz for
+    # System M (525 lines), +-50 kHz for the 625-line systems.
+    if intercarrier is None:
+        intercarrier = f_video + 0.75e6
+    if snd_dev is None:
+        snd_dev = 25e3 if plan.cfg.total_lines == 525 else 50e3
+    snd_num = 2 * int(round((fc + intercarrier) * n / fs - 0.5)) + 1
+    f_snd = snd_num / 2 * fs / n
+    snd_half = 2.0 * (snd_dev + audio_bw)  # Carson bandwidth, half-width x2 margin
+    if f_snd - snd_half < fc + f_video + _TRANSITION:
+        raise ValueError(
+            f"sound carrier {f_snd/1e6:.2f} MHz overlaps the video "
+            f"sideband top {(fc + f_video)/1e6:.2f} MHz — raise intercarrier"
+        )
+    if f_snd + snd_half > fs_rf / 2 - _GUARD:
+        raise ValueError(
+            f"sound carrier {f_snd/1e6:.2f} MHz too close to RF Nyquist "
+            f"{fs_rf/2e6:.2f} MHz — raise r"
+        )
+    snd_bpf = design.freq_sampled_taps(
+        fs_rf,
+        lambda f: design.raised_cosine_bandpass_response(
+            f, f_snd - snd_half, f_snd + snd_half, snd_half
+        ),
+        snd_ntaps,
+    )
+    snd_lpf = design.lowpass_taps(fs_rf, snd_half, snd_ntaps)
+    # The audio lowpass runs at the COMPOSITE rate, so its transition width
+    # is ~4*fs/ntaps: 2049 taps at 13.5 MHz put a 26 kHz transition right
+    # across the audio band (measured: a 7 kHz tone lost ~6% -> 32 dB
+    # two-tone SNR).  8193 taps narrow it to ~6.6 kHz: the passband is flat
+    # through audio_bw and the FFT-conv cost is unchanged.
+    aud_lpf = design.lowpass_taps(fs, audio_bw + 3e3, 8193)
+    return RFPlan(
+        plan=plan, r=r, fc=fc, cpl_num=cpl_num,
+        f_vestige=f_vestige, f_video=f_video,
+        tx_taps=tx_taps, rx_taps=rx_taps, det_taps=det_taps,
+        ramp=sample_phase_ramp(fc, fs_rf, n * r),
+        f_snd=f_snd, snd_num=snd_num, snd_dev=snd_dev, snd_amp=snd_amp,
+        snd_bpf=snd_bpf, snd_lpf=snd_lpf, aud_lpf=aud_lpf,
+        snd_ramp=sample_phase_ramp(f_snd, fs_rf, n * r),
+    )
+
+
+def _row_sign(rfp: RFPlan, frame0, b: int, l: int):
+    """(-1)^(absolute row index): the carrier's row-start phase (half-
+    integer cycles/row => alternating 0/pi).  Keyed by the ABSOLUTE frame
+    index so video chunks stay phase-continuous (frame/video.py)."""
+    g = (jnp.asarray(frame0, jnp.int32) + jnp.arange(b, dtype=jnp.int32))
+    rows = g[:, None] * jnp.int32(l) + jnp.arange(l, dtype=jnp.int32)[None, :]
+    return (1.0 - 2.0 * (rows % 2).astype(jnp.float32))
+
+
+def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None):
+    """Composite (B, L, N) video units -> VSB picture RF (B, L, N*r).
+
+    Negative AM (sync tip = peak carrier), zero-stuffed to the RF rate,
+    mixed onto the closed-form carrier, VSB-shaped in one FFT pass over
+    the contiguous stream (which also removes the zero-stuffing images).
+
+    ``audio``: optional (B, L*N) mono audio in [-1, 1] at the COMPOSITE
+    rate (one audio sample per video sample) — added as the intercarrier
+    FM sound carrier.  ZOH upsampling to the RF rate is exact enough here:
+    the ZOH images FM-map to sidebands at beta ~ dev/fs < 2e-3, i.e.
+    < -60 dB, outside every receiver filter.
+    """
+    b, l, n = comp.shape
+    env = ENV_BLANK - (ENV_BLANK - ENV_WHITE) * comp.astype(jnp.float32)
+    # interpolate the ENVELOPE to the RF rate first (zero-stuff, gain r,
+    # anti-image lowpass over the contiguous stream), and only then mix:
+    # the envelope's images sit at fs +- f and the lowpass removes them.
+    # Mixing before interpolation would not work — the modulated sidebands
+    # (+- f_video around fc) are wider than the fs image spacing, so the
+    # stuffing images would alias straight into the VSB passband.
+    z = jnp.zeros((b, l, n, rfp.r), jnp.float32).at[..., 0].set(rfp.r * env)
+    stream = z.reshape(b, l * rfp.n_rf)
+    env_rf = fir_same_fft(stream, rfp.det_taps).reshape(b, l, rfp.n_rf)
+    carrier = jnp.asarray(np.cos(rfp.ramp), jnp.float32)
+    rf = env_rf * carrier[None, None, :] * _row_sign(rfp, frame0, b, l)[:, :, None]
+    rf = fir_same_fft(
+        rf.reshape(b, l * rfp.n_rf), rfp.tx_taps
+    ).reshape(b, l, rfp.n_rf)
+    if audio is not None:
+        # FM: phase = closed-form carrier ramp + deviation integral.  The
+        # integral is ONE cumsum over the contiguous stream (VPU work; the
+        # f32 random-walk rounding is ~60 dB below the deviation after the
+        # audio lowpass).  cos(pi*row + x) = row_sign * cos(x), so the
+        # carrier's half-integer row law still factors out of the FM term.
+        a_rf = jnp.repeat(
+            jnp.asarray(audio, jnp.float32), rfp.r, axis=-1
+        )  # (B, L*N*r) zero-order hold
+        dphi = (2.0 * np.pi * rfp.snd_dev / rfp.fs_rf) * a_rf
+        phi_dev = jnp.cumsum(dphi, axis=-1).reshape(b, l, rfp.n_rf)
+        ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
+        snd = jnp.cos(ramp[None, None, :] + phi_dev)
+        rf = rf + rfp.snd_amp * snd * _row_sign(rfp, frame0, b, l)[:, :, None]
+    return rf
+
+
+def rf_demodulate(rfp: RFPlan, rf, frame0=0):
+    """VSB picture RF (B, L, N*r) -> composite (B, L, N) video units.
+
+    Nyquist-flank selectivity, synchronous (coherent) detection against
+    the same closed-form carrier, post-detection lowpass (which is also
+    the decimation filter), strided decimation, envelope-map inversion.
+    """
+    b, l, n_rf = rf.shape
+    stream = rf.reshape(b, l * n_rf)
+    x = fir_same_fft(stream, rfp.rx_taps).reshape(b, l, n_rf)
+    # product detector gain 4: x2 to cancel the cos^2 halving, and x2
+    # because the Nyquist-flank convention H(fc+f) + H(fc-f) = 1 delivers
+    # HALF the envelope everywhere (USB-only region: A/2 * 1; DSB region:
+    # A/2 * [H+ + H-] = A/2).
+    carrier = jnp.asarray(np.cos(rfp.ramp), jnp.float32)
+    i = x * (4.0 * carrier)[None, None, :] * _row_sign(rfp, frame0, b, l)[:, :, None]
+    v = fir_same_fft(i.reshape(b, l * n_rf), rfp.det_taps).reshape(b, l, n_rf)
+    env = v.reshape(b, l, rfp.plan.n_samples, rfp.r)[..., 0]
+    return (ENV_BLANK - env) / (ENV_BLANK - ENV_WHITE)
+
+
+def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0):
+    """Intercarrier FM sound takeoff: RF (B, L, N*r) -> audio (B, L*N).
+
+    Sound-channel bandpass, quadrature mix against the closed-form sound
+    carrier, I/Q lowpass, decimation to the composite rate, then the EXACT
+    phase-difference discriminator: dphi = atan2(Im, Re) of z[t]*conj(
+    z[t-1]) — per-sample phase step, no unwrap (|dphi| < pi), and unlike a
+    FIR differentiator it has no design error at the tiny omega/fs of an
+    audio-bandwidth signal (a 31-tap frequency-sampled d/dn measured ~30 dB
+    audio SNR; this form is exact).  Decimating first makes the step r
+    times larger — precision and compute both improve.
+    """
+    b, l, n_rf = rf.shape
+    n = rfp.plan.n_samples
+    stream = rf.reshape(b, l * n_rf)
+    xs = fir_same_fft(stream, rfp.snd_bpf)
+    ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
+    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
+    c = (jnp.cos(ramp)[None, None, :] * sign).reshape(b, l * n_rf)
+    s = (jnp.sin(ramp)[None, None, :] * sign).reshape(b, l * n_rf)
+    i = fir_same_fft(xs * (2.0 * c), rfp.snd_lpf)
+    q = fir_same_fft(xs * (-2.0 * s), rfp.snd_lpf)
+    # decimate: i/q are band-limited to the Carson width, far below fs/2
+    i = i.reshape(b, l, n, rfp.r)[..., 0].reshape(b, l * n)
+    q = q.reshape(b, l, n, rfp.r)[..., 0].reshape(b, l * n)
+    ip = jnp.concatenate([i[:, :1], i[:, :-1]], axis=-1)
+    qp = jnp.concatenate([q[:, :1], q[:, :-1]], axis=-1)
+    dphi = jnp.arctan2(ip * q - i * qp, i * ip + q * qp)
+    audio = dphi * (rfp.plan.fs / (2.0 * np.pi * rfp.snd_dev))
+    return fir_same_fft(audio, rfp.aud_lpf)
+
+
+def rf_roundtrip(rfp: RFPlan, comp, frame0=0, audio=None):
+    """modulate -> demodulate (the RF-transparency test surface).
+
+    Returns the recovered composite, or ``(composite, audio)`` when an
+    audio stream is transmitted."""
+    rf = rf_modulate(rfp, comp, frame0, audio)
+    out = rf_demodulate(rfp, rf, frame0)
+    if audio is None:
+        return out
+    return out, rf_demodulate_sound(rfp, rf, frame0)
