@@ -84,6 +84,40 @@ def main(batch: int = 16, iters: int = 60) -> None:
         }
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
+    # --- RF/VSB layer row (frame/rf.py): composite -> RF -> composite ----
+    # measured separately because the RF hop wraps the composite pipeline
+    # rather than being a decoder; throughput counts composite pixels.
+    from color_modem_tpu.frame.rf import make_rf_plan, rf_roundtrip
+    from color_modem_tpu.frame.pipeline import make_pipeline as _mk
+
+    cfg = ALL_STANDARDS["ntsc"]()
+    plan = make_plan(cfg, 720)
+    rfp = make_rf_plan(plan)
+    enc, _, _ = _mk(plan, "notch", "xla")
+    one = smooth_scene(cfg.active_lines, 720, seed=0)
+    rgb = jnp.asarray(
+        np.broadcast_to(one, (batch, 3, cfg.active_lines, 720)), jnp.float32
+    )
+    comp = jax.block_until_ready(enc(rgb, 0))
+    best = None
+    for _ in range(REPEATS):
+        r = measure(lambda c: rf_roundtrip(rfp, c, 0), comp, iters=iters)
+        if r.get("below_timing_resolution"):
+            continue
+        if best is None or r["seconds_per_call"] < best:
+            best = r["seconds_per_call"]
+    q = float(psnr(np.asarray(rf_roundtrip(rfp, comp, 0))[:, 2:-2],
+                   np.asarray(comp)[:, 2:-2]))
+    pixels = batch * cfg.active_lines * 720
+    row = {
+        "standard": "ntsc", "decoder": "rf-vsb-hop", "backend": "xla",
+        "shape": [batch, cfg.active_lines, 720],
+        "mpix_per_s": round(pixels / best / 1e6, 1) if best else None,
+        "roundtrip_psnr_db": round(q, 2),  # composite transparency
+    }
+    out["rows"].append(row)
+    print(json.dumps(row), flush=True)
+
     os.makedirs("results", exist_ok=True)
     with open("results/chip_matrix_r02.json", "w") as f:
         json.dump(out, f, indent=1)
@@ -95,5 +129,13 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="pin the CPU backend (the axon sitecustomize pins "
+        "JAX_PLATFORMS, so the env var alone cannot; script validation "
+        "while the chip is unavailable — do NOT commit CPU artifacts)",
+    )
     a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
     main(a.batch, a.iters)
