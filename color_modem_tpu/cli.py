@@ -140,6 +140,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="AWGN sigma added at RF (fractions of peak carrier); "
         "implies --rf",
     )
+    rt.add_argument(
+        "--rf-detection", default="sync", choices=["sync", "envelope"],
+        help="receiver detector: coherent product detection (clean, "
+        "needs carrier phase) or envelope detection (phase-immune, "
+        "authentic VSB quadrature distortion); implies --rf",
+    )
+    rt.add_argument(
+        "--rf-phase-error", type=float, default=0.0,
+        help="local-oscillator phase error, degrees (wrecks sync "
+        "detection, provably ignored by envelope detection)",
+    )
 
     vid = sub.add_parser(
         "video", help="chunked, resumable synthetic-video roundtrip run"
@@ -645,7 +656,8 @@ def main(argv=None) -> int:
         # composite is kept batch-shaped — and device-resident (transfers
         # through the tunnel are the bottleneck, CLAUDE.md) — throughout
         comp_b = encode(rgb[None], args.frame)
-        if args.rf or args.rf_noise > 0.0:
+        if (args.rf or args.rf_noise > 0.0
+                or args.rf_detection != "sync" or args.rf_phase_error != 0.0):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
             from color_modem_tpu.frame.rf import (
@@ -660,12 +672,18 @@ def main(argv=None) -> int:
                 rf_sig = rf_sig + args.rf_noise * jax.random.normal(
                     jax.random.PRNGKey(2), rf_sig.shape, dtype=rf_sig.dtype
                 )
-            comp_b = rf_demodulate(rfp, rf_sig, args.frame)
+            comp_b = rf_demodulate(
+                rfp, rf_sig, args.frame, args.rf_detection,
+                float(np.deg2rad(args.rf_phase_error)),
+            )
             result["rf"] = {
                 "fc_mhz": round(rfp.fc / 1e6, 3),
                 "f_snd_mhz": round(rfp.f_snd / 1e6, 3),
                 "fs_rf_mhz": round(rfp.fs_rf / 1e6, 2),
+                "detection": args.rf_detection,
                 **({"noise": args.rf_noise} if args.rf_noise else {}),
+                **({"phase_error_deg": args.rf_phase_error}
+                   if args.rf_phase_error else {}),
             }
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,

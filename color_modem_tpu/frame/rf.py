@@ -291,12 +291,24 @@ def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None):
     return rf
 
 
-def rf_demodulate(rfp: RFPlan, rf, frame0=0):
+def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
+                  phase_error: float = 0.0):
     """VSB picture RF (B, L, N*r) -> composite (B, L, N) video units.
 
-    Nyquist-flank selectivity, synchronous (coherent) detection against
-    the same closed-form carrier, post-detection lowpass (which is also
-    the decimation filter), strided decimation, envelope-map inversion.
+    Nyquist-flank selectivity, detection, post-detection lowpass (which
+    is also the decimation filter), strided decimation, envelope-map
+    inversion.  Two detectors:
+
+    * ``"sync"`` — synchronous (coherent) product detection against the
+      closed-form carrier: the textbook-clean VSB receiver, but it needs
+      the carrier phase.  ``phase_error`` (radians) models a mis-locked
+      local oscillator: gain falls as cos(err) and the VSB quadrature
+      component leaks in (90 deg = picture gone).
+    * ``"envelope"`` — I/Q magnitude (the vectorized equivalent of a
+      diode envelope detector): insensitive to carrier phase entirely,
+      at the cost of the authentic VSB quadrature distortion on
+      high-frequency content (the reason real TV keeps the modulation
+      depth off 100 %).  Costs one extra detection-lowpass pass.
     """
     b, l, n_rf = rf.shape
     stream = rf.reshape(b, l * n_rf)
@@ -305,10 +317,27 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0):
     # because the Nyquist-flank convention H(fc+f) + H(fc-f) = 1 delivers
     # HALF the envelope everywhere (USB-only region: A/2 * 1; DSB region:
     # A/2 * [H+ + H-] = A/2).
-    carrier = jnp.asarray(np.cos(rfp.ramp), jnp.float32)
-    i = x * (4.0 * carrier)[None, None, :] * _row_sign(rfp, frame0, b, l)[:, :, None]
-    v = fir_same_fft(i.reshape(b, l * n_rf), rfp.det_taps).reshape(b, l, n_rf)
-    env = v.reshape(b, l, rfp.plan.n_samples, rfp.r)[..., 0]
+    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
+    if detection == "sync":
+        mix = jnp.asarray(np.cos(rfp.ramp + phase_error), jnp.float32)
+        i = x * (4.0 * mix)[None, None, :] * sign
+        v = fir_same_fft(i.reshape(b, l * n_rf), rfp.det_taps)
+        env = v.reshape(b, l, rfp.plan.n_samples, rfp.r)[..., 0]
+    elif detection == "envelope":
+        # phase_error participates but cannot matter: a mixer offset just
+        # rotates (i, q), and the magnitude is rotation-invariant — that
+        # insensitivity is the whole point of envelope detection.
+        c = jnp.asarray(np.cos(rfp.ramp + phase_error), jnp.float32)
+        s = jnp.asarray(np.sin(rfp.ramp + phase_error), jnp.float32)
+        i = fir_same_fft((x * (4.0 * c)[None, None, :] * sign)
+                         .reshape(b, l * n_rf), rfp.det_taps)
+        q = fir_same_fft((x * (-4.0 * s)[None, None, :] * sign)
+                         .reshape(b, l * n_rf), rfp.det_taps)
+        env = jnp.sqrt(i * i + q * q).reshape(
+            b, l, rfp.plan.n_samples, rfp.r
+        )[..., 0]
+    else:
+        raise ValueError(f"unknown detection {detection!r}")
     return (ENV_BLANK - env) / (ENV_BLANK - ENV_WHITE)
 
 
