@@ -148,8 +148,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     rt.add_argument(
         "--rf-phase-error", type=float, default=0.0,
-        help="local-oscillator phase error, degrees (wrecks sync "
-        "detection, provably ignored by envelope detection)",
+        help="channel carrier phase offset, degrees (wrecks blind sync "
+        "detection; ignored by envelope detection; cancelled by "
+        "--rf-recover)",
+    )
+    rt.add_argument(
+        "--rf-recover", action="store_true",
+        help="quasi-synchronous receiver: recover the carrier phase from "
+        "the signal (the negative-AM carrier line) before sync detection",
     )
 
     vid = sub.add_parser(
@@ -656,25 +662,37 @@ def main(argv=None) -> int:
         # composite is kept batch-shaped — and device-resident (transfers
         # through the tunnel are the bottleneck, CLAUDE.md) — throughout
         comp_b = encode(rgb[None], args.frame)
-        if (args.rf or args.rf_noise > 0.0
+        if (args.rf or args.rf_noise > 0.0 or args.rf_recover
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
+            import dataclasses
+
             from color_modem_tpu.frame.rf import (
                 make_rf_plan,
+                recover_carrier_phase,
                 rf_demodulate,
                 rf_modulate,
             )
 
             rfp = make_rf_plan(plan)
-            rf_sig = rf_modulate(rfp, comp_b, args.frame)
+            # a channel carrier offset = transmitting on a rotated carrier
+            # (the receiver's mixers stay nominal)
+            tx_rfp = rfp if args.rf_phase_error == 0.0 else dataclasses.replace(
+                rfp, ramp=rfp.ramp + np.deg2rad(args.rf_phase_error)
+            )
+            rf_sig = rf_modulate(tx_rfp, comp_b, args.frame)
             if args.rf_noise > 0.0:
                 rf_sig = rf_sig + args.rf_noise * jax.random.normal(
                     jax.random.PRNGKey(2), rf_sig.shape, dtype=rf_sig.dtype
                 )
+            pe = 0.0
+            if args.rf_recover:
+                pe = float(np.mean(np.asarray(
+                    recover_carrier_phase(rfp, rf_sig, args.frame)
+                )))
             comp_b = rf_demodulate(
-                rfp, rf_sig, args.frame, args.rf_detection,
-                float(np.deg2rad(args.rf_phase_error)),
+                rfp, rf_sig, args.frame, args.rf_detection, pe
             )
             result["rf"] = {
                 "fc_mhz": round(rfp.fc / 1e6, 3),
@@ -684,6 +702,8 @@ def main(argv=None) -> int:
                 **({"noise": args.rf_noise} if args.rf_noise else {}),
                 **({"phase_error_deg": args.rf_phase_error}
                    if args.rf_phase_error else {}),
+                **({"recovered_phase_deg": round(float(np.degrees(pe)), 2)}
+                   if args.rf_recover else {}),
             }
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,

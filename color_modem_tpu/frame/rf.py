@@ -341,6 +341,28 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
     return (ENV_BLANK - env) / (ENV_BLANK - ENV_WHITE)
 
 
+def recover_carrier_phase(rfp: RFPlan, rf, frame0=0):
+    """Estimate the received picture-carrier phase offset, radians (B,).
+
+    Quasi-synchronous receivers recover the carrier from the signal
+    itself: the negative-AM envelope never drops below ~12.5 %, so the
+    carrier line dominates the spectrum at fc.  Correlating the stream
+    against the nominal I/Q mixers and averaging leaves exactly that
+    line: theta = atan2(<x*(-sin)>, <x*cos>).  Feed the result to
+    :func:`rf_demodulate` as ``phase_error`` (it mixes with ramp +
+    phase_error, so passing the estimate cancels the channel's offset).
+    One pass, two reductions — no filtering needed because the mean IS
+    the DC bin.
+    """
+    b, l, n_rf = rf.shape
+    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
+    c = jnp.asarray(np.cos(rfp.ramp), jnp.float32)
+    s = jnp.asarray(np.sin(rfp.ramp), jnp.float32)
+    xi = jnp.mean(rf * c[None, None, :] * sign, axis=(1, 2))
+    xq = jnp.mean(rf * (-s)[None, None, :] * sign, axis=(1, 2))
+    return jnp.arctan2(xq, xi)
+
+
 def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0):
     """Intercarrier FM sound takeoff: RF (B, L, N*r) -> audio (B, L*N).
 

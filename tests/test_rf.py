@@ -120,6 +120,34 @@ def test_rf_envelope_detection_phase_immunity_and_quadrature_distortion():
     assert p >= 35.0, f"envelope-detected decode {p:.1f} dB"
 
 
+def test_rf_carrier_recovery_cancels_channel_phase():
+    """Quasi-synchronous receiver: estimate the channel's carrier phase
+    from the signal itself (the negative-AM envelope keeps the carrier
+    line dominant) and hand it to the sync detector — a 60-degree
+    offset that wrecked plain sync detection decodes cleanly again."""
+    import dataclasses
+
+    from color_modem_tpu.frame.rf import recover_carrier_phase
+
+    plan, _, _, comp = _composite("ntsc")
+    rfp = make_rf_plan(plan)
+    th = np.pi / 3
+    # a channel that rotates the carrier = transmitting with ramp + th
+    # (the envelope path is identical; only the carrier phase moves)
+    rf_rot = rf_modulate(
+        dataclasses.replace(rfp, ramp=rfp.ramp + th), jnp.asarray(comp), 0
+    )
+    est = np.asarray(recover_carrier_phase(rfp, rf_rot, 0))
+    assert np.allclose(est, th, atol=np.deg2rad(2.0)), (
+        f"recovered {np.degrees(est)} deg, true 60"
+    )
+    blind = np.asarray(rf_demodulate(rfp, rf_rot, 0))
+    locked = np.asarray(rf_demodulate(rfp, rf_rot, 0, "sync", est[0]))
+    assert psnr(blind[:, 2:-2], comp[:, 2:-2]) < 15.0
+    p = psnr(locked[:, 2:-2], comp[:, 2:-2])
+    assert p >= 55.0, f"recovered-carrier sync detection {p:.1f} dB"
+
+
 def test_rf_sound_two_tone_snr_and_picture_isolation():
     plan, dec, x, comp = _composite("ntsc", "comb3")
     rfp = make_rf_plan(plan)
