@@ -171,6 +171,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vid.add_argument("--no-resume", action="store_true")
     vid.add_argument(
+        "--rf", action="store_true",
+        help="transmit every chunk over the RF/VSB layer (frame/rf.py) "
+        "inside the jitted chunk step",
+    )
+    vid.add_argument(
         "--host-source", action="store_true",
         help="generate frames on the host (default: on device — the host "
         "path re-uploads every chunk, which dominates over a slow link)",
@@ -598,6 +603,7 @@ def main(argv=None) -> int:
             interlaced=args.interlaced,
             nr=args.nr is not None,
             nr_sigma=args.nr,
+            rf=args.rf,
         )
         print(json.dumps(summary))
         return 0

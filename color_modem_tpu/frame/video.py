@@ -93,6 +93,7 @@ def process_video(
     interlaced: bool = False,
     nr: bool = False,
     nr_sigma: float | None = None,
+    rf: bool = False,
 ) -> dict:
     """Round-trip ``n_frames`` frames in chunks; returns the run summary.
 
@@ -116,6 +117,15 @@ def process_video(
     over field-row blocks (parallel.sharded.make_sharded_interlaced_pipeline
     — requires an even line count whose half divides the line axis).
     comb3d combs same-parity fields.
+
+    ``rf``: transmit every chunk over the RF/VSB layer (frame/rf.py —
+    modulate to the low-IF picture signal, synchronous detection back)
+    between encode and the composite channel, inside the jitted chunk
+    step.  The carrier law is keyed on the absolute leading-axis index
+    (frames, or FIELDS when interlaced), so chunk size and resume points
+    cannot change the output.  With a ``mesh`` the RF stream filters run
+    outside the shard_map (GSPMD inserts the resharding) — functional,
+    but the sharded perf path is the composite pipeline, not the hop.
 
     ``nr``: motion-gated temporal noise reduction on the decoded frames
     (frame.nr) inside the jitted chunk step.  Gate threshold priority:
@@ -150,6 +160,7 @@ def process_video(
             if channel and float(channel.get("noise_sigma", 0.0) or 0.0) > 0.0
             else {}
         ),
+        **({"rf": True} if rf else {}),
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
     if manifest:
@@ -180,6 +191,25 @@ def process_video(
         )
     else:
         enc_f, dec_f, roundtrip = make_pipeline(plan, decoder, backend)
+    _rf_hop = None
+    if rf:
+        from color_modem_tpu.frame.rf import (
+            make_rf_plan,
+            rf_demodulate,
+            rf_modulate,
+        )
+
+        rfp = make_rf_plan(plan)
+        _rf_units = 2 if interlaced else 1
+
+        def _rf_hop(comp, frame0):  # noqa: F811 — enabled variant
+            # the carrier row law keys on the ABSOLUTE leading-axis index
+            # (fields when interlaced): an odd frame0 would otherwise flip
+            # the (-1)^row parity relative to a chunk starting at 0 and
+            # make the output chunk-size dependent
+            g0 = jnp.asarray(frame0, jnp.int32) * _rf_units
+            return rf_demodulate(rfp, rf_modulate(rfp, comp, g0), g0)
+
     chan_noise_sigma = 0.0
     if channel:
         from color_modem_tpu.frame.channel import impair
@@ -226,6 +256,10 @@ def process_video(
 
         def roundtrip(rgb, frame0):  # noqa: F811 — impaired variant
             comp = enc_f(rgb, frame0)
+            if _rf_hop is not None:
+                # RF transmission first; the composite-level impairments
+                # below model receiver-side degradations (cli.py order)
+                comp = _rf_hop(comp, frame0)
             comp = impair(plan, comp, **channel)
             if noisy:
                 comp = _add_noise(comp, frame0)
@@ -248,6 +282,11 @@ def process_video(
                     comp, design_equalizer(plan, rx, ntaps=eq_ntaps)
                 )
             return dec_f(comp, frame0)
+
+    elif _rf_hop is not None:
+
+        def roundtrip(rgb, frame0):  # noqa: F811 — RF-only variant
+            return dec_f(_rf_hop(enc_f(rgb, frame0), frame0), frame0)
 
     from color_modem_tpu.utils.metrics import fingerprint_hex, fingerprint_jnp
 

@@ -240,6 +240,58 @@ def test_video_noise_chunk_independent_equalize(tmp_path):
     np.testing.assert_allclose(outs[2], outs[4], atol=1e-6)
 
 
+def test_video_rf_hop_and_chunk_independence(tmp_path):
+    """The RF/VSB hop inside the chunk step: near-lossless, and the output
+    is chunk-size independent because the carrier row law keys on the
+    ABSOLUTE leading-axis index (an odd chunk start would otherwise flip
+    the (-1)^row parity)."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    clean = process_video(plan, src, 4, str(tmp_path / "clean"),
+                          decoder="notch", chunk=4)
+    outs = {}
+    for chunk in (2, 3):  # chunk=3 puts a chunk start at an ODD frame
+        d = str(tmp_path / f"rf{chunk}")
+        s = process_video(plan, src, 4, d, decoder="notch", chunk=chunk,
+                          rf=True, save_outputs=True)
+        # at this tiny 32-line height the RF filters' frame-edge transients
+        # weigh ~0.8 dB of whole-frame PSNR (tests/test_rf.py crops 2 lines
+        # and measures < 0.1 dB); full-height frames amortize the edges
+        assert s["min_psnr_db"] >= clean["min_psnr_db"] - 1.0, (
+            f"RF hop cost too much: {s['min_psnr_db']} vs {clean['min_psnr_db']}"
+        )
+        outs[chunk] = np.concatenate([
+            np.load(os.path.join(d, f))
+            for f in sorted(os.listdir(d)) if f.endswith(".npy")
+        ])
+    # different chunk sizes change batch shapes -> XLA fp scheduling moves
+    # by ~3e-6; a carrier-parity bug would be dB-level garbage, which the
+    # tight bound still catches
+    np.testing.assert_allclose(outs[2], outs[3], atol=1e-5, rtol=0)
+    # manifest refuses to resume an rf run without rf
+    with pytest.raises(ValueError, match="refusing to resume"):
+        process_video(plan, src, 4, str(tmp_path / "rf2"), decoder="notch",
+                      chunk=2)
+
+
+def test_video_rf_interlaced_chunk_independent(tmp_path):
+    """Interlaced + RF: the hop keys the carrier on absolute FIELD index
+    (frame0 * 2), so chunkings with odd frame starts still agree."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    outs = {}
+    for chunk in (2, 3):
+        d = str(tmp_path / f"i{chunk}")
+        process_video(plan, src, 4, d, decoder="notch", chunk=chunk,
+                      interlaced=True, rf=True, save_outputs=True)
+        outs[chunk] = np.concatenate([
+            np.load(os.path.join(d, f))
+            for f in sorted(os.listdir(d)) if f.endswith(".npy")
+        ])
+    # ~3e-6 fp-scheduling tolerance (see the progressive RF test)
+    np.testing.assert_allclose(outs[2], outs[3], atol=1e-5, rtol=0)
+
+
 def test_chunk_fingerprints_are_deterministic(tmp_path):
     plan = get_plan("ntsc")
     src = synthetic_source(L, TEST_SAMPLES)
