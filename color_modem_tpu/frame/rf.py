@@ -8,7 +8,11 @@ Extends the simulation chain one layer outward from the composite signal:
 None of this exists in the reference (SURVEY.md §2.1 stops at the
 composite), but it is the canonical next stage of every real analog TV
 chain (BT.470 §3: vestigial-sideband AM, negative polarity for Systems
-M/B/G/D/K; the receiver Nyquist flank is standard texbook practice).
+M/B/G/D/K; the receiver Nyquist flank is standard textbook practice).
+Receiver structures: coherent product detection (clean; carrier phase
+recoverable from the signal via :func:`recover_carrier_phase`) and
+envelope detection (phase-immune, authentic VSB quadrature distortion).
+An intercarrier FM sound channel rides above the video sideband.
 
 Time model: row-major composite samples are treated as ONE contiguous
 stream per frame — the same convention as frame/channel.py's ghost delay
@@ -37,8 +41,8 @@ Transparency vs authenticity: the default video bandwidth is 0.46*fs
 carry, so it composes with any decoder at full quality).  Authentic
 channel bandwidths (NTSC 4.2 MHz, PAL B/G 5.0, SECAM 6.0) can be forced
 with ``f_video=`` — narrower than the composite's chroma top end, so
-expect the authentic quality loss.  The sound intercarrier (FM, phase 2)
-sits above the video sideband either way.
+expect the authentic quality loss.  The FM sound intercarrier sits
+above the video sideband either way.
 """
 
 from __future__ import annotations
