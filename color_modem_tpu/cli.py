@@ -534,6 +534,25 @@ def main(argv=None) -> int:
             out_s = np.asarray(rt_s(rgb[None], 0))[0]
             save_rgb(os.path.join(args.out, f"{name}_svideo.png"), out_s)
             report[f"{name}_svideo"] = round(psnr(out_s, rgb), 2)
+            # the RF rows (core standards only): the VSB hop is transparent
+            # under synchronous detection; the envelope-detected row shows
+            # the authentic quadrature distortion
+            if name in ("ntsc", "pal", "secam") and dec_notch is not None:
+                from color_modem_tpu.frame.rf import (
+                    make_rf_plan,
+                    rf_demodulate,
+                    rf_modulate,
+                )
+
+                rfp = make_rf_plan(plan)
+                rf_sig = rf_modulate(rfp, comp, 0)
+                for det in ("sync", "envelope"):
+                    out_r = np.asarray(
+                        dec_notch(rf_demodulate(rfp, rf_sig, 0, det), 0)
+                    )[0]
+                    tag = f"{name}_rf" + ("" if det == "sync" else "_envelope")
+                    save_rgb(os.path.join(args.out, f"{tag}.png"), out_r)
+                    report[tag] = round(psnr(out_r, rgb), 2)
             if args.animate > 0:
                 from color_modem_tpu.frame.image_io import save_gif
 
