@@ -157,6 +157,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="quasi-synchronous receiver: recover the carrier phase from "
         "the signal (the negative-AM carrier line) before sync detection",
     )
+    rt.add_argument(
+        "--rf-audio", action="store_true",
+        help="transmit a 1+7 kHz two-tone test signal on the intercarrier "
+        "FM sound channel and report the recovered audio SNR; implies --rf",
+    )
 
     vid = sub.add_parser(
         "video", help="chunked, resumable synthetic-video roundtrip run"
@@ -687,7 +692,7 @@ def main(argv=None) -> int:
         # composite is kept batch-shaped — and device-resident (transfers
         # through the tunnel are the bottleneck, CLAUDE.md) — throughout
         comp_b = encode(rgb[None], args.frame)
-        if (args.rf or args.rf_noise > 0.0 or args.rf_recover
+        if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
@@ -706,7 +711,18 @@ def main(argv=None) -> int:
             tx_rfp = rfp if args.rf_phase_error == 0.0 else dataclasses.replace(
                 rfp, ramp=rfp.ramp + np.deg2rad(args.rf_phase_error)
             )
-            rf_sig = rf_modulate(tx_rfp, comp_b, args.frame)
+            audio = None
+            if args.rf_audio:
+                import jax.numpy as jnp
+
+                b_rf, l_rf, n_rf = comp_b.shape
+                t = np.arange(l_rf * n_rf) / plan.fs
+                audio = jnp.asarray(np.broadcast_to(
+                    (0.6 * np.sin(2 * np.pi * 1000 * t)
+                     + 0.3 * np.sin(2 * np.pi * 7000 * t)
+                     ).astype(np.float32), (b_rf, l_rf * n_rf),
+                ))
+            rf_sig = rf_modulate(tx_rfp, comp_b, args.frame, audio)
             if args.rf_noise > 0.0:
                 rf_sig = rf_sig + args.rf_noise * jax.random.normal(
                     jax.random.PRNGKey(2), rf_sig.shape, dtype=rf_sig.dtype
@@ -719,6 +735,18 @@ def main(argv=None) -> int:
             comp_b = rf_demodulate(
                 rfp, rf_sig, args.frame, args.rf_detection, pe
             )
+            audio_snr = None
+            if args.rf_audio:
+                from color_modem_tpu.frame.rf import rf_demodulate_sound
+
+                aud = np.asarray(rf_demodulate_sound(rfp, rf_sig, args.frame))
+                a_ref = np.asarray(audio)
+                crop = min(8192, aud.shape[-1] // 4)  # audio-LPF transient
+                err = aud[:, crop:-crop] - a_ref[:, crop:-crop]
+                audio_snr = 10.0 * np.log10(
+                    np.mean(a_ref[:, crop:-crop] ** 2)
+                    / max(float(np.mean(err**2)), 1e-20)
+                )
             result["rf"] = {
                 "fc_mhz": round(rfp.fc / 1e6, 3),
                 "f_snd_mhz": round(rfp.f_snd / 1e6, 3),
@@ -729,6 +757,8 @@ def main(argv=None) -> int:
                    if args.rf_phase_error else {}),
                 **({"recovered_phase_deg": round(float(np.degrees(pe)), 2)}
                    if args.rf_recover else {}),
+                **({"audio_snr_db": round(float(audio_snr), 2)}
+                   if audio_snr is not None else {}),
             }
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,
