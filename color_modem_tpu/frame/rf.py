@@ -70,7 +70,8 @@ _TRANSITION = 0.3e6
 _GUARD = 0.2e6
 
 
-def _nyquist_flank(f, fc: float, f_vestige: float, f_video: float):
+def _nyquist_flank(f, fc: float, f_vestige: float, f_video: float,
+                   transition: float = _TRANSITION):
     """Receiver response: raised-cosine flank through 0.5 at the carrier
     (width 2*f_vestige), flat over the upper sideband, raised-cosine
     rolloff after ``fc + f_video``.  The flank folds the twice-received
@@ -85,8 +86,8 @@ def _nyquist_flank(f, fc: float, f_vestige: float, f_video: float):
     roll = np.where(
         f <= top, 1.0,
         np.where(
-            f >= top + _TRANSITION, 0.0,
-            0.5 * (1 + np.cos(np.pi * (f - top) / _TRANSITION)),
+            f >= top + transition, 0.0,
+            0.5 * (1 + np.cos(np.pi * (f - top) / transition)),
         ),
     )
     return flank * roll
@@ -137,6 +138,7 @@ def make_rf_plan(
     snd_amp: float = 0.2,
     audio_bw: float = 15e3,
     snd_ntaps: int = 4097,
+    transition: float = _TRANSITION,
 ) -> RFPlan:
     """Design the RF geometry and filters for ``plan`` at oversampling ``r``.
 
@@ -144,6 +146,12 @@ def make_rf_plan(
     cycles per row so its phase law is closed-form (see module docstring);
     defaults put it at ``f_video + 2 MHz``, comfortably clear of both the
     synchronous detector's 2fc image band and RF Nyquist.
+
+    ``transition`` is the band-edge rolloff width of the video filters
+    (default 0.3 MHz).  The authentic System-M geometry (4.2 MHz video,
+    4.5 MHz intercarrier) leaves only 300 kHz between video top and sound
+    carrier — like the real channel, it needs the sharper edge
+    (``transition=0.2e6``) to fit.
     """
     fs = plan.fs
     fs_rf = r * fs
@@ -166,13 +174,13 @@ def make_rf_plan(
     # feasibility: [the synchronous detector's sum band, lowest component
     # 2fc - f_vestige, must clear the video band] and [upper sideband +
     # transition inside RF Nyquist] and [vestige clear of DC]
-    if 2 * fc - f_vestige < f_video + _TRANSITION + _GUARD:
+    if 2 * fc - f_vestige < f_video + transition + _GUARD:
         raise ValueError(
             f"fc={fc/1e6:.2f} MHz too low: the 2fc detection image "
             f"(down to {(2*fc - f_vestige)/1e6:.2f} MHz) overlaps the "
             f"{f_video/1e6:.2f} MHz video band — raise fc"
         )
-    if fc + f_video + _TRANSITION > fs_rf / 2 - _GUARD:
+    if fc + f_video + transition > fs_rf / 2 - _GUARD:
         raise ValueError(
             f"fc+f_video={(fc+f_video)/1e6:.2f} MHz exceeds RF Nyquist "
             f"{fs_rf/2e6:.2f} MHz — raise r (r={r})"
@@ -183,14 +191,16 @@ def make_rf_plan(
     tx_taps = design.freq_sampled_taps(
         fs_rf,
         lambda f: design.raised_cosine_bandpass_response(
-            f, fc - f_vestige, fc + f_video, _TRANSITION
+            f, fc - f_vestige, fc + f_video, transition
         ),
         ntaps,
     )
     rx_taps = design.freq_sampled_taps(
-        fs_rf, lambda f: _nyquist_flank(f, fc, f_vestige, f_video), ntaps
+        fs_rf,
+        lambda f: _nyquist_flank(f, fc, f_vestige, f_video, transition),
+        ntaps,
     )
-    det_taps = design.lowpass_taps(fs_rf, f_video + _TRANSITION, ntaps)
+    det_taps = design.lowpass_taps(fs_rf, f_video + transition, ntaps)
 
     # --- intercarrier FM sound ------------------------------------------
     # Authentic intercarrier spacings (4.5 / 5.5 / 6.5 MHz) assume the
@@ -205,7 +215,7 @@ def make_rf_plan(
     snd_num = 2 * int(round((fc + intercarrier) * n / fs - 0.5)) + 1
     f_snd = snd_num / 2 * fs / n
     snd_half = 2.0 * (snd_dev + audio_bw)  # Carson bandwidth, half-width x2 margin
-    if f_snd - snd_half < fc + f_video + _TRANSITION:
+    if f_snd - snd_half < fc + f_video + transition:
         raise ValueError(
             f"sound carrier {f_snd/1e6:.2f} MHz overlaps the video "
             f"sideband top {(fc + f_video)/1e6:.2f} MHz — raise intercarrier"

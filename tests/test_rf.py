@@ -192,6 +192,29 @@ def test_rf_sound_decodes_without_picture_knowledge():
     assert s1 >= 55.0 and s2 >= 55.0, (s1, s2)
 
 
+def test_rf_authentic_ntsc_channel_geometry():
+    """The authentic System-M channel is expressible: 4.2 MHz video,
+    4.5 MHz intercarrier sound.  The narrower channel clips luma detail
+    the transparency mode keeps (that loss is the authentic physics), but
+    chroma at 3.58 MHz fits, so color still decodes usefully."""
+    plan, dec, x, comp = _composite("ntsc", "comb3")
+    # 300 kHz between video top and sound carrier: like the real channel,
+    # it only fits with the sharper band edge
+    rfp = make_rf_plan(plan, f_video=4.2e6, intercarrier=4.5e6,
+                       transition=0.2e6)
+    assert abs(rfp.f_snd - (rfp.fc + 4.5e6)) < 2 * plan.fs / plan.n_samples
+    out = np.asarray(rf_roundtrip(rfp, jnp.asarray(comp), 0))
+    p = psnr(
+        np.asarray(dec(jnp.asarray(out), 0))[:, :, 2:-2], x[:, :, 2:-2]
+    )
+    p_direct = psnr(
+        np.asarray(dec(jnp.asarray(comp), 0))[:, :, 2:-2], x[:, :, 2:-2]
+    )
+    assert 25.0 <= p < p_direct, (
+        f"authentic channel: {p:.1f} dB (direct {p_direct:.1f})"
+    )
+
+
 def test_rf_plan_feasibility_checks():
     plan = get_plan("ntsc")
     with pytest.raises(ValueError, match="RF Nyquist"):
