@@ -162,6 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="transmit a 1+7 kHz two-tone test signal on the intercarrier "
         "FM sound channel and report the recovered audio SNR; implies --rf",
     )
+    rt.add_argument(
+        "--rf-stereo", action="store_true",
+        help="transmit an MTS/BTSC-style stereo pair (1 kHz left, 3 kHz "
+        "right) on the sound channel; reports per-ear SNR and the pilot "
+        "level; implies --rf",
+    )
 
     vid = sub.add_parser(
         "video", help="chunked, resumable synthetic-video roundtrip run"
@@ -693,6 +699,7 @@ def main(argv=None) -> int:
         # through the tunnel are the bottleneck, CLAUDE.md) — throughout
         comp_b = encode(rgb[None], args.frame)
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
+                or args.rf_stereo
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
@@ -705,18 +712,35 @@ def main(argv=None) -> int:
                 rf_modulate,
             )
 
-            rfp = make_rf_plan(plan)
+            # MTS stereo needs the wider sound channel (sidebands ~45 kHz)
+            rfp = make_rf_plan(
+                plan, **({"audio_bw": 50e3} if args.rf_stereo else {})
+            )
             # a channel carrier offset = transmitting on a rotated carrier
             # (the receiver's mixers stay nominal)
             tx_rfp = rfp if args.rf_phase_error == 0.0 else dataclasses.replace(
                 rfp, ramp=rfp.ramp + np.deg2rad(args.rf_phase_error)
             )
             audio = None
-            if args.rf_audio:
+            b_rf, l_rf, n_rf = comp_b.shape
+            t = np.arange(l_rf * n_rf) / plan.fs
+            if args.rf_stereo:
                 import jax.numpy as jnp
 
-                b_rf, l_rf, n_rf = comp_b.shape
-                t = np.arange(l_rf * n_rf) / plan.fs
+                from color_modem_tpu.frame.mts import mts_encode
+
+                st_l = np.broadcast_to(
+                    (0.7 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32),
+                    (b_rf, l_rf * n_rf),
+                )
+                st_r = np.broadcast_to(
+                    (0.5 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32),
+                    (b_rf, l_rf * n_rf),
+                )
+                audio = mts_encode(plan, st_l, st_r)
+            elif args.rf_audio:
+                import jax.numpy as jnp
+
                 audio = jnp.asarray(np.broadcast_to(
                     (0.6 * np.sin(2 * np.pi * 1000 * t)
                      + 0.3 * np.sin(2 * np.pi * 7000 * t)
@@ -736,7 +760,28 @@ def main(argv=None) -> int:
                 rfp, rf_sig, args.frame, args.rf_detection, pe
             )
             audio_snr = None
-            if args.rf_audio:
+            stereo_report = None
+            if args.rf_stereo:
+                from color_modem_tpu.frame.mts import mts_decode
+                from color_modem_tpu.frame.rf import rf_demodulate_sound
+
+                aud = rf_demodulate_sound(rfp, rf_sig, args.frame)
+                l2, r2, pilot = mts_decode(plan, aud)
+                crop = min(16384, aud.shape[-1] // 4)
+
+                def _snr(got, want):
+                    e = np.asarray(got)[:, crop:-crop] - want[:, crop:-crop]
+                    return 10.0 * np.log10(
+                        np.mean(want[:, crop:-crop] ** 2)
+                        / max(float(np.mean(e**2)), 1e-20)
+                    )
+
+                stereo_report = {
+                    "left_snr_db": round(float(_snr(l2, st_l)), 2),
+                    "right_snr_db": round(float(_snr(r2, st_r)), 2),
+                    "pilot": round(float(np.mean(np.asarray(pilot))), 4),
+                }
+            elif args.rf_audio:
                 from color_modem_tpu.frame.rf import rf_demodulate_sound
 
                 aud = np.asarray(rf_demodulate_sound(rfp, rf_sig, args.frame))
@@ -759,6 +804,8 @@ def main(argv=None) -> int:
                    if args.rf_recover else {}),
                 **({"audio_snr_db": round(float(audio_snr), 2)}
                    if audio_snr is not None else {}),
+                **({"stereo": stereo_report}
+                   if stereo_report is not None else {}),
             }
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,
