@@ -647,11 +647,21 @@ def main(argv=None) -> int:
     plan = make_plan(cfg, args.width)
     interlaced = getattr(args, "interlaced", False)
     svideo = getattr(args, "svideo", False)
+    _wants_rf = any(
+        getattr(args, k, None) not in (None, False, 0.0, "sync")
+        for k in ("rf", "rf_noise", "rf_recover", "rf_audio", "rf_stereo",
+                  "rf_detection", "rf_phase_error")
+    )
     if svideo:
         if interlaced or args.raster or getattr(args, "burst_locked", False):
             raise SystemExit(
                 "--svideo does not combine with --interlaced/--raster/"
                 "--burst-locked (separate wires carry no raster)"
+            )
+        if _wants_rf:
+            raise SystemExit(
+                "--svideo does not combine with --rf* (the RF layer "
+                "transmits the single composite wire; Y/C are two wires)"
             )
         from color_modem_tpu.frame.svideo import make_svideo_pipeline
 
@@ -712,10 +722,19 @@ def main(argv=None) -> int:
                 rf_modulate,
             )
 
-            # MTS stereo needs the wider sound channel (sidebands ~45 kHz)
-            rfp = make_rf_plan(
-                plan, **({"audio_bw": 50e3} if args.rf_stereo else {})
-            )
+            rf_kw = {}
+            if args.rf_stereo:
+                # MTS needs the wider sound channel (sidebands ~45 kHz)
+                rf_kw["audio_bw"] = 50e3
+            rf_row = None
+            if args.raster:
+                # rastered lines are longer rows on the same sample clock;
+                # the carrier law must snap to the actual row length
+                from color_modem_tpu.frame.raster import make_raster
+
+                rf_row = make_raster(plan).n_total
+                rf_kw["row_samples"] = rf_row
+            rfp = make_rf_plan(plan, **rf_kw)
             # a channel carrier offset = transmitting on a rotated carrier
             # (the receiver's mixers stay nominal)
             tx_rfp = rfp if args.rf_phase_error == 0.0 else dataclasses.replace(
@@ -725,8 +744,6 @@ def main(argv=None) -> int:
             b_rf, l_rf, n_rf = comp_b.shape
             t = np.arange(l_rf * n_rf) / plan.fs
             if args.rf_stereo:
-                import jax.numpy as jnp
-
                 from color_modem_tpu.frame.mts import mts_encode
 
                 st_l = np.broadcast_to(
@@ -737,7 +754,7 @@ def main(argv=None) -> int:
                     (0.5 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32),
                     (b_rf, l_rf * n_rf),
                 )
-                audio = mts_encode(plan, st_l, st_r)
+                audio = mts_encode(plan, st_l, st_r, row_samples=rf_row)
             elif args.rf_audio:
                 import jax.numpy as jnp
 
@@ -753,9 +770,14 @@ def main(argv=None) -> int:
                 )
             pe = 0.0
             if args.rf_recover:
-                pe = float(np.mean(np.asarray(
+                # circular mean: naive averaging of atan2 angles is wrong
+                # near the +-pi wrap (+179 and -179 would average to ~0)
+                est = np.asarray(
                     recover_carrier_phase(rfp, rf_sig, args.frame)
-                )))
+                )
+                pe = float(np.arctan2(
+                    np.mean(np.sin(est)), np.mean(np.cos(est))
+                ))
             comp_b = rf_demodulate(
                 rfp, rf_sig, args.frame, args.rf_detection, pe
             )
@@ -766,7 +788,7 @@ def main(argv=None) -> int:
                 from color_modem_tpu.frame.rf import rf_demodulate_sound
 
                 aud = rf_demodulate_sound(rfp, rf_sig, args.frame)
-                l2, r2, pilot = mts_decode(plan, aud)
+                l2, r2, pilot = mts_decode(plan, aud, row_samples=rf_row)
                 crop = min(16384, aud.shape[-1] // 4)
 
                 def _snr(got, want):

@@ -57,28 +57,30 @@ def _channel_lpf(fs: float) -> np.ndarray:
     return design.lowpass_taps(fs, AUDIO_BW, 16385)
 
 
-def _phase(plan: ModemPlan, n_t: int) -> jnp.ndarray:
+def _phase(plan: ModemPlan, n_t: int, row_samples: int | None = None):
     """2*pi*fh*t on the composite sample grid, EXACT: fh = 1 cycle per
-    N-sample row, so phase = 2*pi*(t mod N)/N with int arithmetic."""
-    n = plan.n_samples
+    row, so phase = 2*pi*(t mod N)/N with int arithmetic.  Pass
+    ``row_samples`` (e.g. raster.n_total) when rows are not
+    plan.n_samples long."""
+    n = plan.n_samples if row_samples is None else int(row_samples)
     t = jnp.arange(n_t, dtype=jnp.int32)
     return (2.0 * np.pi / n) * (t % n).astype(jnp.float32)
 
 
-def mts_encode(plan: ModemPlan, left, right):
+def mts_encode(plan: ModemPlan, left, right, row_samples: int | None = None):
     """Stereo pair (B, T) at the composite rate -> MTS baseband (B, T).
 
     Feed the result to :func:`frame.rf.rf_modulate` as ``audio`` with an
     ``audio_bw=50e3`` RF plan."""
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
-    ph = _phase(plan, left.shape[-1])[None, :]
+    ph = _phase(plan, left.shape[-1], row_samples)[None, :]
     s = 0.5 * (left + right)
     d = 0.5 * (left - right)
     return s + PILOT_AMP * jnp.sin(ph) + d * (2.0 * jnp.cos(2.0 * ph))
 
 
-def mts_decode(plan: ModemPlan, a):
+def mts_decode(plan: ModemPlan, a, row_samples: int | None = None):
     """MTS baseband (B, T) -> (left, right, pilot_level).
 
     Sum = lowpass; difference = coherent DSB-SC demod against the exact
@@ -86,7 +88,7 @@ def mts_decode(plan: ModemPlan, a):
     the correlated pilot amplitude per batch item (a stereo presence
     check: ~PILOT_AMP when stereo is being transmitted, ~0 on mono)."""
     a = jnp.asarray(a, jnp.float32)
-    ph = _phase(plan, a.shape[-1])[None, :]
+    ph = _phase(plan, a.shape[-1], row_samples)[None, :]
     taps = _channel_lpf(plan.fs)
     s = fir_same_fft(a, taps)
     d = fir_same_fft(a * jnp.cos(2.0 * ph), taps)

@@ -99,6 +99,8 @@ class RFPlan:
 
     plan: ModemPlan
     r: int                  # oversampling: fs_rf = r * plan.fs
+    row_samples: int        # composite samples per row (plan.n_samples, or
+                            # raster.n_total for rastered lines)
     fc: float               # picture carrier, Hz (exact: cpl_num/2 cycles/row)
     cpl_num: int            # carrier cycles per row = cpl_num / 2 (odd)
     f_vestige: float        # lower (vestigial) sideband width, Hz
@@ -124,7 +126,7 @@ class RFPlan:
     @property
     def n_rf(self) -> int:
         """RF samples per row."""
-        return self.plan.n_samples * self.r
+        return self.row_samples * self.r
 
 
 def make_rf_plan(
@@ -139,6 +141,7 @@ def make_rf_plan(
     audio_bw: float = 15e3,
     snd_ntaps: int = 4097,
     transition: float = _TRANSITION,
+    row_samples: int | None = None,
 ) -> RFPlan:
     """Design the RF geometry and filters for ``plan`` at oversampling ``r``.
 
@@ -155,7 +158,10 @@ def make_rf_plan(
     """
     fs = plan.fs
     fs_rf = r * fs
-    n = plan.n_samples
+    # rastered lines are longer rows on the SAME sample clock: pass
+    # raster.n_total so the half-integer cycles/row carrier law stays
+    # exact for the actual row length (tests/test_rf.py raster test)
+    n = plan.n_samples if row_samples is None else int(row_samples)
     if f_video is None:
         # transparency mode (module docstring).  SECAM's FM sidebands run
         # right up to ~6.5 MHz (standards/__init__.py), so the FM standards
@@ -240,7 +246,7 @@ def make_rf_plan(
     # through audio_bw and the FFT-conv cost is unchanged.
     aud_lpf = design.lowpass_taps(fs, audio_bw + 3e3, 8193)
     return RFPlan(
-        plan=plan, r=r, fc=fc, cpl_num=cpl_num,
+        plan=plan, r=r, row_samples=n, fc=fc, cpl_num=cpl_num,
         f_vestige=f_vestige, f_video=f_video,
         tx_taps=tx_taps, rx_taps=rx_taps, det_taps=det_taps,
         ramp=sample_phase_ramp(fc, fs_rf, n * r),
@@ -273,6 +279,12 @@ def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None):
     < -60 dB, outside every receiver filter.
     """
     b, l, n = comp.shape
+    if n != rfp.row_samples:
+        raise ValueError(
+            f"rf_modulate: rows have {n} samples but the RF plan was "
+            f"designed for {rfp.row_samples} — pass row_samples= to "
+            "make_rf_plan (e.g. raster.n_total for rastered lines)"
+        )
     env = ENV_BLANK - (ENV_BLANK - ENV_WHITE) * comp.astype(jnp.float32)
     # interpolate the ENVELOPE to the RF rate first (zero-stuff, gain r,
     # anti-image lowpass over the contiguous stream), and only then mix:
@@ -336,7 +348,7 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
         mix = jnp.asarray(np.cos(rfp.ramp + phase_error), jnp.float32)
         i = x * (4.0 * mix)[None, None, :] * sign
         v = fir_same_fft(i.reshape(b, l * n_rf), rfp.det_taps)
-        env = v.reshape(b, l, rfp.plan.n_samples, rfp.r)[..., 0]
+        env = v.reshape(b, l, rfp.row_samples, rfp.r)[..., 0]
     elif detection == "envelope":
         # phase_error participates but cannot matter: a mixer offset just
         # rotates (i, q), and the magnitude is rotation-invariant — that
@@ -348,7 +360,7 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
         q = fir_same_fft((x * (-4.0 * s)[None, None, :] * sign)
                          .reshape(b, l * n_rf), rfp.det_taps)
         env = jnp.sqrt(i * i + q * q).reshape(
-            b, l, rfp.plan.n_samples, rfp.r
+            b, l, rfp.row_samples, rfp.r
         )[..., 0]
     else:
         raise ValueError(f"unknown detection {detection!r}")
@@ -390,7 +402,7 @@ def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0):
     times larger — precision and compute both improve.
     """
     b, l, n_rf = rf.shape
-    n = rfp.plan.n_samples
+    n = rfp.row_samples
     stream = rf.reshape(b, l * n_rf)
     xs = fir_same_fft(stream, rfp.snd_bpf)
     ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)

@@ -99,14 +99,18 @@ def main(batch: int = 16, iters: int = 60) -> None:
         np.broadcast_to(one, (batch, 3, cfg.active_lines, 720)), jnp.float32
     )
     comp = jax.block_until_ready(enc(rgb, 0))
+    # jit like every other row: eager dispatch would re-run fir_same_fft's
+    # host-side kernel FFTs inside the timed region and pay per-op relay
+    # overhead, understating the chip by a large factor
+    rf_rt = jax.jit(lambda c: rf_roundtrip(rfp, c, 0))
     best = None
     for _ in range(REPEATS):
-        r = measure(lambda c: rf_roundtrip(rfp, c, 0), comp, iters=iters)
+        r = measure(rf_rt, comp, iters=iters)
         if r.get("below_timing_resolution"):
             continue
         if best is None or r["seconds_per_call"] < best:
             best = r["seconds_per_call"]
-    q = float(psnr(np.asarray(rf_roundtrip(rfp, comp, 0))[:, 2:-2],
+    q = float(psnr(np.asarray(rf_rt(comp))[:, 2:-2],
                    np.asarray(comp)[:, 2:-2]))
     pixels = batch * cfg.active_lines * 720
     row = {

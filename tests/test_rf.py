@@ -215,6 +215,47 @@ def test_rf_authentic_ntsc_channel_geometry():
     )
 
 
+def test_rf_rastered_lines():
+    """Rastered composites (sync + burst in the blanking) ride the RF
+    layer too: rows are raster.n_total samples on the same clock, so the
+    plan takes row_samples and the half-integer carrier law snaps to the
+    actual row length.  The negative-AM map puts the -0.4 sync tip at
+    exactly 100 % carrier — the real modulation geometry."""
+    from color_modem_tpu.frame.raster import make_raster
+
+    plan = get_plan("ntsc")
+    enc, dec, _ = make_pipeline(plan, "comb3", raster=True)
+    x = _scene()
+    comp = np.asarray(enc(x, 0))
+    rp = make_raster(plan)
+    assert comp.shape[-1] == rp.n_total
+    rfp = make_rf_plan(plan, row_samples=rp.n_total)
+    out = np.asarray(rf_roundtrip(rfp, jnp.asarray(comp), 0))
+    tp = psnr(out[:, 2:-2], comp[:, 2:-2])
+    # lower than active-only (68 dB): the sync pulses' sharp edges carry
+    # energy beyond f_video that the channel truncates — authentic
+    # bandlimited-sync ringing, confined to blanking.  The decoded-quality
+    # assertion below is the real gate.
+    assert tp >= 45.0, f"rastered RF transparency {tp:.1f} dB"
+    # envelope range: sync tip -> ~1.0, never clipped/overmodulated
+    env_peak = 0.75 - 0.625 * float(comp.min())
+    assert env_peak <= 1.01
+    p = psnr(
+        np.asarray(dec(jnp.asarray(out), 0))[:, :, 2:-2], x[:, :, 2:-2]
+    )
+    p_direct = psnr(
+        np.asarray(dec(jnp.asarray(comp), 0))[:, :, 2:-2], x[:, :, 2:-2]
+    )
+    # ~0.6 dB vs the direct rastered path: the bandlimited sync edges ring
+    # into the first active samples of each line (real receivers blank
+    # them); still far above any failure mode
+    assert p >= p_direct - 1.0, f"{p:.1f} vs direct {p_direct:.1f}"
+    # a mismatched plan is refused with a clear message
+    bad = make_rf_plan(plan)
+    with pytest.raises(ValueError, match="row_samples"):
+        rf_modulate(bad, jnp.asarray(comp), 0)
+
+
 def test_rf_plan_feasibility_checks():
     plan = get_plan("ntsc")
     with pytest.raises(ValueError, match="RF Nyquist"):
