@@ -366,14 +366,34 @@ def main(argv=None) -> int:
     if args.cmd == "info":
         import jax
 
+        from color_modem_tpu.frame.rf import make_rf_plan
         from color_modem_tpu.standards import ALL_STANDARDS
         from color_modem_tpu.standards.decoders import allowed_decoders
+
+        def _rf_info(cfg):
+            from color_modem_tpu.modem.plan import make_plan as _mk_plan
+
+            try:
+                rfp = make_rf_plan(_mk_plan(cfg, 720))
+            except ValueError:
+                return None
+            return {
+                "fc_mhz": round(rfp.fc / 1e6, 3),
+                "f_video_mhz": round(rfp.f_video / 1e6, 2),
+                "f_vestige_mhz": round(rfp.f_vestige / 1e6, 2),
+                "f_snd_mhz": round(rfp.f_snd / 1e6, 3),
+                "snd_dev_khz": round(rfp.snd_dev / 1e3, 1),
+                "fs_rf_mhz": round(rfp.fs_rf / 1e6, 2),
+            }
 
         print(
             json.dumps(
                 {
                     "standards": {
                         k: list(allowed_decoders(f())) for k, f in ALL_STANDARDS.items()
+                    },
+                    "rf_defaults": {
+                        k: _rf_info(f()) for k, f in ALL_STANDARDS.items()
                     },
                     "backend": jax.default_backend(),
                     "devices": [str(d) for d in jax.devices()],
