@@ -163,6 +163,16 @@ def build_parser() -> argparse.ArgumentParser:
         "FM sound channel and report the recovered audio SNR; implies --rf",
     )
     rt.add_argument(
+        "--rf-dropouts", type=float, default=0.0,
+        help="tape-dropout rate: probability per line of an RF carrier "
+        "loss (~8 us span); implies --rf",
+    )
+    rt.add_argument(
+        "--rf-doc", action="store_true",
+        help="dropout compensator: replace carrier-loss samples with the "
+        "previous line (1H DOC); implies --rf",
+    )
+    rt.add_argument(
         "--rf-stereo", action="store_true",
         help="transmit an MTS/BTSC-style stereo pair (1 kHz left, 3 kHz "
         "right) on the sound channel; reports per-ear SNR and the pilot "
@@ -729,7 +739,7 @@ def main(argv=None) -> int:
         # through the tunnel are the bottleneck, CLAUDE.md) — throughout
         comp_b = encode(rgb[None], args.frame)
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
-                or args.rf_stereo
+                or args.rf_stereo or args.rf_dropouts > 0.0 or args.rf_doc
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
@@ -784,6 +794,10 @@ def main(argv=None) -> int:
                      ).astype(np.float32), (b_rf, l_rf * n_rf),
                 ))
             rf_sig = rf_modulate(tx_rfp, comp_b, args.frame, audio)
+            if args.rf_dropouts > 0.0:
+                from color_modem_tpu.frame.rf import rf_dropout
+
+                rf_sig = rf_dropout(rfp, rf_sig, 7, rate=args.rf_dropouts)
             if args.rf_noise > 0.0:
                 rf_sig = rf_sig + args.rf_noise * jax.random.normal(
                     jax.random.PRNGKey(2), rf_sig.shape, dtype=rf_sig.dtype
@@ -799,7 +813,8 @@ def main(argv=None) -> int:
                     np.mean(np.sin(est)), np.mean(np.cos(est))
                 ))
             comp_b = rf_demodulate(
-                rfp, rf_sig, args.frame, args.rf_detection, pe
+                rfp, rf_sig, args.frame, args.rf_detection, pe,
+                doc=args.rf_doc,
             )
             audio_snr = None
             stereo_report = None
@@ -840,6 +855,8 @@ def main(argv=None) -> int:
                 "fs_rf_mhz": round(rfp.fs_rf / 1e6, 2),
                 "detection": args.rf_detection,
                 **({"noise": args.rf_noise} if args.rf_noise else {}),
+                **({"dropouts": args.rf_dropouts, "doc": args.rf_doc}
+                   if args.rf_dropouts or args.rf_doc else {}),
                 **({"phase_error_deg": args.rf_phase_error}
                    if args.rf_phase_error else {}),
                 **({"recovered_phase_deg": round(float(np.degrees(pe)), 2)}

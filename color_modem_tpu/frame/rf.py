@@ -317,8 +317,15 @@ def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None):
     return rf
 
 
+#: DOC carrier-loss threshold: the legitimate envelope never falls below
+#: the peak-white level ENV_WHITE = 0.125, so anything under half of it
+#: can only be carrier loss — detection is unambiguous, which is exactly
+#: why real dropout compensators key on the RF envelope and not on video.
+DOC_THRESHOLD = 0.06
+
+
 def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
-                  phase_error: float = 0.0):
+                  phase_error: float = 0.0, doc: bool = False):
     """VSB picture RF (B, L, N*r) -> composite (B, L, N) video units.
 
     Nyquist-flank selectivity, detection, post-detection lowpass (which
@@ -335,6 +342,12 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
       at the cost of the authentic VSB quadrature distortion on
       high-frequency content (the reason real TV keeps the modulation
       depth off 100 %).  Costs one extra detection-lowpass pass.
+
+    ``doc``: dropout compensation — samples whose detected envelope sits
+    below :data:`DOC_THRESHOLD` (carrier loss, see the constant's note;
+    e.g. :func:`rf_dropout` tape hits) are replaced with the PREVIOUS
+    LINE's samples, the classic 1H-delay compensator.  The detected mask
+    is dilated a few samples to cover the detection filters' edge ramps.
     """
     b, l, n_rf = rf.shape
     stream = rf.reshape(b, l * n_rf)
@@ -364,7 +377,38 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
         )[..., 0]
     else:
         raise ValueError(f"unknown detection {detection!r}")
+    if doc:
+        lost = env < DOC_THRESHOLD
+        for k in (1, 2, 3, 4):  # dilate over the detection-filter ramps
+            lost = lost | jnp.roll(lost, k, -1) | jnp.roll(lost, -k, -1)
+        prev_line = jnp.concatenate([env[:, :1], env[:, :-1]], axis=1)
+        env = jnp.where(lost, prev_line, env)
     return (ENV_BLANK - env) / (ENV_BLANK - ENV_WHITE)
+
+
+def rf_dropout(rfp: RFPlan, rf, key, rate: float = 0.05,
+               len_us: float = 10.0):
+    """Tape dropout simulation AT RF: with probability ``rate`` per line,
+    the carrier vanishes (oxide flake / head clog) over a ``len_us``-long
+    span starting at a random position.  Carrier LOSS is an RF-layer
+    phenomenon — a composite-level model could not be detected honestly,
+    which is why the dropout compensator lives in the RF receiver
+    (``rf_demodulate(..., doc=True)``)."""
+    import jax
+
+    b, l, n_rf = rf.shape
+    k1, k2 = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int)
+                              else key)
+    span = jnp.int32(round(len_us * 1e-6 * rfp.fs_rf))
+    hit = jax.random.bernoulli(k1, rate, (b, l))
+    start = jax.random.randint(k2, (b, l), 0, max(n_rf - span, 1))
+    idx = jnp.arange(n_rf, dtype=jnp.int32)[None, None, :]
+    mask = (
+        hit[:, :, None]
+        & (idx >= start[:, :, None])
+        & (idx < start[:, :, None] + span)
+    )
+    return jnp.where(mask, 0.0, rf)
 
 
 def recover_carrier_phase(rfp: RFPlan, rf, frame0=0):

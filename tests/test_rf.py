@@ -256,6 +256,38 @@ def test_rf_rastered_lines():
         rf_modulate(bad, jnp.asarray(comp), 0)
 
 
+def test_rf_dropouts_and_doc():
+    """Tape dropouts at RF (carrier loss) and the 1H dropout compensator.
+    Detection is unambiguous because a legitimate envelope never falls
+    below peak-white (0.125): DOC is an exact no-op on a clean signal,
+    and recovers most of a heavily dropout-damaged one (measured:
+    23.7 -> 33.4 dB RGB at 15 % line hit rate)."""
+    from color_modem_tpu.frame.rf import rf_dropout
+
+    plan, dec, x, comp = _composite("ntsc", "comb3")
+    rfp = make_rf_plan(plan)
+    rf = rf_modulate(rfp, jnp.asarray(comp), 0)
+    # DOC on a clean signal changes NOTHING (threshold can't false-fire)
+    np.testing.assert_array_equal(
+        np.asarray(rf_demodulate(rfp, rf, 0, doc=True)),
+        np.asarray(rf_demodulate(rfp, rf, 0)),
+    )
+    hit = rf_dropout(rfp, rf, 7, rate=0.15, len_us=8.0)
+
+    def rgb_psnr(sig, use_doc):
+        out = rf_demodulate(rfp, sig, 0, doc=use_doc)
+        return psnr(
+            np.asarray(dec(out, 0))[:, :, 2:-2], x[:, :, 2:-2]
+        )
+
+    p_raw = rgb_psnr(hit, False)
+    p_doc = rgb_psnr(hit, True)
+    assert p_raw < 28.0, f"dropouts should visibly damage: {p_raw:.1f}"
+    assert p_doc - p_raw > 5.0, (
+        f"DOC gain too small: {p_raw:.1f} -> {p_doc:.1f} dB"
+    )
+
+
 def test_rf_plan_feasibility_checks():
     plan = get_plan("ntsc")
     with pytest.raises(ValueError, match="RF Nyquist"):
