@@ -594,6 +594,18 @@ def main(argv=None) -> int:
                     tag = f"{name}_rf" + ("" if det == "sync" else "_envelope")
                     save_rgb(os.path.join(args.out, f"{tag}.png"), out_r)
                     report[tag] = round(psnr(out_r, rgb), 2)
+                if name == "ntsc":
+                    # tape-dropout rows: raw damage vs the 1H compensator
+                    from color_modem_tpu.frame.rf import rf_dropout
+
+                    hit = rf_dropout(rfp, rf_sig, 7, rate=0.1)
+                    for tag, use_doc in (("ntsc_rf_dropouts", False),
+                                         ("ntsc_rf_doc", True)):
+                        out_r = np.asarray(dec_notch(
+                            rf_demodulate(rfp, hit, 0, doc=use_doc), 0
+                        ))[0]
+                        save_rgb(os.path.join(args.out, f"{tag}.png"), out_r)
+                        report[tag] = round(psnr(out_r, rgb), 2)
             if args.animate > 0:
                 from color_modem_tpu.frame.image_io import save_gif
 
