@@ -262,6 +262,12 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--ghost-delay-us", type=float, default=0.0)
     ms.add_argument("--ghost-gain", type=float, default=0.0)
     ms.add_argument("--vhs", action="store_true")
+    ms.add_argument(
+        "--vectorscope", metavar="PNG",
+        help="also render the vectorscope instrument display of 75%% "
+        "bars through the same channel (green phosphor trace, graticule "
+        "boxes at the exact per-standard bar targets)",
+    )
 
     gal = sub.add_parser(
         "gallery",
@@ -457,7 +463,7 @@ def main(argv=None) -> int:
         rep = measure_differential(plan, stair, g)
         burst = through(multiburst(plan, args.lines))
         freq = measure_frequency_response(plan, burst)
-        print(json.dumps({
+        report = {
             "standard": args.standard,
             "dg": round(rep["dg"], 4),
             "dp_deg": round(rep["dp_deg"], 2),
@@ -465,7 +471,16 @@ def main(argv=None) -> int:
                                for v in rep["step_phase_deg"]],
             "frequency_response": {f"{f}MHz": round(v, 3)
                                    for f, v in freq.items()},
-        }))
+        }
+        if args.vectorscope:
+            from color_modem_tpu.frame.measure import vectorscope_image
+            from color_modem_tpu.utils.testimages import color_bars
+
+            bars = through(color_bars(args.lines, args.width))
+            img = vectorscope_image(plan, bars, g)
+            save_rgb(args.vectorscope, img.transpose(2, 0, 1))
+            report["vectorscope"] = args.vectorscope
+        print(json.dumps(report))
         return 0
 
     if args.cmd == "transcode":

@@ -204,3 +204,79 @@ def measure_differential(
         "step_gain": np.asarray(gain),
         "step_phase_deg": np.asarray(rel_phase),
     }
+
+
+def bar_vectors(plan: ModemPlan, amplitude: float = 0.75) -> np.ndarray:
+    """(6, 2) chroma component targets of the 75% color bars (yellow,
+    cyan, green, magenta, red, blue) in the standard's own (c1, c2)
+    space — the graticule box positions of a real vectorscope, exact per
+    standard because they come from the plan's colorimetry matrix."""
+    bars = np.array([
+        [1, 1, 0], [0, 1, 1], [0, 1, 0], [1, 0, 1], [1, 0, 0], [0, 0, 1],
+    ], dtype=np.float64) * amplitude
+    ycc = bars @ np.asarray(plan.rgb_to_ycc).T
+    return ycc[:, 1:]
+
+
+def vectorscope_image(
+    plan: ModemPlan, comp: jax.Array, gline: jax.Array, size: int = 512
+) -> np.ndarray:
+    """Render the classic vectorscope instrument display: demodulated
+    chroma samples accumulated as a green phosphor trace over the
+    (c1, c2) plane, with graticule boxes at the exact 75%-bar targets.
+
+    PAL shows BOTH V-switch arms (c2 re-alternated per line, mirrored
+    about the c1 axis) — the familiar two-arm pattern a real PAL scope
+    draws, because its reference does not follow the V switch.  Returns
+    (size, size, 3) float32 RGB in [0, 1]; +c2 is up, +c1 is right.
+    """
+    if not isinstance(plan.cfg.chroma, QamParams):
+        raise ValueError(
+            f"{plan.cfg.name}: the vectorscope demodulates a QAM "
+            "subcarrier (SECAM is FM — use the FM deviation readout)"
+        )
+    chroma_band = fir_same(comp.astype(jnp.float32), plan.chroma_bpf)
+    c1, c2 = qam.demodulate_carrier(plan, chroma_band, gline)
+    if getattr(plan.cfg.chroma, "v_switch", False):
+        c2 = c2 * qam.v_sign(plan, gline)[..., None]
+    u = np.asarray(c1, dtype=np.float64).ravel()
+    v = np.asarray(c2, dtype=np.float64).ravel()
+    targets = bar_vectors(plan)
+    rmax = 1.35 * float(np.max(np.hypot(targets[:, 0], targets[:, 1])))
+    # phosphor accumulation: 2D histogram, log intensity (a real CRT's
+    # brightness follows dwell time; log keeps dim transitions visible)
+    hist, _, _ = np.histogram2d(
+        v, u, bins=size, range=[[-rmax, rmax], [-rmax, rmax]]
+    )
+    hist = hist[::-1]  # +c2 up
+    g = np.log1p(hist) / max(np.log1p(hist.max()), 1.0)
+    img = np.zeros((size, size, 3), np.float32)
+    img[..., 0] = 0.25 * g
+    img[..., 1] = 0.95 * g
+    img[..., 2] = 0.35 * g
+
+    def _px(cu, cv):
+        x = int(round((cu + rmax) / (2 * rmax) * (size - 1)))
+        y = int(round((rmax - cv) / (2 * rmax) * (size - 1)))
+        return np.clip(x, 0, size - 1), np.clip(y, 0, size - 1)
+
+    grat = np.float32([0.35, 0.35, 0.35])
+    # center cross
+    cx, cy = _px(0.0, 0.0)
+    img[cy, :] = np.maximum(img[cy, :], grat * 0.6)
+    img[:, cx] = np.maximum(img[:, cx], grat * 0.6)
+    # graticule boxes at every bar target; PAL draws both arms' boxes
+    arms = (
+        np.concatenate([targets, targets * np.array([1.0, -1.0])])
+        if getattr(plan.cfg.chroma, "v_switch", False) else targets
+    )
+    half = max(2, int(round(0.05 * size / 2)))
+    for cu, cv in arms:
+        x, y = _px(cu, cv)
+        x0, x1 = max(x - half, 0), min(x + half, size - 1)
+        y0, y1 = max(y - half, 0), min(y + half, size - 1)
+        for yy in (y0, y1):
+            img[yy, x0:x1 + 1] = np.maximum(img[yy, x0:x1 + 1], grat)
+        for xx in (x0, x1):
+            img[y0:y1 + 1, xx] = np.maximum(img[y0:y1 + 1, xx], grat)
+    return img

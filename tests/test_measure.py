@@ -165,3 +165,71 @@ def test_staircase_clipping_guard():
     plan = get_plan("ntsc")
     with pytest.raises(ValueError, match="clips"):
         modulated_staircase(plan, 8, N, c1=0.5, c2=0.5)
+
+
+def _scope_setup(standard):
+    from color_modem_tpu.utils.testimages import color_bars
+
+    plan = get_plan(standard)
+    enc, _, _ = make_pipeline(plan, "notch")
+    comp = enc(jnp.asarray(color_bars(32, TEST_SAMPLES))[None], 0)
+    g = frame_line_index(plan, 0, 1, 32)
+    return plan, comp, g
+
+
+def _green_at(img, plan, target, rmax):
+    """Mean green intensity in a small window at a (c1, c2) position."""
+    size = img.shape[0]
+    x = int(round((target[0] + rmax) / (2 * rmax) * (size - 1)))
+    y = int(round((rmax - target[1]) / (2 * rmax) * (size - 1)))
+    w = 6
+    return float(
+        img[max(y - w, 0):y + w, max(x - w, 0):x + w, 1].max()
+    )
+
+
+@pytest.mark.parametrize("standard", ["ntsc", "pal"])
+def test_vectorscope_dots_land_in_the_boxes(standard):
+    """The phosphor trace of clean 75% bars peaks AT the colorimetry
+    targets (every dot in its graticule box), and a 20-degree chroma
+    phase error visibly rotates at least one dot out."""
+    from color_modem_tpu.frame.measure import bar_vectors, vectorscope_image
+
+    plan, comp, g = _scope_setup(standard)
+    img = np.asarray(vectorscope_image(plan, comp, g))
+    targets = bar_vectors(plan)
+    rmax = 1.35 * float(np.max(np.hypot(targets[:, 0], targets[:, 1])))
+    for t in targets:
+        assert _green_at(img, plan, t, rmax) > 0.4, t
+    # empty corner stays dark (phosphor off, no graticule)
+    assert float(img[5:20, 5:20].max()) < 0.05
+    # a phase-rotated channel rotates dots out of their boxes — on PAL
+    # too: the scope displays the RAW V-switch arms (both rotate); the
+    # famous phase-error cancellation happens in the decoder's arm
+    # averaging, not on the instrument
+    bad = impair(plan, comp, chroma_phase_deg=20.0)
+    img_bad = np.asarray(vectorscope_image(plan, bad, g))
+    hits_bad = [_green_at(img_bad, plan, t, rmax) for t in targets]
+    assert min(hits_bad) < 0.2, hits_bad
+
+
+def test_vectorscope_rejects_secam():
+    from color_modem_tpu.frame.measure import vectorscope_image
+
+    plan = get_plan("secam")
+    with pytest.raises(ValueError, match="FM"):
+        vectorscope_image(plan, jnp.zeros((1, 8, TEST_SAMPLES)), None)
+
+
+def test_cli_measure_vectorscope(tmp_path, capsys):
+    import json
+    import os
+
+    from color_modem_tpu.cli import main
+
+    out = str(tmp_path / "scope.png")
+    assert main(["measure", "--standard", "pal", "--lines", "16",
+                 "--vectorscope", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["vectorscope"] == out
+    assert os.path.getsize(out) > 1000
