@@ -268,6 +268,12 @@ def build_parser() -> argparse.ArgumentParser:
         "bars through the same channel (green phosphor trace, graticule "
         "boxes at the exact per-standard bar targets)",
     )
+    ms.add_argument(
+        "--waveform", metavar="PNG",
+        help="also render the waveform monitor: RASTERED 75%% bars "
+        "through the same channel, every line overlaid, IRE graticule "
+        "(sync -40, blanking 0, white 100)",
+    )
 
     gal = sub.add_parser(
         "gallery",
@@ -480,6 +486,20 @@ def main(argv=None) -> int:
             img = vectorscope_image(plan, bars, g)
             save_rgb(args.vectorscope, img.transpose(2, 0, 1))
             report["vectorscope"] = args.vectorscope
+        if args.waveform:
+            from color_modem_tpu.frame.measure import waveform_image
+            from color_modem_tpu.utils.testimages import color_bars
+
+            enc_r, _, _ = make_pipeline(plan, "notch", raster=True)
+            bars_r = impair(
+                plan,
+                enc_r(jnp.asarray(color_bars(args.lines, args.width))[None], 0),
+                key=jax.random.PRNGKey(99) if args.noise > 0.0 else None,
+                **kw,
+            )
+            img = waveform_image(bars_r)
+            save_rgb(args.waveform, img.transpose(2, 0, 1))
+            report["waveform"] = args.waveform
         print(json.dumps(report))
         return 0
 

@@ -280,3 +280,39 @@ def vectorscope_image(
         for xx in (x0, x1):
             img[y0:y1 + 1, xx] = np.maximum(img[y0:y1 + 1, xx], grat)
     return img
+
+
+def waveform_image(
+    comp: jax.Array, size: int = 512, lo: float = -0.5, hi: float = 1.2
+) -> np.ndarray:
+    """Render the waveform monitor: every line of a (..., L, N) composite
+    overlaid as a green phosphor trace (x = position along the line,
+    y = amplitude in video units), with graticule lines at the video
+    levels: sync tip -0.4 (-40 IRE), blanking 0, peak white 1 (100 IRE).
+
+    On a rastered composite the sync pulse and burst envelope show in the
+    blanking interval exactly as on a real monitor.  Standard-agnostic:
+    the composite's video-unit convention is the whole geometry.
+    Returns (size, size, 3) float32 RGB in [0, 1].
+    """
+    x = np.asarray(comp, dtype=np.float64).reshape(-1, comp.shape[-1])
+    n = x.shape[-1]
+    # accumulate dwell: for each output column, histogram the amplitudes
+    # of the samples that fall in it (log brightness like the CRT)
+    col = (np.arange(n) * size // n)
+    amp_bin = np.clip(
+        ((hi - x) / (hi - lo) * (size - 1)).astype(np.int64), 0, size - 1
+    )
+    hist = np.zeros((size, size), np.float64)
+    np.add.at(hist, (amp_bin.ravel(), np.broadcast_to(col, x.shape).ravel()), 1.0)
+    g = np.log1p(hist) / max(np.log1p(hist.max()), 1.0)
+    img = np.zeros((size, size, 3), np.float32)
+    img[..., 0] = 0.25 * g
+    img[..., 1] = 0.95 * g
+    img[..., 2] = 0.35 * g
+    grat = np.float32([0.35, 0.35, 0.35])
+    for level, strength in ((-0.4, 0.9), (0.0, 1.0), (0.7, 0.5), (1.0, 0.9)):
+        y = int(round((hi - level) / (hi - lo) * (size - 1)))
+        if 0 <= y < size:
+            img[y] = np.maximum(img[y], grat * strength)
+    return img

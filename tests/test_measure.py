@@ -233,3 +233,43 @@ def test_cli_measure_vectorscope(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["vectorscope"] == out
     assert os.path.getsize(out) > 1000
+
+
+def test_waveform_monitor_levels():
+    """The waveform display shows the raster levels where they belong:
+    bright trace at sync tip (-0.4) in the blanking columns, white-bar
+    trace at 1.0, nothing above white or below sync."""
+    from color_modem_tpu.frame.measure import waveform_image
+    from color_modem_tpu.utils.testimages import color_bars
+
+    plan = get_plan("ntsc")
+    enc, _, _ = make_pipeline(plan, "notch", raster=True)
+    comp = enc(jnp.asarray(color_bars(32, TEST_SAMPLES))[None], 0)
+    size, lo, hi = 256, -0.5, 1.2
+    img = np.asarray(waveform_image(comp, size=size, lo=lo, hi=hi))
+
+    def row(level):
+        return int(round((hi - level) / (hi - lo) * (size - 1)))
+
+    green = img[..., 1]
+    # sync tip dwell: a bright spot somewhere on the -0.4 row band
+    assert green[row(-0.4) - 2 : row(-0.4) + 3].max() > 0.5
+    # white bar dwell on the 1.0 row band
+    assert green[row(1.0) - 2 : row(1.0) + 3].max() > 0.5
+    # nothing above 1.05 or below -0.45 except the graticule rows
+    top = green[: row(1.05)]
+    assert float(np.partition(top.ravel(), -50)[-50]) < 0.4
+
+
+def test_cli_measure_waveform(tmp_path, capsys):
+    import json
+    import os
+
+    from color_modem_tpu.cli import main
+
+    out = str(tmp_path / "wfm.png")
+    assert main(["measure", "--standard", "ntsc", "--lines", "16",
+                 "--waveform", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["waveform"] == out
+    assert os.path.getsize(out) > 1000
