@@ -256,12 +256,17 @@ def make_rf_plan(
     )
 
 
+def _abs_rows(frame0, b: int, l: int):
+    """(B, L) absolute row indices, keyed by the ABSOLUTE frame index so
+    video chunks stay phase-continuous (frame/video.py)."""
+    g = (jnp.asarray(frame0, jnp.int32) + jnp.arange(b, dtype=jnp.int32))
+    return g[:, None] * jnp.int32(l) + jnp.arange(l, dtype=jnp.int32)[None, :]
+
+
 def _row_sign(rfp: RFPlan, frame0, b: int, l: int):
     """(-1)^(absolute row index): the carrier's row-start phase (half-
-    integer cycles/row => alternating 0/pi).  Keyed by the ABSOLUTE frame
-    index so video chunks stay phase-continuous (frame/video.py)."""
-    g = (jnp.asarray(frame0, jnp.int32) + jnp.arange(b, dtype=jnp.int32))
-    rows = g[:, None] * jnp.int32(l) + jnp.arange(l, dtype=jnp.int32)[None, :]
+    integer cycles/row => alternating 0/pi)."""
+    rows = _abs_rows(frame0, b, l)
     return (1.0 - 2.0 * (rows % 2).astype(jnp.float32))
 
 
@@ -384,6 +389,54 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
         prev_line = jnp.concatenate([env[:, :1], env[:, :-1]], axis=1)
         env = jnp.where(lost, prev_line, env)
     return (ENV_BLANK - env) / (ENV_BLANK - ENV_WHITE)
+
+
+def rf_cochannel(rfp: RFPlan, comp, frame0=0, offset_num: int = 1,
+                 offset_den: int = 2):
+    """Co-channel interferer: a second station's VSB picture on the SAME
+    channel, its carrier offset by ``offset_num/offset_den`` CYCLES PER
+    ROW (offset frequency = that fraction of the line rate; 1/2 = the
+    classic half-line "precision offset", 0/1 = no offset).  Returns the
+    interferer's RF — scale by the protection ratio and add to the wanted
+    signal.
+
+    Why the offset exists: the beat between the two carriers rides into
+    the detected video; with a half-line offset its phase reverses every
+    line AND every frame (odd total half-cycles per frame for any integer
+    line count... the line reversal makes the venetian-blind bars a fine
+    interleaved pattern and the frame reversal cancels them in temporal
+    integration — the eye's, or a 2-frame average, which is what the test
+    measures).  The offset carrier's phase law stays closed-form: cycles
+    per row = cpl_num/2 + offset is rational, so the row-start phase is
+    dsp.nco.line_phase0's exact int arithmetic — no sequential state.
+    """
+    from color_modem_tpu.dsp.nco import line_phase0
+
+    b, l, n = comp.shape
+    if n != rfp.row_samples:
+        raise ValueError(
+            f"rf_cochannel: rows have {n} samples, plan expects "
+            f"{rfp.row_samples}"
+        )
+    env = ENV_BLANK - (ENV_BLANK - ENV_WHITE) * comp.astype(jnp.float32)
+    z = jnp.zeros((b, l, n, rfp.r), jnp.float32).at[..., 0].set(rfp.r * env)
+    env_rf = fir_same_fft(
+        z.reshape(b, l * rfp.n_rf), rfp.det_taps
+    ).reshape(b, l, rfp.n_rf)
+    # offset carrier: cpl2 = cpl_num/2 + offset_num/offset_den
+    num = rfp.cpl_num * offset_den + 2 * offset_num
+    den = 2 * offset_den
+    phi0 = line_phase0(num, den, _abs_rows(frame0, b, l))
+    fh = rfp.plan.fs / rfp.row_samples
+    fc2 = rfp.fc + offset_num / offset_den * fh
+    ramp2 = jnp.asarray(
+        sample_phase_ramp(fc2, rfp.fs_rf, rfp.n_rf), jnp.float32
+    )
+    carrier = jnp.cos(phi0[:, :, None] + ramp2[None, None, :])
+    rf = env_rf * carrier
+    return fir_same_fft(
+        rf.reshape(b, l * rfp.n_rf), rfp.tx_taps
+    ).reshape(b, l, rfp.n_rf)
 
 
 def rf_dropout(rfp: RFPlan, rf, key, rate: float = 0.05,
