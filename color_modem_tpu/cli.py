@@ -173,6 +173,17 @@ def build_parser() -> argparse.ArgumentParser:
         "previous line (1H DOC); implies --rf",
     )
     rt.add_argument(
+        "--rf-gain", type=float, default=1.0,
+        help="channel RF gain factor (propagation loss, misaligned "
+        "antenna); washes the picture out unless --rf-agc; implies --rf",
+    )
+    rt.add_argument(
+        "--rf-agc", action="store_true",
+        help="sync-tip keyed automatic gain control: normalize the "
+        "detected envelope by the constant sync-tip reference (needs "
+        "--raster so sync is present); implies --rf",
+    )
+    rt.add_argument(
         "--rf-stereo", action="store_true",
         help="transmit an MTS/BTSC-style stereo pair (1 kHz left, 3 kHz "
         "right) on the sound channel; reports per-ear SNR and the pilot "
@@ -727,8 +738,13 @@ def main(argv=None) -> int:
     _wants_rf = any(
         getattr(args, k, None) not in (None, False, 0.0, "sync")
         for k in ("rf", "rf_noise", "rf_recover", "rf_audio", "rf_stereo",
-                  "rf_detection", "rf_phase_error")
-    )
+                  "rf_detection", "rf_phase_error", "rf_agc")
+    ) or getattr(args, "rf_gain", 1.0) != 1.0
+    if getattr(args, "rf_agc", False) and not getattr(args, "raster", False):
+        raise SystemExit(
+            "--rf-agc needs --raster: the AGC is keyed on the sync tip, "
+            "which only exists in a rastered composite"
+        )
     if svideo:
         if interlaced or args.raster or getattr(args, "burst_locked", False):
             raise SystemExit(
@@ -787,7 +803,8 @@ def main(argv=None) -> int:
         comp_b = encode(rgb[None], args.frame)
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
                 or args.rf_stereo or args.rf_dropouts > 0.0 or args.rf_doc
-                or args.rf_detection != "sync" or args.rf_phase_error != 0.0):
+                or args.rf_detection != "sync" or args.rf_phase_error != 0.0
+                or args.rf_gain != 1.0 or args.rf_agc):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
             import dataclasses
@@ -841,6 +858,10 @@ def main(argv=None) -> int:
                      ).astype(np.float32), (b_rf, l_rf * n_rf),
                 ))
             rf_sig = rf_modulate(tx_rfp, comp_b, args.frame, audio)
+            if args.rf_gain != 1.0:
+                # channel attenuation scales the carrier; receiver noise
+                # below is added AFTER it (noise lives at the receiver)
+                rf_sig = args.rf_gain * rf_sig
             if args.rf_dropouts > 0.0:
                 from color_modem_tpu.frame.rf import rf_dropout
 
@@ -861,7 +882,7 @@ def main(argv=None) -> int:
                 ))
             comp_b = rf_demodulate(
                 rfp, rf_sig, args.frame, args.rf_detection, pe,
-                doc=args.rf_doc,
+                doc=args.rf_doc, agc=args.rf_agc,
             )
             audio_snr = None
             stereo_report = None
@@ -906,6 +927,8 @@ def main(argv=None) -> int:
                    if args.rf_dropouts or args.rf_doc else {}),
                 **({"phase_error_deg": args.rf_phase_error}
                    if args.rf_phase_error else {}),
+                **({"gain": args.rf_gain, "agc": args.rf_agc}
+                   if args.rf_gain != 1.0 or args.rf_agc else {}),
                 **({"recovered_phase_deg": round(float(np.degrees(pe)), 2)}
                    if args.rf_recover else {}),
                 **({"audio_snr_db": round(float(audio_snr), 2)}

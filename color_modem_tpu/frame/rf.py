@@ -330,7 +330,8 @@ DOC_THRESHOLD = 0.06
 
 
 def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
-                  phase_error: float = 0.0, doc: bool = False):
+                  phase_error: float = 0.0, doc: bool = False,
+                  agc: bool = False):
     """VSB picture RF (B, L, N*r) -> composite (B, L, N) video units.
 
     Nyquist-flank selectivity, detection, post-detection lowpass (which
@@ -353,6 +354,13 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
     e.g. :func:`rf_dropout` tape hits) are replaced with the PREVIOUS
     LINE's samples, the classic 1H-delay compensator.  The detected mask
     is dilated a few samples to cover the detection filters' edge ramps.
+
+    ``agc``: sync-tip keyed automatic gain control — THE reason negative
+    modulation puts sync at peak carrier: the sync tip is a constant
+    amplitude reference regardless of picture content, so the receiver
+    normalizes the envelope by its robust maximum (99.9th percentile per
+    batch item).  Needs a RASTERED composite (sync present); on a clean
+    unit-gain signal it is a near-exact no-op.
     """
     b, l, n_rf = rf.shape
     stream = rf.reshape(b, l * n_rf)
@@ -382,6 +390,15 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
         )[..., 0]
     else:
         raise ValueError(f"unknown detection {detection!r}")
+    if agc:
+        # the sync plateau holds ~7% of the samples (4.7 us of each
+        # line), all at the SAME level: the 97.5th percentile lands
+        # mid-plateau, away from both picture content below and the
+        # detection filters' ring overshoot at the extreme tail (a
+        # 99.9th-percentile reference measured ~1% high -> 42 dB floor)
+        b_ = env.shape[0]
+        ref = jnp.quantile(env.reshape(b_, -1), 0.975, axis=-1)
+        env = env / jnp.maximum(ref, 1e-6)[:, None, None]
     if doc:
         lost = env < DOC_THRESHOLD
         for k in (1, 2, 3, 4):  # dilate over the detection-filter ramps

@@ -288,6 +288,38 @@ def test_rf_dropouts_and_doc():
     )
 
 
+def test_rf_sync_tip_agc():
+    """Sync-tip keyed AGC — why negative modulation puts sync at peak
+    carrier: a 0.7x RF gain error washes the picture out; the receiver
+    recovers it by normalizing to the sync tip's constant reference.
+    AGC on a clean unit-gain signal is a near-exact no-op."""
+    from color_modem_tpu.frame.raster import make_raster
+
+    plan = get_plan("ntsc")
+    enc, dec, _ = make_pipeline(plan, "comb3", raster=True)
+    x = _scene()
+    comp = np.asarray(enc(x, 0))
+    rfp = make_rf_plan(plan, row_samples=make_raster(plan).n_total)
+    rf = rf_modulate(rfp, jnp.asarray(comp), 0)
+    # no-op on clean signal
+    p_clean = psnr(
+        np.asarray(rf_demodulate(rfp, rf, 0, agc=True))[:, 2:-2],
+        comp[:, 2:-2],
+    )
+    assert p_clean >= 44.0, f"AGC hurt a clean signal: {p_clean:.1f} dB"
+    # gain error: washed without AGC, recovered with
+    weak = 0.7 * rf
+    p_raw = psnr(
+        np.asarray(rf_demodulate(rfp, weak, 0))[:, 2:-2], comp[:, 2:-2]
+    )
+    p_agc = psnr(
+        np.asarray(rf_demodulate(rfp, weak, 0, agc=True))[:, 2:-2],
+        comp[:, 2:-2],
+    )
+    assert p_raw < 20.0, f"0.7x gain should wash out: {p_raw:.1f} dB"
+    assert p_agc >= 40.0, f"AGC recovery: {p_agc:.1f} dB"
+
+
 def test_rf_cochannel_precision_offset_cancels_temporally():
     """Co-channel interference and WHY carrier offsets exist: with the
     half-line precision offset the carrier beat reverses phase every
