@@ -158,6 +158,19 @@ def build_parser() -> argparse.ArgumentParser:
         "the signal (the negative-AM carrier line) before sync detection",
     )
     rt.add_argument(
+        "--rf-freq-error", type=float, default=0.0,
+        help="transmitter mistuning, Hz (both carriers shift; rolls the "
+        "sync detector's phase and slides the signal off the Nyquist "
+        "flank); corrected by --rf-aft; implies --rf",
+    )
+    rt.add_argument(
+        "--rf-aft", action="store_true",
+        help="automatic fine tuning: estimate the carrier frequency "
+        "offset (coarse FFT peak + fine phase slope), digitally retune "
+        "the stream back onto the Nyquist flank, and recover the "
+        "remaining carrier phase (implies --rf-recover); implies --rf",
+    )
+    rt.add_argument(
         "--rf-audio", action="store_true",
         help="transmit a 1+7 kHz two-tone test signal on the intercarrier "
         "FM sound channel and report the recovered audio SNR; implies --rf",
@@ -738,7 +751,8 @@ def main(argv=None) -> int:
     _wants_rf = any(
         getattr(args, k, None) not in (None, False, 0.0, "sync")
         for k in ("rf", "rf_noise", "rf_recover", "rf_audio", "rf_stereo",
-                  "rf_detection", "rf_phase_error", "rf_agc")
+                  "rf_detection", "rf_phase_error", "rf_agc",
+                  "rf_freq_error", "rf_aft")
     ) or getattr(args, "rf_gain", 1.0) != 1.0
     if getattr(args, "rf_agc", False) and not getattr(args, "raster", False):
         raise SystemExit(
@@ -804,7 +818,8 @@ def main(argv=None) -> int:
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
                 or args.rf_stereo or args.rf_dropouts > 0.0 or args.rf_doc
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0
-                or args.rf_gain != 1.0 or args.rf_agc):
+                or args.rf_gain != 1.0 or args.rf_agc
+                or args.rf_freq_error != 0.0 or args.rf_aft):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
             import dataclasses
@@ -857,7 +872,8 @@ def main(argv=None) -> int:
                      + 0.3 * np.sin(2 * np.pi * 7000 * t)
                      ).astype(np.float32), (b_rf, l_rf * n_rf),
                 ))
-            rf_sig = rf_modulate(tx_rfp, comp_b, args.frame, audio)
+            rf_sig = rf_modulate(tx_rfp, comp_b, args.frame, audio,
+                                 df=args.rf_freq_error)
             if args.rf_gain != 1.0:
                 # channel attenuation scales the carrier; receiver noise
                 # below is added AFTER it (noise lives at the receiver)
@@ -871,7 +887,21 @@ def main(argv=None) -> int:
                     jax.random.PRNGKey(2), rf_sig.shape, dtype=rf_sig.dtype
                 )
             pe = 0.0
-            if args.rf_recover:
+            df_hat = None
+            if args.rf_aft:
+                # AFT: estimate the offset, digitally retune the stream
+                # back onto the Nyquist flank, then the standard phase
+                # recovery below locks the leftover static phase
+                from color_modem_tpu.frame.rf import (
+                    recover_carrier_frequency,
+                    rf_retune,
+                )
+
+                df_hat = float(np.asarray(
+                    recover_carrier_frequency(rfp, rf_sig, args.frame)
+                )[0])
+                rf_sig = rf_retune(rfp, rf_sig, df_hat, args.frame)
+            if args.rf_recover or args.rf_aft:
                 # circular mean: naive averaging of atan2 angles is wrong
                 # near the +-pi wrap (+179 and -179 would average to ~0)
                 est = np.asarray(
@@ -930,7 +960,11 @@ def main(argv=None) -> int:
                 **({"gain": args.rf_gain, "agc": args.rf_agc}
                    if args.rf_gain != 1.0 or args.rf_agc else {}),
                 **({"recovered_phase_deg": round(float(np.degrees(pe)), 2)}
-                   if args.rf_recover else {}),
+                   if args.rf_recover or args.rf_aft else {}),
+                **({"freq_error_hz": args.rf_freq_error}
+                   if args.rf_freq_error else {}),
+                **({"aft_recovered_hz": round(df_hat, 1)}
+                   if df_hat is not None else {}),
                 **({"audio_snr_db": round(float(audio_snr), 2)}
                    if audio_snr is not None else {}),
                 **({"stereo": stereo_report}

@@ -51,12 +51,15 @@ import dataclasses
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.apply import fir_same_fft
 from color_modem_tpu.dsp.nco import sample_phase_ramp
 from color_modem_tpu.modem.plan import ModemPlan
+
+TWO_PI = 2.0 * np.pi
 
 #: Negative-modulation envelope map (BT.470 System M levels, fractions of
 #: peak carrier): sync tip 100 %, blanking 75 %, peak white 12.5 %.  With
@@ -270,7 +273,35 @@ def _row_sign(rfp: RFPlan, frame0, b: int, l: int):
     return (1.0 - 2.0 * (rows % 2).astype(jnp.float32))
 
 
-def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None):
+def _df_phase(rfp: RFPlan, df: float, frame0, b: int, l: int):
+    """(B, L, n_rf) extra carrier phase (radians) of a STATIC frequency
+    offset ``df`` Hz: 2*pi*df*t over the contiguous stream, keyed by the
+    absolute row index so video chunks stay phase-continuous.
+
+    Precision: the row-start part is (df*n/fs * row) mod 1 cycles with
+    ``row`` up to ~1e6 for long video — a single f32 product would lose
+    the fraction entirely.  Split the row index as row = q*4096 + r and
+    reduce each factor's CYCLES mod 1 in host f64 first: q <= 256 and
+    r < 4096 keep both f32 products' absolute error below ~5e-4 cycles
+    (0.2 deg).  The within-row ramp is exact host f64, frac-reduced.
+    """
+    n = rfp.row_samples
+    cyc = float(df) * n / rfp.plan.fs           # cycles per row (f64)
+    frac1 = cyc % 1.0                           # per-row step
+    frac2 = (4096.0 * cyc) % 1.0                # per-4096-row step
+    rows = _abs_rows(frame0, b, l)
+    q, rr = rows // 4096, rows % 4096
+    cycles = (q.astype(jnp.float32) * np.float32(frac2)
+              + rr.astype(jnp.float32) * np.float32(frac1)) % 1.0
+    in_row = jnp.asarray(
+        TWO_PI * ((float(df) / rfp.fs_rf)
+                  * np.arange(rfp.n_rf, dtype=np.float64) % 1.0),
+        jnp.float32,
+    )
+    return (TWO_PI * cycles)[:, :, None] + in_row[None, None, :]
+
+
+def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None, df: float = 0.0):
     """Composite (B, L, N) video units -> VSB picture RF (B, L, N*r).
 
     Negative AM (sync tip = peak carrier), zero-stuffed to the RF rate,
@@ -282,6 +313,14 @@ def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None):
     FM sound carrier.  ZOH upsampling to the RF rate is exact enough here:
     the ZOH images FM-map to sidebands at beta ~ dev/fs < 2e-3, i.e.
     < -60 dB, outside every receiver filter.
+
+    ``df``: transmitter mistuning, Hz — BOTH carriers shift together
+    (they come from the same LO chain), which is exactly why intercarrier
+    sound exists: the 4.5 MHz picture-sound spacing is mistuning-immune.
+    The picture carrier slides off the receiver's Nyquist-flank 0.5 point
+    (a small gain tilt, ~df/2f_vestige) and, far worse, rolls the phase
+    of any fixed-frequency mixer — see :func:`recover_carrier_frequency`
+    for the receiver-side AFT that undoes it.
     """
     b, l, n = comp.shape
     if n != rfp.row_samples:
@@ -300,8 +339,14 @@ def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None):
     z = jnp.zeros((b, l, n, rfp.r), jnp.float32).at[..., 0].set(rfp.r * env)
     stream = z.reshape(b, l * rfp.n_rf)
     env_rf = fir_same_fft(stream, rfp.det_taps).reshape(b, l, rfp.n_rf)
-    carrier = jnp.asarray(np.cos(rfp.ramp), jnp.float32)
-    rf = env_rf * carrier[None, None, :] * _row_sign(rfp, frame0, b, l)[:, :, None]
+    if df != 0.0:
+        carrier = jnp.cos(
+            jnp.asarray(rfp.ramp, jnp.float32)[None, None, :]
+            + _df_phase(rfp, df, frame0, b, l)
+        )
+    else:
+        carrier = jnp.asarray(np.cos(rfp.ramp), jnp.float32)[None, None, :]
+    rf = env_rf * carrier * _row_sign(rfp, frame0, b, l)[:, :, None]
     rf = fir_same_fft(
         rf.reshape(b, l * rfp.n_rf), rfp.tx_taps
     ).reshape(b, l, rfp.n_rf)
@@ -317,7 +362,10 @@ def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None):
         dphi = (2.0 * np.pi * rfp.snd_dev / rfp.fs_rf) * a_rf
         phi_dev = jnp.cumsum(dphi, axis=-1).reshape(b, l, rfp.n_rf)
         ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
-        snd = jnp.cos(ramp[None, None, :] + phi_dev)
+        phi = ramp[None, None, :] + phi_dev
+        if df != 0.0:  # same LO chain: the sound carrier shifts too
+            phi = phi + _df_phase(rfp, df, frame0, b, l)
+        snd = jnp.cos(phi)
         rf = rf + rfp.snd_amp * snd * _row_sign(rfp, frame0, b, l)[:, :, None]
     return rf
 
@@ -331,7 +379,7 @@ DOC_THRESHOLD = 0.06
 
 def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
                   phase_error: float = 0.0, doc: bool = False,
-                  agc: bool = False):
+                  agc: bool = False, freq_error: float = 0.0):
     """VSB picture RF (B, L, N*r) -> composite (B, L, N) video units.
 
     Nyquist-flank selectivity, detection, post-detection lowpass (which
@@ -361,6 +409,14 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
     normalizes the envelope by its robust maximum (99.9th percentile per
     batch item).  Needs a RASTERED composite (sync present); on a clean
     unit-gain signal it is a near-exact no-op.
+
+    ``freq_error``: receiver LO frequency offset, Hz — the mixers run at
+    ``fc + freq_error``.  Pass :func:`recover_carrier_frequency`'s
+    estimate to track a mistuned transmitter (``rf_modulate(df=...)``);
+    the residual Nyquist-flank misalignment is the authentic ~df/2f_v
+    gain tilt a real AFT also leaves until the tuner itself retunes.
+    Envelope detection is immune to frequency error at the mixer for the
+    same rotation-invariance reason as phase error.
     """
     b, l, n_rf = rf.shape
     stream = rf.reshape(b, l * n_rf)
@@ -370,20 +426,28 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
     # HALF the envelope everywhere (USB-only region: A/2 * 1; DSB region:
     # A/2 * [H+ + H-] = A/2).
     sign = _row_sign(rfp, frame0, b, l)[:, :, None]
+    if freq_error != 0.0:
+        dphi = _df_phase(rfp, freq_error, frame0, b, l)
+        mix_c = jnp.cos(jnp.asarray(rfp.ramp + phase_error,
+                                    jnp.float32)[None, None, :] + dphi)
+        mix_s = jnp.sin(jnp.asarray(rfp.ramp + phase_error,
+                                    jnp.float32)[None, None, :] + dphi)
+    else:
+        mix_c = jnp.asarray(np.cos(rfp.ramp + phase_error),
+                            jnp.float32)[None, None, :]
+        mix_s = jnp.asarray(np.sin(rfp.ramp + phase_error),
+                            jnp.float32)[None, None, :]
     if detection == "sync":
-        mix = jnp.asarray(np.cos(rfp.ramp + phase_error), jnp.float32)
-        i = x * (4.0 * mix)[None, None, :] * sign
+        i = x * (4.0 * mix_c) * sign
         v = fir_same_fft(i.reshape(b, l * n_rf), rfp.det_taps)
         env = v.reshape(b, l, rfp.row_samples, rfp.r)[..., 0]
     elif detection == "envelope":
         # phase_error participates but cannot matter: a mixer offset just
         # rotates (i, q), and the magnitude is rotation-invariant — that
         # insensitivity is the whole point of envelope detection.
-        c = jnp.asarray(np.cos(rfp.ramp + phase_error), jnp.float32)
-        s = jnp.asarray(np.sin(rfp.ramp + phase_error), jnp.float32)
-        i = fir_same_fft((x * (4.0 * c)[None, None, :] * sign)
+        i = fir_same_fft((x * (4.0 * mix_c) * sign)
                          .reshape(b, l * n_rf), rfp.det_taps)
-        q = fir_same_fft((x * (-4.0 * s)[None, None, :] * sign)
+        q = fir_same_fft((x * (-4.0 * mix_s) * sign)
                          .reshape(b, l * n_rf), rfp.det_taps)
         env = jnp.sqrt(i * i + q * q).reshape(
             b, l, rfp.row_samples, rfp.r
@@ -481,7 +545,7 @@ def rf_dropout(rfp: RFPlan, rf, key, rate: float = 0.05,
     return jnp.where(mask, 0.0, rf)
 
 
-def recover_carrier_phase(rfp: RFPlan, rf, frame0=0):
+def recover_carrier_phase(rfp: RFPlan, rf, frame0=0, freq_error: float = 0.0):
     """Estimate the received picture-carrier phase offset, radians (B,).
 
     Quasi-synchronous receivers recover the carrier from the signal
@@ -493,18 +557,127 @@ def recover_carrier_phase(rfp: RFPlan, rf, frame0=0):
     phase_error, so passing the estimate cancels the channel's offset).
     One pass, two reductions — no filtering needed because the mean IS
     the DC bin.
+
+    ``freq_error``: correlate against ``fc + freq_error`` instead — the
+    second AFT step: after :func:`recover_carrier_frequency` pins the
+    frequency, this pins the remaining static phase at the same mixer
+    setting :func:`rf_demodulate` will use.
     """
     b, l, n_rf = rf.shape
     sign = _row_sign(rfp, frame0, b, l)[:, :, None]
-    c = jnp.asarray(np.cos(rfp.ramp), jnp.float32)
-    s = jnp.asarray(np.sin(rfp.ramp), jnp.float32)
-    xi = jnp.mean(rf * c[None, None, :] * sign, axis=(1, 2))
-    xq = jnp.mean(rf * (-s)[None, None, :] * sign, axis=(1, 2))
+    if freq_error != 0.0:
+        dphi = _df_phase(rfp, freq_error, frame0, b, l)
+        c = jnp.cos(jnp.asarray(rfp.ramp, jnp.float32)[None, None, :] + dphi)
+        s = jnp.sin(jnp.asarray(rfp.ramp, jnp.float32)[None, None, :] + dphi)
+    else:
+        c = jnp.asarray(np.cos(rfp.ramp), jnp.float32)[None, None, :]
+        s = jnp.asarray(np.sin(rfp.ramp), jnp.float32)[None, None, :]
+    xi = jnp.mean(rf * c * sign, axis=(1, 2))
+    xq = jnp.mean(rf * (-s) * sign, axis=(1, 2))
     return jnp.arctan2(xq, xi)
 
 
-def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0):
+def recover_carrier_frequency(rfp: RFPlan, rf, frame0=0,
+                              search: float = 100e3):
+    """Estimate the received picture-carrier frequency offset, Hz (B,).
+
+    The AFT (automatic fine tuning) discriminator of a real TV tuner,
+    done the TPU way in two stages over the contiguous stream:
+
+    1. **Coarse** — peak |rfft| bin within ``fc ± search`` (pow2 FFT,
+       solid on the axon backend).  The carrier line towers over the
+       modulation sidebands per bin (the negative-AM envelope never
+       drops below ~12.5 %, and a ~1.4 M-sample frame gives ~hundreds
+       of kHz of sidebands spread over ~50k bins), so the argmax IS the
+       carrier.  Resolution = fs_rf / nfft (~10–30 Hz here).
+    2. **Fine** — derotate by the coarse estimate (block-relative time:
+       frequency is a phase SLOPE, so the time origin only shifts the
+       constant phase), correlate per row against the nominal carrier,
+       and read the per-row phase step: df_fine = dtheta * fs / (2 pi n).
+       Unambiguous for residuals below half the line rate — thousands of
+       times the coarse bin width.
+
+    Returns ``df_hat`` to pass to :func:`rf_demodulate` /
+    :func:`recover_carrier_phase` as ``freq_error`` (as a host scalar —
+    the correction path needs a static value for its split-precision
+    phase law).  Accuracy on a clean frame is ~1 Hz, limited by the fine
+    correlation's f32 floor, i.e. ~0.03 cycles of drift over a frame.
+    """
+    b, l, n_rf = rf.shape
+    stream = rf.reshape(b, l * n_rf)
+    t = stream.shape[-1]
+    nfft = 1 << int(np.ceil(np.log2(t)))
+    spec = jnp.abs(jnp.fft.rfft(stream, n=nfft, axis=-1))
+    dbin = rfp.fs_rf / nfft
+    k0 = max(int(np.floor((rfp.fc - search) / dbin)), 1)
+    k1 = min(int(np.ceil((rfp.fc + search) / dbin)) + 1, nfft // 2)
+    k = k0 + jnp.argmax(spec[:, k0:k1], axis=-1)          # (B,)
+    df_c = k.astype(jnp.float32) * np.float32(dbin) - np.float32(rfp.fc)
+    # fine: block-relative sample times, split j = row*n_rf + i so the
+    # f32 products stay small (alpha*row <= search/fh rows ~ 5e3 cycles;
+    # ulp there ~5e-4 cycles — well under the +-0.5-cycle/row ambiguity)
+    alpha = df_c[:, None, None] * np.float32(n_rf / rfp.fs_rf)  # cyc/row
+    rows = jnp.arange(l, dtype=jnp.float32)[None, :, None]
+    i_in = jnp.arange(n_rf, dtype=jnp.float32)[None, None, :]
+    derot = TWO_PI * ((alpha * rows) % 1.0
+                      + (df_c[:, None, None] / np.float32(rfp.fs_rf)) * i_in)
+    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
+    base_c = jnp.asarray(np.cos(rfp.ramp), jnp.float32)[None, None, :]
+    base_s = jnp.asarray(np.sin(rfp.ramp), jnp.float32)[None, None, :]
+    # e^{-i(ramp + derot)} against the signal, summed per row
+    cc, ss = jnp.cos(derot), jnp.sin(derot)
+    zr = jnp.sum(rf * sign * (base_c * cc - base_s * ss), axis=-1)
+    zi = jnp.sum(rf * sign * (-base_s * cc - base_c * ss), axis=-1)
+    # mean per-row rotation: angle of sum_k z[k+1] * conj(z[k])
+    dre = jnp.sum(zr[:, 1:] * zr[:, :-1] + zi[:, 1:] * zi[:, :-1], axis=-1)
+    dim = jnp.sum(zi[:, 1:] * zr[:, :-1] - zr[:, 1:] * zi[:, :-1], axis=-1)
+    dtheta = jnp.arctan2(dim, dre)
+    fh = rfp.plan.fs / rfp.row_samples
+    return df_c + dtheta * np.float32(fh / TWO_PI)
+
+
+def rf_retune(rfp: RFPlan, rf, df: float, frame0=0):
+    """Digital AFC retune: frequency-shift the received RF by ``-df`` so
+    its spectrum re-centers on the receiver's filters (B, L, N*r -> same).
+
+    :func:`rf_demodulate`'s ``freq_error`` corrects the MIXERS, but the
+    shifted signal still rides the Nyquist flank off its 0.5 point — a
+    first-order residual (measured: 50.6 dB recovered composite at 2 kHz
+    offset falling 6 dB per octave to 24.6 dB at 40 kHz).  A real AFT
+    closes the loop by retuning the tuner LO; this is that step done
+    digitally: one-sided (analytic) spectrum via a pow2 FFT over the
+    contiguous stream, heterodyne by ``e^{-i 2 pi df t}`` on the
+    absolute-row time law (chunk-continuous), real part.  After it, the
+    stream IS a correctly tuned signal: demodulate with ``freq_error=0``
+    (recover the leftover static phase as usual).
+
+    Edge honesty: the zero-padded FFT's Hilbert tails decay like 1/t —
+    below -80 dB two rows in from either stream end at this geometry.
+    """
+    b, l, n_rf = rf.shape
+    stream = rf.reshape(b, l * n_rf)
+    t = stream.shape[-1]
+    nfft = 1 << int(np.ceil(np.log2(t)))
+    spec = jnp.fft.fft(stream, n=nfft, axis=-1)
+    w = np.zeros(nfft, np.float32)
+    w[0] = 1.0
+    w[nfft // 2] = 1.0
+    w[1:nfft // 2] = 2.0
+    za = jnp.fft.ifft(spec * jnp.asarray(w)[None, :], axis=-1)[:, :t]
+    ph = _df_phase(rfp, -df, frame0, b, l).reshape(b, l * n_rf)
+    shifted = za * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    return jnp.real(shifted).reshape(b, l, n_rf)
+
+
+def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0, freq_error: float = 0.0):
     """Intercarrier FM sound takeoff: RF (B, L, N*r) -> audio (B, L*N).
+
+    ``freq_error``: track a mistuned transmitter (Hz, from
+    :func:`recover_carrier_frequency`).  Untracked, a transmitter offset
+    ``df`` shows up as a constant audio DC shift of ``df / snd_dev`` (the
+    discriminator reads the carrier off-center) — the defect a true
+    intercarrier receiver avoids by beating sound against the picture
+    carrier, which this parameter emulates.
 
     Sound-channel bandpass, quadrature mix against the closed-form sound
     carrier, I/Q lowpass, decimation to the composite rate, then the EXACT
@@ -521,8 +694,11 @@ def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0):
     xs = fir_same_fft(stream, rfp.snd_bpf)
     ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
     sign = _row_sign(rfp, frame0, b, l)[:, :, None]
-    c = (jnp.cos(ramp)[None, None, :] * sign).reshape(b, l * n_rf)
-    s = (jnp.sin(ramp)[None, None, :] * sign).reshape(b, l * n_rf)
+    phi = ramp[None, None, :]
+    if freq_error != 0.0:
+        phi = phi + _df_phase(rfp, freq_error, frame0, b, l)
+    c = (jnp.cos(phi) * sign).reshape(b, l * n_rf)
+    s = (jnp.sin(phi) * sign).reshape(b, l * n_rf)
     i = fir_same_fft(xs * (2.0 * c), rfp.snd_lpf)
     q = fir_same_fft(xs * (-2.0 * s), rfp.snd_lpf)
     # decimate: i/q are band-limited to the Carson width, far below fs/2

@@ -320,6 +320,70 @@ def test_rf_sync_tip_agc():
     assert p_agc >= 40.0, f"AGC recovery: {p_agc:.1f} dB"
 
 
+def test_rf_frequency_offset_and_aft():
+    """A mistuned transmitter (20 kHz — beyond the per-row ambiguity, so
+    the coarse FFT stage is load-bearing) rolls the sync detector's phase
+    ~500 times per frame: the picture is gone.  Envelope detection shrugs
+    (rotation-invariant; only the small Nyquist-flank tilt remains).  The
+    AFT pins the offset to ~1 Hz and sync detection recovers clean."""
+    from color_modem_tpu.frame.rf import (
+        recover_carrier_frequency,
+        recover_carrier_phase,
+    )
+
+    plan, _, _, comp = _composite("ntsc")
+    rfp = make_rf_plan(plan)
+    df = 20e3
+    rf = rf_modulate(rfp, jnp.asarray(comp), 0, df=df)
+    p_blind = psnr(
+        np.asarray(rf_demodulate(rfp, rf, 0))[:, 2:-2], comp[:, 2:-2]
+    )
+    assert p_blind < 12.0, f"20 kHz offset should wash out: {p_blind:.1f} dB"
+    p_env = psnr(
+        np.asarray(rf_demodulate(rfp, rf, 0, "envelope"))[:, 2:-2],
+        comp[:, 2:-2],
+    )
+    assert p_env >= 25.0, f"envelope immunity to freq error: {p_env:.1f} dB"
+    est = np.asarray(recover_carrier_frequency(rfp, rf, 0))
+    assert np.all(np.abs(est - df) < 5.0), f"AFT {est} Hz, true {df}"
+    dfh = float(est[0])
+    # mixer-level correction: detection locks, but the signal still rides
+    # the Nyquist flank off-center — first-order residual (~30.6 dB at
+    # 20 kHz, 6 dB/octave, measured with EXACT df knowledge)
+    th = float(np.asarray(recover_carrier_phase(rfp, rf, 0, dfh))[0])
+    p_mix = psnr(
+        np.asarray(
+            rf_demodulate(rfp, rf, 0, "sync", th, freq_error=dfh)
+        )[:, 2:-2],
+        comp[:, 2:-2],
+    )
+    assert p_mix >= 28.0, f"mixer-corrected sync detection {p_mix:.1f} dB"
+    # full AFC: retune the stream back onto the flank, then detect as a
+    # correctly tuned signal
+    from color_modem_tpu.frame.rf import rf_retune
+
+    tuned = rf_retune(rfp, rf, dfh, 0)
+    th2 = float(np.asarray(recover_carrier_phase(rfp, tuned, 0))[0])
+    p_aft = psnr(
+        np.asarray(rf_demodulate(rfp, tuned, 0, "sync", th2))[:, 2:-2],
+        comp[:, 2:-2],
+    )
+    assert p_aft >= 50.0, f"retuned sync detection {p_aft:.1f} dB"
+
+
+def test_rf_freq_offset_chunk_continuity():
+    """The mistuned carrier's phase law is keyed by the ABSOLUTE row
+    index: modulating two frames in one call or in two frame0-keyed
+    chunks must give the identical stream (frame/video.py chunking)."""
+    plan, _, _, comp = _composite("ntsc")
+    rfp = make_rf_plan(plan)
+    df = 7e3
+    both = np.asarray(rf_modulate(rfp, jnp.asarray(comp), 0, df=df))
+    one = np.asarray(rf_modulate(rfp, jnp.asarray(comp[:1]), 0, df=df))
+    two = np.asarray(rf_modulate(rfp, jnp.asarray(comp[1:]), 1, df=df))
+    np.testing.assert_allclose(both, np.concatenate([one, two]), atol=2e-5)
+
+
 def test_rf_cochannel_precision_offset_cancels_temporally():
     """Co-channel interference and WHY carrier offsets exist: with the
     half-line precision offset the carrier beat reverses phase every
