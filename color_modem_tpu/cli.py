@@ -176,6 +176,23 @@ def build_parser() -> argparse.ArgumentParser:
         "FM sound channel and report the recovered audio SNR; implies --rf",
     )
     rt.add_argument(
+        "--rf-ghost-delay-us", type=float, default=3.0,
+        help="RF multipath ghost delay (used with --rf-ghost-gain)",
+    )
+    rt.add_argument(
+        "--rf-ghost-gain", type=float, default=0.0,
+        help="RF multipath ghost gain (may be negative — an inverting "
+        "bounce; the carrier phase rides the delay, unlike the "
+        "composite-domain --ghost-*); implies --rf",
+    )
+    rt.add_argument(
+        "--rf-equalize", action="store_true",
+        help="send a guarded GCR record through the same RF chain and "
+        "equalize about the zero-carrier pivot after detection (cancels "
+        "--rf-ghost-* under sync detection; authentically fails to "
+        "under envelope detection); implies --rf",
+    )
+    rt.add_argument(
         "--rf-dropouts", type=float, default=0.0,
         help="tape-dropout rate: probability per line of an RF carrier "
         "loss (~8 us span); implies --rf",
@@ -752,12 +769,19 @@ def main(argv=None) -> int:
         getattr(args, k, None) not in (None, False, 0.0, "sync")
         for k in ("rf", "rf_noise", "rf_recover", "rf_audio", "rf_stereo",
                   "rf_detection", "rf_phase_error", "rf_agc",
-                  "rf_freq_error", "rf_aft")
+                  "rf_freq_error", "rf_aft", "rf_ghost_gain",
+                  "rf_equalize")
     ) or getattr(args, "rf_gain", 1.0) != 1.0
     if getattr(args, "rf_agc", False) and not getattr(args, "raster", False):
         raise SystemExit(
             "--rf-agc needs --raster: the AGC is keyed on the sync tip, "
             "which only exists in a rastered composite"
+        )
+    if getattr(args, "rf_agc", False) and getattr(args, "rf_equalize", False):
+        raise SystemExit(
+            "--rf-agc and --rf-equalize don't combine: the equalizer "
+            "corrects gain itself (a flat gain is a linear channel), and "
+            "AGC-normalizing only the picture path would double-correct"
         )
     if svideo:
         if interlaced or args.raster or getattr(args, "burst_locked", False):
@@ -819,7 +843,8 @@ def main(argv=None) -> int:
                 or args.rf_stereo or args.rf_dropouts > 0.0 or args.rf_doc
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0
                 or args.rf_gain != 1.0 or args.rf_agc
-                or args.rf_freq_error != 0.0 or args.rf_aft):
+                or args.rf_freq_error != 0.0 or args.rf_aft
+                or args.rf_ghost_gain != 0.0 or args.rf_equalize):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
             import dataclasses
@@ -878,6 +903,11 @@ def main(argv=None) -> int:
                 # channel attenuation scales the carrier; receiver noise
                 # below is added AFTER it (noise lives at the receiver)
                 rf_sig = args.rf_gain * rf_sig
+            if args.rf_ghost_gain != 0.0:
+                from color_modem_tpu.frame.rf import rf_ghost
+
+                rf_sig = rf_ghost(rfp, rf_sig, args.rf_ghost_delay_us,
+                                  args.rf_ghost_gain)
             if args.rf_dropouts > 0.0:
                 from color_modem_tpu.frame.rf import rf_dropout
 
@@ -914,6 +944,48 @@ def main(argv=None) -> int:
                 rfp, rf_sig, args.frame, args.rf_detection, pe,
                 doc=args.rf_doc, agc=args.rf_agc,
             )
+            if args.rf_equalize:
+                # receiver GCR path: the reference record rides the SAME
+                # RF chain (its own noise realization), estimation and
+                # correction about the zero-carrier pivot (an RF channel
+                # is linear in the envelope, not the composite)
+                import jax.numpy as jnp
+
+                from color_modem_tpu.frame.equalize import (
+                    apply_equalizer,
+                    design_equalizer,
+                    gcr_record_guarded,
+                )
+                from color_modem_tpu.frame.rf import rf_ghost
+
+                g = jnp.asarray(
+                    gcr_record_guarded(plan, samples=rf_row)
+                )[None]
+                g_rf = rf_modulate(tx_rfp, g, args.frame,
+                                   df=args.rf_freq_error)
+                if args.rf_gain != 1.0:
+                    g_rf = args.rf_gain * g_rf
+                if args.rf_ghost_gain != 0.0:
+                    g_rf = rf_ghost(rfp, g_rf, args.rf_ghost_delay_us,
+                                    args.rf_ghost_gain)
+                if args.rf_noise > 0.0:
+                    g_rf = g_rf + args.rf_noise * jax.random.normal(
+                        jax.random.PRNGKey(3), g_rf.shape, dtype=g_rf.dtype
+                    )
+                if args.rf_aft:
+                    g_rf = rf_retune(rfp, g_rf, df_hat, args.frame)
+                rx_g = rf_demodulate(
+                    rfp, g_rf, args.frame, args.rf_detection, pe
+                )[0][:3]
+                per = 2 * (rf_row or plan.n_samples)
+                ntaps = min(1281, per - 1)
+                ntaps -= 1 - ntaps % 2
+                pv = rfp.video_zero
+                taps = design_equalizer(
+                    plan, rx_g, ntaps=ntaps,
+                    reg=1e-4 if args.rf_noise == 0.0 else 1e-3, pivot=pv,
+                )
+                comp_b = apply_equalizer(comp_b, taps, pivot=pv)
             audio_snr = None
             stereo_report = None
             if args.rf_stereo:
@@ -959,6 +1031,10 @@ def main(argv=None) -> int:
                    if args.rf_phase_error else {}),
                 **({"gain": args.rf_gain, "agc": args.rf_agc}
                    if args.rf_gain != 1.0 or args.rf_agc else {}),
+                **({"ghost_delay_us": args.rf_ghost_delay_us,
+                    "ghost_gain": args.rf_ghost_gain}
+                   if args.rf_ghost_gain else {}),
+                **({"equalized": True} if args.rf_equalize else {}),
                 **({"recovered_phase_deg": round(float(np.degrees(pe)), 2)}
                    if args.rf_recover or args.rf_aft else {}),
                 **({"freq_error_hz": args.rf_freq_error}

@@ -57,7 +57,8 @@ def gcr_line(plan: ModemPlan, samples: int | None = None) -> np.ndarray:
     return (0.5 + 0.45 * w * np.sin(phase)).astype(np.float32)
 
 
-def gcr_record(plan: ModemPlan, lines: int = 3) -> np.ndarray:
+def gcr_record(plan: ModemPlan, lines: int = 3,
+               samples: int | None = None) -> np.ndarray:
     """(lines, N) cyclic-prefix GCR record: one prefix line + a chirp
     spanning the remaining ``(lines-1)·N``-sample analysis period.
 
@@ -68,12 +69,36 @@ def gcr_record(plan: ModemPlan, lines: int = 3) -> np.ndarray:
     period built from repeated identical lines only has energy in every
     k-th bin, and the estimator's identity prior would fill the silent
     bins, halving the estimated echoes (measured).
+
+    ``samples``: row width override (default ``plan.n_samples``) — e.g.
+    ``raster.n_total`` when the record must ride rastered-width rows
+    through the RF layer.  :func:`design_equalizer` rebuilds the
+    reference from the received row width, so the two stay consistent
+    automatically.
     """
     if lines < 2:
         raise ValueError("a cyclic record needs a prefix + >= 1 line")
-    n = plan.n_samples
+    n = plan.n_samples if samples is None else int(samples)
     x = gcr_line(plan, (lines - 1) * n)
     return np.concatenate([x[-n:], x]).reshape(lines, n)
+
+
+def gcr_record_guarded(plan: ModemPlan, lines: int = 3,
+                       samples: int | None = None) -> np.ndarray:
+    """(lines+1, N) cyclic GCR record with a POSTFIX guard line (the
+    period's first line repeated).
+
+    :func:`gcr_record`'s prefix settles the channel going IN to the
+    analysis period, which suffices for causal channels (echoes).  A
+    channel with lookahead — any acausal FIR, notably the RF hop's
+    centered receiver filters (frame/rf.py: ~0.2 lines of half-span at
+    the default geometry) — also contaminates the period's END with the
+    record's edge transient.  The guard restores cyclic consistency on
+    the forward side: transmit THIS, then hand :func:`design_equalizer`
+    the received ``[:lines]`` (it drops the prefix itself; the guard
+    line is simply never looked at)."""
+    rec = gcr_record(plan, lines, samples)
+    return np.concatenate([rec, rec[1:2]])
 
 
 def ntaps_for_delay(plan: ModemPlan, ghost_delay_us: float,
@@ -98,6 +123,7 @@ def design_equalizer(
     received: jax.Array,
     ntaps: int = 129,
     reg: float = 1e-3,
+    pivot: float = 0.0,
 ) -> jax.Array:
     """Received GCR -> (ntaps,) inverse-channel FIR (on device).
 
@@ -121,6 +147,19 @@ def design_equalizer(
     impulse response is windowed to ``ntaps`` around zero delay (circular
     wrap carries any anticausal part); ``reg`` trades ghost suppression
     against noise enhancement exactly like a hardware GCR canceller.
+
+    ``pivot``: the video level around which the channel is LINEAR.  A
+    composite-domain channel (channel.impair) is linear in the composite
+    itself — pivot 0, the default.  A channel acting at RF (frame/rf.py
+    rf_ghost) is linear in the MODULATED envelope, i.e. in ``v - v*``
+    where ``v* = ENV_BLANK/(ENV_BLANK - ENV_WHITE)`` is the zero-carrier
+    video level (= ``RFPlan.video_zero``): an RF echo of gain g and
+    carrier phase phi demodulates to ``v* + (1 + g cos(phi) z^-d)(v -
+    v*)`` — a linear ghost about v* plus the affine constant it induces.
+    Estimating without the pivot folds that constant into the DC bin and
+    the "equalizer" mis-scales the picture's luma (measured: 15.6 dB
+    ghosted -> 11.7 dB "equalized"); with it, the same record recovers
+    cleanly.  Use the SAME pivot in :func:`apply_equalizer`.
     """
     if ntaps % 2 != 1:
         raise ValueError(f"ntaps must be odd, got {ntaps}")
@@ -131,15 +170,17 @@ def design_equalizer(
             )
         # drop the prefix line: the rest saw the settled channel, so it is
         # the reference period circularly convolved with the channel
-        r = received[1:].reshape(-1).astype(jnp.float32)
+        r = received[1:].reshape(-1).astype(jnp.float32) - pivot
         s = jnp.asarray(
             gcr_line(plan, (received.shape[0] - 1) * received.shape[-1]),
             jnp.float32,
-        )
+        ) - pivot
         nfft = s.shape[-1]  # exact circular convolution — no padding
     else:
-        r = received.astype(jnp.float32)
-        s = jnp.asarray(gcr_line(plan, received.shape[-1]), jnp.float32)
+        r = received.astype(jnp.float32) - pivot
+        s = jnp.asarray(
+            gcr_line(plan, received.shape[-1]), jnp.float32
+        ) - pivot
         nfft = int(2 ** np.ceil(np.log2(s.shape[-1] + ntaps)))
     if ntaps > nfft - 1:
         raise ValueError(
@@ -171,12 +212,18 @@ def design_equalizer(
     return taps * jnp.asarray(tukey(ntaps, alpha=0.4), jnp.float32)
 
 
-def apply_equalizer(comp: jax.Array, taps: jax.Array) -> jax.Array:
+def apply_equalizer(comp: jax.Array, taps: jax.Array,
+                    pivot: float = 0.0) -> jax.Array:
     """Filter a (..., L, N) composite with (possibly traced) equalizer taps.
 
     Runs on the concatenated line stream — the same time axis the multipath
     ghost rides (channel.impair) — so corrections cross line boundaries like
     the distortion does.
+
+    ``pivot``: equalize about this video level (see
+    :func:`design_equalizer` — RF-layer channels are linear about the
+    zero-carrier level, not about 0): ``out = pivot + e * (comp -
+    pivot)``.  Must match the design-time pivot.
 
     FFT convolution on device: the taps are traced data (estimated from the
     signal), ruling out the host-built Toeplitz-matmul path, and
@@ -187,7 +234,7 @@ def apply_equalizer(comp: jax.Array, taps: jax.Array) -> jax.Array:
     """
     lead, (l, n) = comp.shape[:-2], comp.shape[-2:]
     ntaps = taps.shape[-1]
-    stream = comp.reshape(lead + (l * n,))
+    stream = comp.reshape(lead + (l * n,)) - pivot
     nfft = int(2 ** np.ceil(np.log2(l * n + ntaps)))
     y = jnp.fft.irfft(
         jnp.fft.rfft(stream, n=nfft) * jnp.fft.rfft(taps, n=nfft), n=nfft
@@ -195,6 +242,5 @@ def apply_equalizer(comp: jax.Array, taps: jax.Array) -> jax.Array:
     half = (ntaps - 1) // 2
     # np.convolve-'same' centering with zero-padded edges, matching
     # dsp.apply.fir_same_conv
-    return y[..., half : half + l * n].reshape(lead + (l, n)).astype(
-        comp.dtype
-    )
+    out = y[..., half : half + l * n].reshape(lead + (l, n)) + pivot
+    return out.astype(comp.dtype)

@@ -131,6 +131,15 @@ class RFPlan:
         """RF samples per row."""
         return self.row_samples * self.r
 
+    @property
+    def video_zero(self) -> float:
+        """Composite level at which the carrier nulls (env = 0): the
+        pivot about which any RF-linear channel (e.g. :func:`rf_ghost`)
+        is linear at composite rate — pass to
+        ``frame.equalize.design_equalizer(pivot=...)`` and
+        ``apply_equalizer(pivot=...)``."""
+        return ENV_BLANK / (ENV_BLANK - ENV_WHITE)
+
 
 def make_rf_plan(
     plan: ModemPlan,
@@ -518,6 +527,32 @@ def rf_cochannel(rfp: RFPlan, comp, frame0=0, offset_num: int = 1,
     return fir_same_fft(
         rf.reshape(b, l * rfp.n_rf), rfp.tx_taps
     ).reshape(b, l, rfp.n_rf)
+
+
+def rf_ghost(rfp: RFPlan, rf, delay_us: float, gain: float):
+    """Multipath ghost AT RF: add a delayed, attenuated copy of the RF
+    stream (B, L, N*r -> same).
+
+    Unlike the composite-domain ghost (frame/channel.py ``ghost_*``), the
+    reflection delays the CARRIER too: at fc ~ 8 MHz one RF sample is
+    ~55 degrees of carrier, so the ghost's apparent polarity swings with
+    the path length at fractional-wavelength scale — why real ghosts
+    range from white through ringing to black as the reflector moves
+    inches.  ``gain`` may be negative (an inverting bounce).  Through the
+    LTI synchronous-detection chain this maps to a linear composite-rate
+    channel, so the GCR equalizer (frame/equalize.py) cancels it — the
+    test proves that composition; through ENVELOPE detection it does not
+    (|.| is nonlinear), the authentic reason equalization belongs after
+    coherent detection.  The delay rides the contiguous stream
+    (crosses row boundaries); only the block's first samples lack a
+    predecessor, as in channel._stream_delay."""
+    b, l, n_rf = rf.shape
+    d = max(1, int(round(delay_us * 1e-6 * rfp.fs_rf)))
+    stream = rf.reshape(b, l * n_rf)
+    g = jnp.concatenate(
+        [jnp.zeros((b, d), stream.dtype), stream[:, :-d]], axis=-1
+    )
+    return (stream + gain * g).reshape(b, l, n_rf)
 
 
 def rf_dropout(rfp: RFPlan, rf, key, rate: float = 0.05,

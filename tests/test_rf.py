@@ -384,6 +384,65 @@ def test_rf_freq_offset_chunk_continuity():
     np.testing.assert_allclose(both, np.concatenate([one, two]), atol=2e-5)
 
 
+def test_rf_multipath_ghost_and_gcr_equalizer():
+    """RF-layer multipath composes with the GCR equalizer: a ghost added
+    to the RF stream maps through the LTI synchronous-detection chain to
+    a linear composite-rate channel, so a GCR record sent through the
+    SAME RF chain lets design_equalizer cancel a ghost it never saw at
+    composite level.  Envelope detection breaks that linearity (|.|), so
+    the same equalizer helps far less — the authentic reason
+    equalization happens after coherent detection."""
+    from color_modem_tpu.frame.equalize import (
+        apply_equalizer,
+        design_equalizer,
+        gcr_record_guarded,
+        ntaps_for_delay,
+    )
+    from color_modem_tpu.frame.rf import rf_ghost
+
+    plan, _, _, comp = _composite("ntsc")
+    rfp = make_rf_plan(plan)
+    delay_us, gain = 3.0, 0.30
+
+    def chain(c, detection="sync"):
+        rf = rf_modulate(rfp, jnp.asarray(c), 0)
+        return np.asarray(
+            rf_demodulate(rfp, rf_ghost(rfp, rf, delay_us, gain), 0,
+                          detection)
+        )
+
+    ghosted = chain(comp)
+    p_g = psnr(ghosted[:, 2:-2], comp[:, 2:-2])
+    assert p_g < 22.0, f"RF ghost should hurt: {p_g:.1f} dB"
+    # guarded record (the RF hop's acausal filters need the postfix
+    # line), equalized about the zero-carrier pivot (an RF channel is
+    # linear in the envelope, not in the composite).  The quadrature
+    # component's Hilbert-like tails are long, so the taps go well past
+    # ntaps_for_delay's echo count, and the clean channel tolerates the
+    # lighter reg (measured: 411/1e-3 -> 28.5 dB, 1281/1e-4 -> 52.2).
+    ntaps, reg = 1281, 1e-4
+    assert ntaps > ntaps_for_delay(plan, delay_us)
+    pv = rfp.video_zero
+    rx_gcr = chain(gcr_record_guarded(plan)[None])[0][:3]
+    taps = design_equalizer(plan, jnp.asarray(rx_gcr), ntaps=ntaps,
+                            reg=reg, pivot=pv)
+    eq = np.asarray(apply_equalizer(jnp.asarray(ghosted), taps, pivot=pv))
+    p_eq = psnr(eq[:, 2:-2], comp[:, 2:-2])
+    assert p_eq >= 45.0, f"GCR vs RF ghost: {p_g:.1f} -> {p_eq:.1f} dB"
+    # envelope detection: the nonlinear |.| breaks the LTI equivalence
+    ghosted_e = chain(comp, "envelope")
+    rx_gcr_e = chain(gcr_record_guarded(plan)[None], "envelope")[0][:3]
+    taps_e = design_equalizer(plan, jnp.asarray(rx_gcr_e), ntaps=ntaps,
+                              reg=reg, pivot=pv)
+    eq_e = np.asarray(apply_equalizer(jnp.asarray(ghosted_e), taps_e,
+                                      pivot=pv))
+    p_eq_e = psnr(eq_e[:, 2:-2], comp[:, 2:-2])
+    assert p_eq_e < p_eq - 6.0, (
+        f"envelope-detected ghost should equalize worse: "
+        f"{p_eq_e:.1f} vs {p_eq:.1f} dB"
+    )
+
+
 def test_rf_cochannel_precision_offset_cancels_temporally():
     """Co-channel interference and WHY carrier offsets exist: with the
     half-line precision offset the carrier beat reverses phase every
