@@ -130,6 +130,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--raster; cancels --chroma-phase like a real receiver)",
     )
     rt.add_argument(
+        "--acc", action="store_true",
+        help="automatic chroma control: scale chroma by spec-over-"
+        "measured burst amplitude (cancels --chroma-gain; needs "
+        "--burst-locked)",
+    )
+    rt.add_argument(
+        "--color-kill", type=float, default=0.0,
+        help="color-killer threshold (fraction of spec burst amplitude): "
+        "kill chroma on lines whose burst falls below it — clean B/W on "
+        "monochrome transmissions instead of cross-color confetti "
+        "(needs --burst-locked; typical 0.3-0.5)",
+    )
+    rt.add_argument(
         "--rf", action="store_true",
         help="transmit over the RF layer: VSB negative-AM picture at a "
         "low IF, Nyquist-flank receiver + synchronous detection "
@@ -416,6 +429,13 @@ def main(argv=None) -> int:
             raise SystemExit("--burst-locked requires --raster")
         if args.standard == "secam":
             raise SystemExit("secam has no color burst to lock to")
+    if (getattr(args, "acc", False)
+            or getattr(args, "color_kill", 0.0) > 0.0):
+        if not getattr(args, "burst_locked", False):
+            raise SystemExit(
+                "--acc/--color-kill are keyed on the measured burst: "
+                "add --burst-locked (and --raster)"
+            )
     if (getattr(args, "tbe_us", 0.0) or getattr(args, "tbe_flagging_us", 0.0)
             or getattr(args, "tbc", False)):
         # validate before any compute (compiles through the relay are
@@ -1135,9 +1155,14 @@ def main(argv=None) -> int:
             rp = make_raster(plan)
             g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
             out = np.asarray(jax.block_until_ready(decode_burst_locked(
-                plan, rp, comp_b, g, args.decoder, args.backend
+                plan, rp, comp_b, g, args.decoder, args.backend,
+                acc=args.acc, color_kill=args.color_kill,
             )))[0]
             result["burst_locked"] = True
+            if args.acc:
+                result["acc"] = True
+            if args.color_kill > 0.0:
+                result["color_kill"] = args.color_kill
         else:
             out = np.asarray(
                 jax.block_until_ready(decode(comp_b, args.frame))

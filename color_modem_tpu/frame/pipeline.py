@@ -67,6 +67,7 @@ def decode_block(
     decoder: str = "notch",
     backend: str = "xla",
     phase_err: jax.Array | None = None,
+    chroma_gain: jax.Array | None = None,
 ) -> jax.Array:
     """(..., L, N) composite -> (..., 3, L, N) RGB, clamped to [0,1].
 
@@ -75,6 +76,13 @@ def decode_block(
     A carrier phase error d rotates the demodulated (c1, s*c2) pair by d
     (s = per-line V-switch sign); the correction counter-rotates before
     delay-line averaging / NIIR normalization.
+
+    ``chroma_gain``: optional per-line chroma gain CORRECTION (..., L),
+    multiplying the demodulated (c1, c2) — the ACC / color-killer hook
+    (frame.raster.decode_burst_locked: spec burst amplitude over the
+    measured one, or 0 to kill chroma).  QAM standards only, like
+    ``phase_err`` (SECAM's FM chroma is amplitude-immune by design and
+    has no burst to key on).
     """
     check_decoder(plan, decoder)
     comp = comp.astype(jnp.float32)
@@ -116,6 +124,9 @@ def decode_block(
             s = qam.v_sign(plan, gline)[..., None]
             cd, sd = jnp.cos(d), jnp.sin(d)
             c1, c2 = cd * c1 + s * sd * c2, -s * sd * c1 + cd * c2
+        if chroma_gain is not None:
+            g = chroma_gain[..., None].astype(jnp.float32)
+            c1, c2 = g * c1, g * c2
         if decoder in ("delayline", "avg") and p.reference_amplitude is None:
             c1 = average_with_neighbor(c1)
             c2 = average_with_neighbor(c2)

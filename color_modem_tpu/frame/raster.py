@@ -157,7 +157,8 @@ def strip_raster(rp: RasterPlan, rastered: jax.Array) -> jax.Array:
 
 def decode_burst_locked(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
                         gline: jax.Array, decoder: str = "notch",
-                        backend: str = "xla") -> jax.Array:
+                        backend: str = "xla", acc: bool = False,
+                        color_kill: float = 0.0) -> jax.Array:
     """Decode a rastered block using the burst-measured subcarrier phase.
 
     The per-line channel phase error is the measured burst angle minus the
@@ -166,16 +167,38 @@ def decode_burst_locked(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
     channel impairment (frame/channel.py) that visibly shifts NTSC hue under
     nominal-phase decoding is cancelled, like a real burst-locked TV.
     (QAM standards only: SECAM has no burst and is phase-immune anyway.)
+
+    ``acc``: automatic chroma control — the gain twin of the phase lock:
+    scale the demodulated chroma by spec-over-measured burst amplitude
+    (clipped to [1/4, 4]x — a real ACC's control range), so a chroma-band
+    channel gain error (frame/channel.py ``chroma_gain``, which scales
+    the burst identically — that co-riding is WHY ACC works) decodes at
+    correct saturation.
+
+    ``color_kill``: color-killer threshold as a fraction of the spec
+    burst amplitude — lines whose measured burst falls below it decode
+    with chroma gain 0.  The receiver circuit that keeps monochrome
+    transmissions (no burst) from showing cross-color "confetti": the
+    demodulator output on a burstless line is pure luma-detail leakage,
+    and killing it yields clean B/W.  Typical setting 0.3–0.5.
     """
     from color_modem_tpu.frame.pipeline import decode_block
 
-    _, phase = measure_burst_phase(plan, rp, rastered, gline)
+    amp, phase = measure_burst_phase(plan, rp, rastered, gline)
     expected = _burst_sign(plan, rp, gline) * jnp.float32(rp.burst_phase)
     delta = phase - expected
     # wrap to (-pi, pi] so a 180-deg-adjacent measurement doesn't unwrap
     delta = jnp.arctan2(jnp.sin(delta), jnp.cos(delta))
+    cg = None
+    ref = jnp.float32(BURST_AMP)
+    if acc:
+        cg = jnp.clip(ref / jnp.maximum(amp, 0.05 * ref), 0.25, 4.0)
+    if color_kill > 0.0:
+        base = cg if cg is not None else jnp.ones_like(amp)
+        cg = jnp.where(amp < jnp.float32(color_kill) * ref, 0.0, base)
     comp = strip_raster(rp, rastered)
-    return decode_block(plan, comp, gline, decoder, backend, phase_err=delta)
+    return decode_block(plan, comp, gline, decoder, backend,
+                        phase_err=delta, chroma_gain=cg)
 
 
 def measure_burst_phase(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,

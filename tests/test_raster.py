@@ -117,6 +117,73 @@ def test_burst_locked_decode_cancels_channel_phase(name):
     assert p_locked > 35.0, p_locked
 
 
+@pytest.mark.parametrize("name", ["ntsc", "pal"])
+def test_acc_cancels_chroma_gain_error(name):
+    """ACC — the gain twin of the burst phase lock: a 0.5x chroma-band
+    channel gain halves the burst identically (that co-riding is WHY ACC
+    works), so spec-over-measured burst amplitude restores saturation."""
+    from color_modem_tpu.frame.channel import impair
+    from color_modem_tpu.frame.pipeline import decode_block, encode_block
+    from color_modem_tpu.frame.raster import decode_burst_locked
+    from color_modem_tpu.utils.metrics import psnr
+
+    plan = get_plan(name)
+    rp = make_raster(plan)
+    rgb = jnp.asarray(smooth_scene(TEST_LINES, TEST_SAMPLES, seed=9)[None])
+    g = frame_line_index(plan, 0, 1, TEST_LINES)
+    rastered = add_raster(plan, rp, encode_block(plan, rgb, g), g)
+    bad = impair(plan, rastered, chroma_gain=0.5)
+
+    plain = decode_block(plan, strip_raster(rp, bad), g, "notch")
+    acc = decode_burst_locked(plan, rp, bad, g, "notch", acc=True)
+    p_plain = psnr(np.asarray(plain), np.asarray(rgb))
+    p_acc = psnr(np.asarray(acc), np.asarray(rgb))
+    assert p_acc > p_plain + 5.0, (p_plain, p_acc)
+    assert p_acc > 33.0, p_acc
+
+
+def test_color_killer_cleans_monochrome_transmission():
+    """A monochrome transmission (no burst, luma-only content) decoded by
+    a color receiver shows cross-color confetti: the demodulator reads
+    luma detail as chroma.  The killer sees no burst and gates chroma to
+    zero — clean B/W."""
+    import dataclasses
+
+    from color_modem_tpu.frame.pipeline import decode_block, encode_block
+    from color_modem_tpu.frame.raster import decode_burst_locked
+    from color_modem_tpu.utils.metrics import psnr
+
+    plan = get_plan("ntsc")
+    rp = make_raster(plan)
+    # gray scene with fine detail near the subcarrier — the classic
+    # confetti trigger (a tweed jacket on a B/W movie)
+    y = smooth_scene(TEST_LINES, TEST_SAMPLES, seed=11)[:1]
+    x_n = np.arange(TEST_SAMPLES)
+    tweed = 0.15 * np.sin(
+        2 * np.pi * 0.93 * plan.cfg.chroma.fsc / plan.fs * x_n
+    ).astype(np.float32)
+    y = np.clip(y + tweed, 0.0, 1.0)
+    rgb = jnp.asarray(np.repeat(y, 3, axis=0)[None])  # gray scene
+    g = frame_line_index(plan, 0, 1, TEST_LINES)
+    comp = encode_block(plan, rgb, g)
+    # monochrome TRANSMITTER: sync, no burst (like a 1950s B/W station)
+    mono_tx = dataclasses.replace(rp, burst_len=0)
+    rastered = add_raster(plan, mono_tx, comp, g)
+
+    color_rx = decode_block(plan, strip_raster(rp, rastered), g, "notch")
+    killed = decode_burst_locked(plan, rp, rastered, g, "notch",
+                                 color_kill=0.4)
+    p_confetti = psnr(np.asarray(color_rx), np.asarray(rgb))
+    p_killed = psnr(np.asarray(killed), np.asarray(rgb))
+    assert p_killed > p_confetti + 3.0, (p_confetti, p_killed)
+    # and the killer must NOT trip on a real color transmission
+    rgb_c = jnp.asarray(smooth_scene(TEST_LINES, TEST_SAMPLES, seed=9)[None])
+    rast_c = add_raster(plan, rp, encode_block(plan, rgb_c, g), g)
+    live = decode_burst_locked(plan, rp, rast_c, g, "notch", color_kill=0.4)
+    p_live = psnr(np.asarray(live), np.asarray(rgb_c))
+    assert p_live > 35.0, p_live
+
+
 @pytest.mark.parametrize("name,decoder", [("ntsc", "comb3"), ("pal", "delayline"),
                                           ("secam", "notch")])
 def test_rastered_pipeline_roundtrip_identical(name, decoder):
