@@ -702,6 +702,34 @@ def main(argv=None) -> int:
                         ))[0]
                         save_rgb(os.path.join(args.out, f"{tag}.png"), out_r)
                         report[tag] = round(psnr(out_r, rgb), 2)
+                    # RF multipath ghost vs the pivot-aware GCR canceller
+                    from color_modem_tpu.frame.equalize import (
+                        apply_equalizer,
+                        design_equalizer,
+                        gcr_record_guarded,
+                    )
+                    from color_modem_tpu.frame.rf import rf_ghost
+
+                    gh = rf_demodulate(
+                        rfp, rf_ghost(rfp, rf_sig, 3.0, 0.3), 0
+                    )
+                    out_g = np.asarray(dec_notch(gh, 0))[0]
+                    save_rgb(os.path.join(args.out, "ntsc_rf_ghost.png"),
+                             out_g)
+                    report["ntsc_rf_ghost"] = round(psnr(out_g, rgb), 2)
+                    rx_g = rf_demodulate(rfp, rf_ghost(rfp, rf_modulate(
+                        rfp, gcr_record_guarded(plan)[None], 0
+                    ), 3.0, 0.3), 0)[0][:3]
+                    pv = rfp.video_zero
+                    taps = design_equalizer(plan, rx_g, ntaps=1281,
+                                            reg=1e-4, pivot=pv)
+                    out_e = np.asarray(dec_notch(
+                        apply_equalizer(gh, taps, pivot=pv), 0
+                    ))[0]
+                    save_rgb(
+                        os.path.join(args.out, "ntsc_rf_ghost_eq.png"), out_e
+                    )
+                    report["ntsc_rf_ghost_eq"] = round(psnr(out_e, rgb), 2)
             if args.animate > 0:
                 from color_modem_tpu.frame.image_io import save_gif
 
