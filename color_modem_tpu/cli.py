@@ -130,6 +130,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--raster; cancels --chroma-phase like a real receiver)",
     )
     rt.add_argument(
+        "--caption", default=None, metavar="TEXT",
+        help="embed TEXT as EIA-608-framed caption cells (2 chars per "
+        "line-21 cell, one cell per top row), ride the full channel/RF "
+        "chain, decode and parity-check at the receiver (reported in "
+        "the JSON; the picture PSNR then excludes the data rows)",
+    )
+    rt.add_argument(
         "--acc", action="store_true",
         help="automatic chroma control: scale chroma by spec-over-"
         "measured burst amplitude (cancels --chroma-gain; needs "
@@ -842,6 +849,11 @@ def main(argv=None) -> int:
                 "--svideo does not combine with --rf* (the RF layer "
                 "transmits the single composite wire; Y/C are two wires)"
             )
+        if getattr(args, "caption", None):
+            raise SystemExit(
+                "--svideo does not combine with --caption (the data line "
+                "rides the composite wire)"
+            )
         from color_modem_tpu.frame.svideo import make_svideo_pipeline
 
         encode, decode, _ = make_svideo_pipeline(plan, args.backend)
@@ -887,6 +899,34 @@ def main(argv=None) -> int:
         # composite is kept batch-shaped — and device-resident (transfers
         # through the tunnel are the bottleneck, CLAUDE.md) — throughout
         comp_b = encode(rgb[None], args.frame)
+        cap_rows, cap_text, cap_spec = 0, None, None
+        if args.caption:
+            # line-21 style caption cells on the top rows (a still frame
+            # stacks what a broadcast spreads over successive frames);
+            # they ride every channel/RF stage below like real data lines
+            from color_modem_tpu.frame.vbi import (
+                cc_pack,
+                cc_spec,
+                encode_data_line,
+            )
+
+            cap_text = args.caption + (" " if len(args.caption) % 2 else "")
+            cells = [cap_text[i:i + 2] for i in range(0, len(cap_text), 2)]
+            cap_rows = len(cells)
+            if cap_rows > rgb.shape[1] // 4:
+                raise SystemExit(
+                    f"--caption: {len(cap_text)} chars need {cap_rows} "
+                    f"data rows — too many for a {rgb.shape[1]}-line frame"
+                )
+            cap_spec = cc_spec(plan)
+            cap_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                cap_off = make_raster(plan).n_blank
+            for r, cell in enumerate(cells):
+                wave = encode_data_line(plan, cap_spec, cc_pack(cell))
+                comp_b = comp_b.at[0, r, cap_off:].set(wave)
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
                 or args.rf_stereo or args.rf_dropouts > 0.0 or args.rf_doc
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0
@@ -1195,7 +1235,39 @@ def main(argv=None) -> int:
             out = np.asarray(
                 jax.block_until_ready(decode(comp_b, args.frame))
             )[0]
-        result["psnr_db"] = round(psnr(out, rgb), 2)
+        if cap_rows:
+            # read the data lines off the RECEIVED composite, after every
+            # receiver correction stage (equalizer, TBC, RF loops)
+            from color_modem_tpu.frame.vbi import cc_unpack, decode_data_line
+
+            cap_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                cap_off = make_raster(plan).n_blank
+            got, all_ok, worst = [], True, 1.0
+            for r in range(cap_rows):
+                bits, margin = decode_data_line(
+                    plan, cap_spec, comp_b[0, r, cap_off:]
+                )
+                s, ok = cc_unpack(np.asarray(bits))
+                got.append(s)
+                all_ok = all_ok and ok
+                worst = min(worst, float(margin))
+            received = "".join(got)
+            result["caption"] = {
+                "sent": cap_text,
+                "received": received,
+                "exact": received == cap_text,
+                "parity_ok": all_ok,
+                "worst_margin": round(worst, 3),
+            }
+        if cap_rows:
+            result["psnr_db"] = round(
+                psnr(out[:, cap_rows:], rgb[:, cap_rows:]), 2
+            )
+        else:
+            result["psnr_db"] = round(psnr(out, rgb), 2)
         result["lines"] = int(rgb.shape[1])
         if args.output:
             save_rgb(args.output, out)

@@ -137,6 +137,27 @@ def test_cc_byte_framing_roundtrip():
         cc_pack("é!")
 
 
+def test_cli_caption_rides_the_channel():
+    """roundtrip --caption: the EIA-608 cells ride the impaired channel
+    and come back exact (the JSON carries the receiver's parity check)."""
+    import contextlib
+    import io
+    import json
+
+    from color_modem_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["roundtrip", "--standard", "ntsc", "--decoder", "notch",
+                   "--demo", "--lines", "64", "--caption", "HI MOM",
+                   "--noise", "0.02"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["caption"]["exact"] is True
+    assert rep["caption"]["parity_ok"] is True
+    assert rep["caption"]["received"] == "HI MOM"
+
+
 def test_too_many_bits_rejected():
     plan = get_plan("ntsc")
     spec = cc_spec(plan, n_bits=400)
