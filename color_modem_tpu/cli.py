@@ -335,6 +335,12 @@ def build_parser() -> argparse.ArgumentParser:
         "through the same channel, every line overlaid, IRE graticule "
         "(sync -40, blanking 0, white 100)",
     )
+    ms.add_argument(
+        "--spectrum", metavar="PNG",
+        help="also render the spectrum analyzer: full band on top, "
+        "fsc±16fh zoom below where the luma/chroma comb interleave is "
+        "visible tooth by tooth (fh graticule at the luma positions)",
+    )
 
     gal = sub.add_parser(
         "gallery",
@@ -568,6 +574,25 @@ def main(argv=None) -> int:
             img = waveform_image(bars_r)
             save_rgb(args.waveform, img.transpose(2, 0, 1))
             report["waveform"] = args.waveform
+        if args.spectrum:
+            from color_modem_tpu.frame.measure import spectrum_image
+            from color_modem_tpu.utils.testimages import smooth_scene
+
+            # a natural scene shows the interleave comb best (bars'
+            # step edges smear broadband energy across the teeth);
+            # RASTERED rows so the fh comb rides the true line period
+            enc_s, _, _ = make_pipeline(plan, "notch", raster=True)
+            comp_s = impair(
+                plan,
+                enc_s(jnp.asarray(
+                    smooth_scene(args.lines, args.width, seed=2)
+                )[None], 0),
+                key=jax.random.PRNGKey(99) if args.noise > 0.0 else None,
+                **kw,
+            )
+            img = spectrum_image(plan, comp_s)
+            save_rgb(args.spectrum, img.transpose(2, 0, 1))
+            report["spectrum"] = args.spectrum
         print(json.dumps(report))
         return 0
 

@@ -282,6 +282,91 @@ def vectorscope_image(
     return img
 
 
+def composite_spectrum(plan: ModemPlan, comp: jax.Array):
+    """(freqs_hz, power_db) averaged spectrum of a (..., L, N) composite.
+
+    One Hann-windowed pow2 rfft over each concatenated line stream (the
+    multi-line coherence is the point: per-line FFTs have exactly fh
+    resolution and cannot resolve the fh-spaced comb teeth), power
+    averaged over leading dims, normalized to the peak.  Resolution is
+    ~2 fh / L — at 64 lines the luma teeth at k*fh and the chroma teeth
+    offset by fh/2 (NTSC's half-line phase law; the frequency
+    interleaving the whole composite trick rests on) separate cleanly.
+
+    Feed a RASTERED composite (make_pipeline(raster=True)): the fh comb
+    is a property of the full line period (858 samples on NTSC), and an
+    active-only stream (720) has a different periodicity that scrambles
+    the textbook tooth positions (measured: the interleave inverts).
+    """
+    x = np.asarray(comp, np.float64).reshape(-1, comp.shape[-2] * comp.shape[-1])
+    t = x.shape[-1]
+    x = (x - x.mean(axis=-1, keepdims=True)) * np.hanning(t)
+    nfft = 1 << int(np.ceil(np.log2(t)))
+    p = np.mean(np.abs(np.fft.rfft(x, n=nfft, axis=-1)) ** 2, axis=0)
+    freqs = np.fft.rfftfreq(nfft, d=1.0 / plan.fs)
+    db = 10.0 * np.log10(np.maximum(p, 1e-30) / max(p.max(), 1e-30))
+    return freqs, db
+
+
+def spectrum_image(plan: ModemPlan, comp: jax.Array, size: int = 512,
+                   zoom_teeth: int = 16, floor_db: float = -80.0
+                   ) -> np.ndarray:
+    """Render the spectrum analyzer: top panel 0..fs/2 full band, bottom
+    panel zoomed to fsc +- ``zoom_teeth``*fh where the luma/chroma comb
+    interleave is visible tooth by tooth.  Graticule: verticals at fsc
+    (bright) and, in the zoom, at every multiple of fh (dim — the luma
+    teeth positions; chroma energy sits BETWEEN them on half-line
+    standards, which is the interleaving trick made visible).
+    Horizontal rules every 20 dB.  Returns (size, size, 3) float32 RGB.
+    """
+    freqs, db = composite_spectrum(plan, comp)
+    fh = plan.cfg.fh
+    fsc = plan.cfg.chroma.fsc
+    img = np.zeros((size, size, 3), np.float32)
+    h = size // 2
+    grat = np.float32([0.35, 0.35, 0.35])
+    trace = np.float32([0.25, 0.95, 0.35])
+
+    def _panel(y0, f_lo, f_hi):
+        rows = h - 2
+        sel = (freqs >= f_lo) & (freqs <= f_hi)
+        f, d = freqs[sel], np.clip(db[sel], floor_db, 0.0)
+        col = ((f - f_lo) / (f_hi - f_lo) * (size - 1)).astype(np.int64)
+        # per-column max (analyzer peak-hold), filled trace below
+        peak = np.full(size, floor_db)
+        np.maximum.at(peak, col, d)
+        top = np.clip((peak / floor_db * (rows - 1)).astype(np.int64),
+                      0, rows - 1)
+        yy = np.arange(rows)[:, None]
+        fill = yy > top[None, :]
+        on = yy == top[None, :]
+        img[y0 : y0 + rows][fill] = np.maximum(
+            img[y0 : y0 + rows][fill], 0.18 * trace
+        )
+        img[y0 : y0 + rows][on] = trace
+        for k in range(1, 4):  # -20/-40/-60 dB rules
+            y = y0 + int(rows * (20.0 * k / -floor_db))
+            img[y] = np.maximum(img[y], grat * 0.6)
+        if f_lo <= fsc <= f_hi:
+            c = int((fsc - f_lo) / (f_hi - f_lo) * (size - 1))
+            img[y0 : y0 + rows, c] = np.maximum(
+                img[y0 : y0 + rows, c], np.float32([0.8, 0.5, 0.2])
+            )
+        return f_lo, f_hi
+
+    _panel(0, 0.0, plan.fs / 2)
+    f_lo = fsc - zoom_teeth * fh
+    f_hi = fsc + zoom_teeth * fh
+    _panel(h + 2, f_lo, f_hi)
+    # zoom graticule: luma teeth at every multiple of fh (dim)
+    k0 = int(np.ceil(f_lo / fh))
+    while k0 * fh <= f_hi:
+        c = int((k0 * fh - f_lo) / (f_hi - f_lo) * (size - 1))
+        img[h + 2 :, c] = np.maximum(img[h + 2 :, c], grat * 0.45)
+        k0 += 1
+    return img
+
+
 def waveform_image(
     comp: jax.Array, size: int = 512, lo: float = -0.5, hi: float = 1.2
 ) -> np.ndarray:

@@ -273,3 +273,53 @@ def test_cli_measure_waveform(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["waveform"] == out
     assert os.path.getsize(out) > 1000
+
+
+def test_spectrum_shows_frequency_interleave():
+    """The spectrum analyzer's reason to exist: on NTSC (fsc = 227.5 fh)
+    the chroma energy sits on HALF-INTEGER multiples of the line rate,
+    interleaved between the luma teeth at integer multiples — sampling
+    the averaged multi-line spectrum at both families around fsc shows
+    chroma teeth well above the luma positions there, and the reverse
+    far below fsc where luma owns the band."""
+    from color_modem_tpu.frame.measure import composite_spectrum
+    from color_modem_tpu.utils.testimages import smooth_scene
+
+    plan = get_plan("ntsc")
+    # RASTERED rows: the fh-comb lives on the full 858-sample line
+    # period; an active-only stream has a different (720-sample)
+    # periodicity and scrambles the textbook teeth
+    enc, _, _ = make_pipeline(plan, "notch", raster=True)
+    comp = enc(jnp.asarray(smooth_scene(64, TEST_SAMPLES, seed=2))[None], 0)
+    freqs, db = composite_spectrum(plan, comp)
+    fh = plan.cfg.fh
+    fsc = plan.cfg.chroma.fsc
+
+    def tooth(f0):  # peak within +-fh/6 of the nominal position
+        sel = np.abs(freqs - f0) < fh / 6.0
+        return float(db[sel].max())
+
+    ks = np.arange(-6, 7)
+    # fsc + k*fh are half-integer fh multiples = chroma teeth
+    chroma = np.mean([tooth(fsc + k * fh) for k in ks])
+    luma_mid = np.mean([tooth(fsc + (k + 0.5) * fh) for k in ks])
+    assert chroma > luma_mid + 8.0, (chroma, luma_mid)
+    # far below fsc, luma teeth at k*fh dominate the between-teeth gaps
+    k0 = 40
+    luma = np.mean([tooth(k * fh) for k in range(k0, k0 + 8)])
+    gaps = np.mean([tooth((k + 0.5) * fh) for k in range(k0, k0 + 8)])
+    assert luma > gaps + 8.0, (luma, gaps)
+
+
+def test_spectrum_image_renders(tmp_path, capsys):
+    import json
+    import os
+
+    from color_modem_tpu.cli import main
+
+    out = str(tmp_path / "spec.png")
+    assert main(["measure", "--standard", "ntsc", "--lines", "64",
+                 "--spectrum", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["spectrum"] == out
+    assert os.path.getsize(out) > 1000
