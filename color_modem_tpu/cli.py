@@ -244,10 +244,19 @@ def build_parser() -> argparse.ArgumentParser:
         "video", help="chunked, resumable synthetic-video roundtrip run"
     )
     _add_common(vid)
-    vid.add_argument("--frames", type=int, default=32)
+    vid.add_argument("--frames", type=int, default=0,
+                     help="frame count (0 = the whole --input clip, or 32 "
+                     "synthetic frames)")
     vid.add_argument("--lines", type=int, default=0, help="0 = standard active lines")
     vid.add_argument("--chunk", type=int, default=8)
     vid.add_argument("--out", required=True, help="output/manifest directory")
+    vid.add_argument("--input", default=None, metavar="CLIP.y4m",
+                     help="real video input (YUV4MPEG2, e.g. from "
+                     "`ffmpeg -i clip.mp4 clip.y4m`); the clip's geometry "
+                     "sets the plan width and line count")
+    vid.add_argument("--output", default=None, metavar="OUT.y4m",
+                     help="write the decoded frames as a C444 .y4m clip "
+                     "(assembled from the per-chunk outputs after the run)")
     vid.add_argument(
         "--mesh", default="", help="FxL device mesh, e.g. 2x4 (empty = unsharded)"
     )
@@ -786,8 +795,18 @@ def main(argv=None) -> int:
         from color_modem_tpu.standards import ALL_STANDARDS
 
         cfg = ALL_STANDARDS[args.standard]()
-        lines = args.lines or cfg.active_lines
-        plan = make_plan(cfg, args.width)
+        fps = (30000, 1001) if cfg.total_lines == 525 else (25, 1)
+        if args.input:
+            from color_modem_tpu.frame.y4m import y4m_source
+
+            source, clip_n, clip_h, clip_w = y4m_source(args.input)
+            lines, width = clip_h, clip_w
+            n_frames = min(args.frames, clip_n) if args.frames else clip_n
+            plan = make_plan(cfg, width)
+        else:
+            lines = args.lines or cfg.active_lines
+            n_frames = args.frames or 32
+            plan = make_plan(cfg, args.width)
         mesh = None
         if args.mesh:
             from color_modem_tpu.parallel import init_distributed, make_mesh
@@ -818,8 +837,8 @@ def main(argv=None) -> int:
         channel = channel or None
         summary = process_video(
             plan,
-            make_src(lines, args.width),
-            args.frames,
+            source if args.input else make_src(lines, args.width),
+            n_frames,
             args.out,
             decoder=args.decoder,
             chunk=args.chunk,
@@ -832,7 +851,30 @@ def main(argv=None) -> int:
             nr=args.nr is not None,
             nr_sigma=args.nr,
             rf=args.rf,
+            save_outputs=args.output is not None,
         )
+        if args.output:
+            # assemble the per-chunk decoded outputs into one clip (reads
+            # in chunk order; resume-friendly — every finished chunk left
+            # its rgb_*.npy behind)
+            import glob
+            import os
+
+            import numpy as np
+
+            from color_modem_tpu.frame.y4m import write_y4m
+
+            files = sorted(glob.glob(os.path.join(args.out, "rgb_*.npy")))
+            written = write_y4m(
+                args.output, (np.load(p) for p in files), fps=fps
+            )
+            summary["output"] = args.output
+            summary["output_frames"] = written
+            if written != n_frames:
+                summary["output_incomplete"] = (
+                    "some chunks predate --output (resumed run without "
+                    "save_outputs) — rerun with --no-resume to regenerate"
+                )
         print(json.dumps(summary))
         return 0
 
