@@ -213,6 +213,17 @@ def build_parser() -> argparse.ArgumentParser:
         "under envelope detection); implies --rf",
     )
     rt.add_argument(
+        "--rf-audio-in", default=None, metavar="IN.wav",
+        help="transmit a real audio file on the FM sound channel "
+        "(resampled to the composite grid; mono, or stereo with "
+        "--rf-stereo); implies --rf",
+    )
+    rt.add_argument(
+        "--audio-out", default=None, metavar="OUT.wav",
+        help="write the recovered sound-channel audio as 48 kHz 16-bit "
+        "PCM (mono, or L/R with --rf-stereo)",
+    )
+    rt.add_argument(
         "--rf-dropouts", type=float, default=0.0,
         help="tape-dropout rate: probability per line of an RF carrier "
         "loss (~8 us span); implies --rf",
@@ -892,7 +903,7 @@ def main(argv=None) -> int:
         for k in ("rf", "rf_noise", "rf_recover", "rf_audio", "rf_stereo",
                   "rf_detection", "rf_phase_error", "rf_agc",
                   "rf_freq_error", "rf_aft", "rf_ghost_gain",
-                  "rf_equalize")
+                  "rf_equalize", "rf_audio_in", "audio_out")
     ) or getattr(args, "rf_gain", 1.0) != 1.0
     if getattr(args, "rf_agc", False) and not getattr(args, "raster", False):
         raise SystemExit(
@@ -999,7 +1010,8 @@ def main(argv=None) -> int:
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0
                 or args.rf_gain != 1.0 or args.rf_agc
                 or args.rf_freq_error != 0.0 or args.rf_aft
-                or args.rf_ghost_gain != 0.0 or args.rf_equalize):
+                or args.rf_ghost_gain != 0.0 or args.rf_equalize
+                or args.rf_audio_in or args.audio_out):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
             import dataclasses
@@ -1032,26 +1044,46 @@ def main(argv=None) -> int:
             audio = None
             b_rf, l_rf, n_rf = comp_b.shape
             t = np.arange(l_rf * n_rf) / plan.fs
+            wav_in = None
+            if args.rf_audio_in:
+                # real audio: resample the file to the composite grid
+                # (one audio sample per video sample — frame/rf.py)
+                from color_modem_tpu.utils.wav import read_wav, resample_linear
+
+                wav_x, wav_rate = read_wav(args.rf_audio_in)
+                wav_in = resample_linear(
+                    wav_x, wav_rate, plan.fs, n_out=l_rf * n_rf
+                )
             if args.rf_stereo:
                 from color_modem_tpu.frame.mts import mts_encode
 
-                st_l = np.broadcast_to(
-                    (0.7 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32),
-                    (b_rf, l_rf * n_rf),
-                )
-                st_r = np.broadcast_to(
-                    (0.5 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32),
-                    (b_rf, l_rf * n_rf),
-                )
+                if wav_in is not None:
+                    st = wav_in if wav_in.shape[0] >= 2 else np.concatenate(
+                        [wav_in, wav_in]
+                    )
+                    st_l = np.broadcast_to(st[0], (b_rf, l_rf * n_rf))
+                    st_r = np.broadcast_to(st[1], (b_rf, l_rf * n_rf))
+                else:
+                    st_l = np.broadcast_to(
+                        (0.7 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32),
+                        (b_rf, l_rf * n_rf),
+                    )
+                    st_r = np.broadcast_to(
+                        (0.5 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32),
+                        (b_rf, l_rf * n_rf),
+                    )
                 audio = mts_encode(plan, st_l, st_r, row_samples=rf_row)
-            elif args.rf_audio:
+            elif args.rf_audio or wav_in is not None:
                 import jax.numpy as jnp
 
-                audio = jnp.asarray(np.broadcast_to(
+                mono = (
+                    wav_in[0] if wav_in is not None else
                     (0.6 * np.sin(2 * np.pi * 1000 * t)
-                     + 0.3 * np.sin(2 * np.pi * 7000 * t)
-                     ).astype(np.float32), (b_rf, l_rf * n_rf),
-                ))
+                     + 0.3 * np.sin(2 * np.pi * 7000 * t)).astype(np.float32)
+                )
+                audio = jnp.asarray(
+                    np.broadcast_to(mono, (b_rf, l_rf * n_rf))
+                )
             rf_sig = rf_modulate(tx_rfp, comp_b, args.frame, audio,
                                  df=args.rf_freq_error)
             if args.rf_gain != 1.0:
@@ -1143,12 +1175,16 @@ def main(argv=None) -> int:
                 comp_b = apply_equalizer(comp_b, taps, pivot=pv)
             audio_snr = None
             stereo_report = None
+            audio_rec = None  # recovered (channels, n) at composite rate
             if args.rf_stereo:
                 from color_modem_tpu.frame.mts import mts_decode
                 from color_modem_tpu.frame.rf import rf_demodulate_sound
 
                 aud = rf_demodulate_sound(rfp, rf_sig, args.frame)
                 l2, r2, pilot = mts_decode(plan, aud, row_samples=rf_row)
+                audio_rec = np.stack(
+                    [np.asarray(l2)[0], np.asarray(r2)[0]]
+                )
                 crop = min(16384, aud.shape[-1] // 4)
 
                 def _snr(got, want):
@@ -1163,17 +1199,35 @@ def main(argv=None) -> int:
                     "right_snr_db": round(float(_snr(r2, st_r)), 2),
                     "pilot": round(float(np.mean(np.asarray(pilot))), 4),
                 }
-            elif args.rf_audio:
+            elif args.rf_audio or args.rf_audio_in:
                 from color_modem_tpu.frame.rf import rf_demodulate_sound
 
                 aud = np.asarray(rf_demodulate_sound(rfp, rf_sig, args.frame))
+                audio_rec = aud[:1]
                 a_ref = np.asarray(audio)
                 crop = min(8192, aud.shape[-1] // 4)  # audio-LPF transient
                 err = aud[:, crop:-crop] - a_ref[:, crop:-crop]
                 audio_snr = 10.0 * np.log10(
-                    np.mean(a_ref[:, crop:-crop] ** 2)
+                    max(float(np.mean(a_ref[:, crop:-crop] ** 2)), 1e-20)
                     / max(float(np.mean(err**2)), 1e-20)
                 )
+            if args.audio_out:
+                if audio_rec is None:
+                    raise SystemExit(
+                        "--audio-out needs a sound transmission: add "
+                        "--rf-audio, --rf-audio-in or --rf-stereo"
+                    )
+                from color_modem_tpu.utils.wav import (
+                    resample_linear,
+                    write_wav,
+                )
+
+                write_wav(
+                    args.audio_out,
+                    resample_linear(audio_rec, plan.fs, 48000.0),
+                    48000,
+                )
+                result["audio_out"] = args.audio_out
             result["rf"] = {
                 "fc_mhz": round(rfp.fc / 1e6, 3),
                 "f_snd_mhz": round(rfp.f_snd / 1e6, 3),

@@ -499,3 +499,34 @@ def test_rf_frame0_continuity_matches_video_chunking():
     both = np.asarray(rf_modulate(rfp, jnp.asarray(comp), 0))
     solo = np.asarray(rf_modulate(rfp, jnp.asarray(comp[1:]), 1))
     np.testing.assert_array_equal(both[1:], solo)
+
+
+def test_wav_audio_in_out(tmp_path, capsys):
+    """Real audio through the FM sound channel: a 48 kHz WAV resamples to
+    the composite grid, transmits, and the recovered 48 kHz WAV matches
+    the source to within the chain's audio SNR (~46 dB file-to-file,
+    including the 16-bit container floor)."""
+    import json
+
+    from color_modem_tpu.cli import main
+    from color_modem_tpu.utils.wav import read_wav, write_wav
+
+    t = np.arange(48000) / 48000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.3 * np.sin(2 * np.pi * 2500 * t)).astype(np.float32)
+    src = str(tmp_path / "tone.wav")
+    rec = str(tmp_path / "rec.wav")
+    write_wav(src, x, 48000)
+    rc = main(["roundtrip", "--standard", "ntsc", "--decoder", "notch",
+               "--demo", "--lines", "64",
+               "--rf-audio-in", src, "--audio-out", rec])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rf"]["audio_snr_db"] > 40.0
+    y, rate = read_wav(rec)
+    assert rate == 48000 and y.shape[0] == 1
+    n = y.shape[-1]
+    crop = n // 5
+    a, b = y[0, crop : n - crop], x[crop : n - crop]
+    snr = 10 * np.log10(np.mean(b**2) / np.mean((a - b) ** 2))
+    assert snr > 38.0, snr
