@@ -268,6 +268,10 @@ def build_parser() -> argparse.ArgumentParser:
     vid.add_argument("--output", default=None, metavar="OUT.y4m",
                      help="write the decoded frames as a C444 .y4m clip "
                      "(assembled from the per-chunk outputs after the run)")
+    vid.add_argument("--caption", default=None, metavar="TEXT",
+                     help="stream TEXT as line-21 caption cells, one "
+                     "2-char cell per frame (padded with spaces), decoded "
+                     "off the received composite and reported in the JSON")
     vid.add_argument(
         "--mesh", default="", help="FxL device mesh, e.g. 2x4 (empty = unsharded)"
     )
@@ -846,6 +850,21 @@ def main(argv=None) -> int:
         if set(channel) == {"ghost_delay_us"}:
             channel = {}
         channel = channel or None
+        cap_bits = None
+        if args.caption:
+            from color_modem_tpu.frame.vbi import cc_pack
+
+            text = args.caption.ljust(2 * n_frames)[: 2 * n_frames]
+            if len(args.caption) > 2 * n_frames:
+                raise SystemExit(
+                    f"--caption: {len(args.caption)} chars need "
+                    f"{(len(args.caption) + 1) // 2} frames, run has "
+                    f"{n_frames}"
+                )
+            cap_bits = np.stack([
+                np.asarray(cc_pack(text[2 * i : 2 * i + 2]))
+                for i in range(n_frames)
+            ])
         summary = process_video(
             plan,
             source if args.input else make_src(lines, args.width),
@@ -863,7 +882,31 @@ def main(argv=None) -> int:
             nr_sigma=args.nr,
             rf=args.rf,
             save_outputs=args.output is not None,
+            caption_bits=cap_bits,
         )
+        if args.caption:
+            # receiver text: assemble the per-chunk decoded cells
+            import glob
+            import os
+
+            import numpy as np
+
+            from color_modem_tpu.frame.vbi import cc_unpack
+
+            files = sorted(glob.glob(os.path.join(args.out, "cc_*.npy")))
+            got, ok = [], True
+            for p in files:
+                for row in np.load(p):
+                    s, good = cc_unpack(row)
+                    got.append(s)
+                    ok = ok and good
+            received = "".join(got)
+            summary["caption"] = {
+                "sent": text.rstrip(),
+                "received": received.rstrip(),
+                "exact": received == text and ok,
+                "parity_ok": ok,
+            }
         if args.output:
             # assemble the per-chunk decoded outputs into one clip (reads
             # in chunk order; resume-friendly — every finished chunk left

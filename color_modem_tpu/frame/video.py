@@ -94,6 +94,7 @@ def process_video(
     nr: bool = False,
     nr_sigma: float | None = None,
     rf: bool = False,
+    caption_bits: np.ndarray | None = None,
 ) -> dict:
     """Round-trip ``n_frames`` frames in chunks; returns the run summary.
 
@@ -132,7 +133,24 @@ def process_video(
     explicit ``nr_sigma``, else the channel's known ``noise_sigma``, else
     the auto noise-floor estimator — which mis-gates under whole-frame
     motion (frame.nr docstring), so prefer an explicit sigma.
+
+    ``caption_bits``: optional (n_frames, n_bits) 0/1 array — frame i's
+    row 0 carries cell i as an EIA-608-style data line (frame.vbi), the
+    real line-21 streaming model: one caption cell per frame, keyed by
+    the ABSOLUTE frame index so chunk size and resume points cannot
+    change the transmission.  The receiver slices the cells off the
+    received composite inside the jitted step and each finished chunk
+    persists its decoded bits as ``cc_<start>.npy`` (resume-friendly,
+    like the rgb outputs); frame PSNR then excludes the data row.
+    Progressive runs only (a field-cadenced caption channel would need
+    its own framing).
     """
+    if caption_bits is not None and interlaced:
+        raise ValueError(
+            "caption_bits: progressive runs only — line-21 cells go on "
+            "frame row 0; a field-cadenced caption channel would need "
+            "its own framing"
+        )
     os.makedirs(out_dir, exist_ok=True)
     manifest = ChunkManifest(out_dir) if resume else None
     if lines is None:
@@ -161,6 +179,7 @@ def process_video(
             else {}
         ),
         **({"rf": True} if rf else {}),
+        **({"caption": True} if caption_bits is not None else {}),
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
     if manifest:
@@ -191,6 +210,41 @@ def process_video(
         )
     else:
         enc_f, dec_f, roundtrip = make_pipeline(plan, decoder, backend)
+    cap_spec = None
+    if caption_bits is not None:
+        from color_modem_tpu.frame.vbi import (
+            cc_spec,
+            decode_data_line,
+            encode_data_line,
+        )
+
+        cap_spec = cc_spec(plan)
+        _cap_bits = jnp.asarray(np.asarray(caption_bits), jnp.int32)
+        _base_enc = enc_f
+
+        def enc_f(rgb, frame0):  # noqa: F811 — caption-carrying variant
+            comp = _base_enc(rgb, frame0)
+            idx = jnp.clip(
+                jnp.asarray(frame0, jnp.int32)
+                + jnp.arange(comp.shape[0], dtype=jnp.int32),
+                0, _cap_bits.shape[0] - 1,
+            )
+            wave = encode_data_line(plan, cap_spec, _cap_bits[idx])
+            return comp.at[:, 0, :].set(wave)
+
+        def roundtrip(rgb, frame0):  # noqa: F811 — rebuilt: the library
+            # roundtrip predates the caption wrap (and the channel/rf
+            # variants below overwrite this with the same comp-returning
+            # shape anyway)
+            comp = enc_f(rgb, frame0)
+            return dec_f(comp, frame0), comp
+
+    else:
+        _lib_rt = roundtrip
+
+        def roundtrip(rgb, frame0):  # noqa: F811 — uniform (out, comp)
+            return _lib_rt(rgb, frame0), None
+
     _rf_hop = None
     if rf:
         from color_modem_tpu.frame.rf import (
@@ -281,12 +335,17 @@ def process_video(
                 comp = apply_equalizer(
                     comp, design_equalizer(plan, rx, ntaps=eq_ntaps)
                 )
-            return dec_f(comp, frame0)
+            return dec_f(comp, frame0), (
+                comp if cap_spec is not None else None
+            )
 
     elif _rf_hop is not None:
 
         def roundtrip(rgb, frame0):  # noqa: F811 — RF-only variant
-            return dec_f(_rf_hop(enc_f(rgb, frame0), frame0), frame0)
+            comp = _rf_hop(enc_f(rgb, frame0), frame0)
+            return dec_f(comp, frame0), (
+                comp if cap_spec is not None else None
+            )
 
     from color_modem_tpu.utils.metrics import fingerprint_hex, fingerprint_jnp
 
@@ -302,6 +361,8 @@ def process_video(
 
     def _metrics(out, rgb, off, n_real):
         mask = _interior_mask(out, off, n_real)
+        if cap_spec is not None:  # row 0 carries data, not picture
+            out, rgb = out[:, :, 1:, :], rgb[:, :, 1:, :]
         err = jnp.mean((out - rgb) ** 2, axis=(1, 2, 3))
         mse = jnp.sum(err * mask) / jnp.maximum(
             n_real.astype(jnp.float32), 1.0
@@ -321,18 +382,25 @@ def process_video(
             nr_sigma = chan_noise_sigma
 
     def _roundtrip_nr(rgb, frame0):
-        out = roundtrip(rgb, frame0)
-        return temporal_nr(out, nr_sigma) if nr else out
+        out, comp = roundtrip(rgb, frame0)
+        return (temporal_nr(out, nr_sigma) if nr else out), comp
+
+    def _rx_caption(comp):
+        """Receiver: slice the caption cells off the received row 0."""
+        if cap_spec is None:
+            return jnp.zeros((0,), jnp.int32)
+        bits, _ = decode_data_line(plan, cap_spec, comp[:, 0, :])
+        return bits
 
     @jax.jit
     def step(rgb, frame0, off, n_real):
-        out = _roundtrip_nr(rgb, frame0)
-        return (out,) + _metrics(out, rgb, off, n_real)
+        out, comp = _roundtrip_nr(rgb, frame0)
+        return (out,) + _metrics(out, rgb, off, n_real) + (_rx_caption(comp),)
 
     @jax.jit
     def step_metrics(rgb, frame0, off, n_real):
-        out = _roundtrip_nr(rgb, frame0)
-        return _metrics(out, rgb, off, n_real)
+        out, comp = _roundtrip_nr(rgb, frame0)
+        return _metrics(out, rgb, off, n_real) + (_rx_caption(comp),)
 
     # the sharded pipeline needs the frame batch to divide the mesh frame
     # axis, and the temporal comb needs >= 2*spacing frames PER DEVICE; a
@@ -386,7 +454,12 @@ def process_video(
         nonlocal frames_done
         all_q = np.asarray(jnp.stack([p[4] for p in pending]))
         all_fp = np.asarray(jnp.stack([p[5] for p in pending]))
-        for k, (start, end, off, out, _, _) in enumerate(pending):
+        all_cc = (  # one stacked fetch (chunks may be ragged: concatenate)
+            np.asarray(jnp.concatenate([p[6] for p in pending]))
+            if cap_spec is not None else None
+        )
+        cc_at = 0
+        for k, (start, end, off, out, _, _, cc) in enumerate(pending):
             q = float(all_q[k])
             psnrs.append(q)
             frames_done += end - start
@@ -395,6 +468,12 @@ def process_video(
                     os.path.join(out_dir, f"rgb_{start:06d}.npy"),
                     np.asarray(out)[off : off + (end - start)],
                 )
+            if all_cc is not None:
+                np.save(
+                    os.path.join(out_dir, f"cc_{start:06d}.npy"),
+                    all_cc[cc_at + off : cc_at + off + (end - start)],
+                )
+                cc_at += cc.shape[0]
             if manifest:
                 manifest.mark_done(
                     start, end, fp=fingerprint_hex(all_fp[k]), psnr=round(q, 2)
@@ -414,10 +493,10 @@ def process_video(
         n_real = jnp.asarray(end - start, jnp.int32)
         pixels += (end - start) * rgb.shape[2] * rgb.shape[3]
         if save_outputs:
-            out, q, fp = step(rgb, lo, off, n_real)
+            out, q, fp, cc = step(rgb, lo, off, n_real)
         else:
-            out, (q, fp) = None, step_metrics(rgb, lo, off, n_real)
-        pending.append((start, end, start - lo, out, q, fp))
+            out, (q, fp, cc) = None, step_metrics(rgb, lo, off, n_real)
+        pending.append((start, end, start - lo, out, q, fp, cc))
         if len(pending) >= wave:
             _resolve(pending)
             pending = []

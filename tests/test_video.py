@@ -349,3 +349,49 @@ def test_cli_video_y4m_in_out(tmp_path, capsys):
     # the container's own quantization floor
     assert p > 33.0, p
     assert rep["min_psnr_db"] > 33.0
+
+
+def test_video_caption_stream(tmp_path):
+    """Line-21 streaming: one caption cell per frame, keyed by absolute
+    frame index — the decoded text is exact and chunk-size independent."""
+    from color_modem_tpu.frame.vbi import cc_pack, cc_unpack
+
+    plan = get_plan("ntsc")
+    text = "STREAMING CAPS OK"  # 17 chars -> 9 cells, pad to 10 frames
+    n = 10
+    padded = text.ljust(2 * n)
+    bits = np.stack(
+        [np.asarray(cc_pack(padded[2 * i : 2 * i + 2])) for i in range(n)]
+    )
+
+    def run(out, chunk):
+        process_video(
+            plan, synthetic_source(L, TEST_SAMPLES), n, out,
+            decoder="comb3", chunk=chunk, caption_bits=bits,
+            channel={"noise_sigma": 0.01},
+        )
+        got, ok = [], True
+        import glob
+
+        for p in sorted(glob.glob(os.path.join(out, "cc_*.npy"))):
+            for row in np.load(p):
+                s, good = cc_unpack(row)
+                got.append(s)
+                ok = ok and good
+        return "".join(got), ok
+
+    r1, ok1 = run(str(tmp_path / "a"), 4)
+    assert ok1 and r1 == padded, r1
+    r2, ok2 = run(str(tmp_path / "b"), 7)
+    assert (r2, ok2) == (r1, ok1)
+
+
+def test_video_caption_interlaced_refused(tmp_path):
+    plan = get_plan("ntsc")
+    bits = np.zeros((4, 16), np.int32)
+    with pytest.raises(ValueError, match="progressive"):
+        process_video(
+            plan, synthetic_source(L, TEST_SAMPLES), 4,
+            str(tmp_path / "x"), chunk=2, interlaced=True,
+            caption_bits=bits,
+        )
