@@ -137,6 +137,14 @@ def build_parser() -> argparse.ArgumentParser:
         "the JSON; the picture PSNR then excludes the data rows)",
     )
     rt.add_argument(
+        "--teletext", default=None, metavar="ROWS",
+        help="embed a WST teletext page ('|'-separated display rows, "
+        "Hamming-8/4 addresses + odd-parity chars at the real 444*fh "
+        "bit rate) on the top rows, ride the channel/RF chain, decode "
+        "and render at the receiver (needs --width >= 1440; 625-line "
+        "standards)",
+    )
+    rt.add_argument(
         "--acc", action="store_true",
         help="automatic chroma control: scale chroma by spec-over-"
         "measured burst amplitude (cancels --chroma-gain; needs "
@@ -970,10 +978,10 @@ def main(argv=None) -> int:
                 "--svideo does not combine with --rf* (the RF layer "
                 "transmits the single composite wire; Y/C are two wires)"
             )
-        if getattr(args, "caption", None):
+        if getattr(args, "caption", None) or getattr(args, "teletext", None):
             raise SystemExit(
-                "--svideo does not combine with --caption (the data line "
-                "rides the composite wire)"
+                "--svideo does not combine with --caption/--teletext (the "
+                "data line rides the composite wire)"
             )
         from color_modem_tpu.frame.svideo import make_svideo_pipeline
 
@@ -1048,6 +1056,37 @@ def main(argv=None) -> int:
             for r, cell in enumerate(cells):
                 wave = encode_data_line(plan, cap_spec, cc_pack(cell))
                 comp_b = comp_b.at[0, r, cap_off:].set(wave)
+        ttx_rows, ttx_texts = 0, None
+        if args.teletext:
+            # WST teletext page on the rows after the captions; decoded
+            # off the received composite like the caption cells
+            from color_modem_tpu.frame import teletext as ttx_mod
+
+            ttx_texts = args.teletext.split("|")
+            try:
+                ttx_mod.wst_spec(plan)  # validate the grid before encoding
+            except ValueError as e:
+                raise SystemExit(f"--teletext: {e}")
+            n_need = 1 + len(ttx_texts)
+            if cap_rows + n_need > rgb.shape[1] // 2:
+                raise SystemExit(
+                    f"--teletext: {n_need} data rows (header + "
+                    f"{len(ttx_texts)}) don't fit a {rgb.shape[1]}-line "
+                    f"frame alongside {cap_rows} caption rows"
+                )
+            ttx_header = f"P100 {plan.cfg.name.upper()}"
+            waves = ttx_mod.encode_page(
+                plan, 1, 0x00, ttx_texts, header=ttx_header
+            )
+            ttx_rows = int(waves.shape[0])
+            cap_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                cap_off = make_raster(plan).n_blank
+            comp_b = comp_b.at[
+                0, cap_rows:cap_rows + ttx_rows, cap_off:
+            ].set(waves)
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
                 or args.rf_stereo or args.rf_dropouts > 0.0 or args.rf_doc
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0
@@ -1426,9 +1465,32 @@ def main(argv=None) -> int:
                 "parity_ok": all_ok,
                 "worst_margin": round(worst, 3),
             }
-        if cap_rows:
+        if ttx_rows:
+            # read the page off the RECEIVED composite, post receiver
+            from color_modem_tpu.frame import teletext as ttx_mod
+
+            cap_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                cap_off = make_raster(plan).n_blank
+            pkts = ttx_mod.decode_packets(
+                plan, comp_b[0, cap_rows:cap_rows + ttx_rows, cap_off:]
+            )
+            got_rows = [p.text.rstrip() for p in pkts[1:]]
+            result["teletext"] = {
+                "page": pkts[0].page,
+                "header": pkts[0].text.rstrip(),
+                "rows": got_rows,
+                "exact": got_rows == [t.rstrip() for t in ttx_texts],
+                "address_ok": all(p.address_ok for p in pkts),
+                "parity_ok": all(bool(p.parity_ok.all()) for p in pkts),
+                "worst_margin": round(min(p.margin for p in pkts), 3),
+            }
+        data_rows = cap_rows + ttx_rows
+        if data_rows:
             result["psnr_db"] = round(
-                psnr(out[:, cap_rows:], rgb[:, cap_rows:]), 2
+                psnr(out[:, data_rows:], rgb[:, data_rows:]), 2
             )
         else:
             result["psnr_db"] = round(psnr(out, rgb), 2)
