@@ -258,6 +258,13 @@ def build_parser() -> argparse.ArgumentParser:
         "right) on the sound channel; reports per-ear SNR and the pilot "
         "level; implies --rf",
     )
+    rt.add_argument(
+        "--rf-nicam", action="store_true",
+        help="transmit a NICAM-728 digital stereo burst (companded "
+        "14-bit PCM, DQPSK carrier 0.5 MHz above the FM sound carrier) "
+        "on the RF channel; reports per-ear SNR, parity errors and the "
+        "frame-alignment lock; implies --rf",
+    )
 
     vid = sub.add_parser(
         "video", help="chunked, resumable synthetic-video roundtrip run"
@@ -952,7 +959,7 @@ def main(argv=None) -> int:
     _wants_rf = any(
         getattr(args, k, None) not in (None, False, 0.0, "sync")
         for k in ("rf", "rf_noise", "rf_recover", "rf_audio", "rf_stereo",
-                  "rf_detection", "rf_phase_error", "rf_agc",
+                  "rf_nicam", "rf_detection", "rf_phase_error", "rf_agc",
                   "rf_freq_error", "rf_aft", "rf_ghost_gain",
                   "rf_equalize", "rf_audio_in", "audio_out")
     ) or getattr(args, "rf_gain", 1.0) != 1.0
@@ -1088,7 +1095,8 @@ def main(argv=None) -> int:
                 0, cap_rows:cap_rows + ttx_rows, cap_off:
             ].set(waves)
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
-                or args.rf_stereo or args.rf_dropouts > 0.0 or args.rf_doc
+                or args.rf_stereo or args.rf_nicam
+                or args.rf_dropouts > 0.0 or args.rf_doc
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0
                 or args.rf_gain != 1.0 or args.rf_agc
                 or args.rf_freq_error != 0.0 or args.rf_aft
@@ -1168,6 +1176,26 @@ def main(argv=None) -> int:
                 )
             rf_sig = rf_modulate(tx_rfp, comp_b, args.frame, audio,
                                  df=args.rf_freq_error)
+            nic_l = nic_r = None
+            nic_cap = 0
+            if args.rf_nicam:
+                from color_modem_tpu.frame import nicam as nicam_mod
+
+                nic_cap = nicam_mod.nicam_capacity(rfp, rf_sig.shape)
+                if nic_cap < 1:
+                    raise SystemExit(
+                        "--rf-nicam: the RF block is shorter than one "
+                        "728-bit NICAM frame (~1 ms) — raise --lines"
+                    )
+                na = nicam_mod.BLOCK * nic_cap
+                ta = np.arange(na) / 32000.0
+                nic_l = (0.7 * np.sin(2 * np.pi * 1000 * ta)).astype(
+                    np.float32
+                )
+                nic_r = (0.5 * np.sin(2 * np.pi * 3000 * ta)).astype(
+                    np.float32
+                )
+                rf_sig = nicam_mod.nicam_on_rf(rfp, rf_sig, nic_l, nic_r)
             if args.rf_gain != 1.0:
                 # channel attenuation scales the carrier; receiver noise
                 # below is added AFTER it (noise lives at the receiver)
@@ -1293,6 +1321,31 @@ def main(argv=None) -> int:
                     max(float(np.mean(a_ref[:, crop:-crop] ** 2)), 1e-20)
                     / max(float(np.mean(err**2)), 1e-20)
                 )
+            nicam_report = None
+            if args.rf_nicam:
+                from color_modem_tpu.frame import nicam as nicam_mod
+
+                n_l, n_r, n_rep, n_lock = nicam_mod.nicam_from_rf(
+                    rfp, rf_sig, nic_cap
+                )
+
+                def _nsnr(got, want):
+                    e = np.asarray(got) - want
+                    return 10.0 * np.log10(
+                        max(float(np.mean(want**2)), 1e-20)
+                        / max(float(np.mean(e**2)), 1e-20)
+                    )
+
+                nicam_report = {
+                    "frames": nic_cap,
+                    "left_snr_db": round(_nsnr(n_l, nic_l), 2),
+                    "right_snr_db": round(_nsnr(n_r, nic_r), 2),
+                    "parity_errors": int(
+                        np.asarray(n_rep["parity_errors"]).sum()
+                    ),
+                    "faw_ok": bool(np.asarray(n_rep["faw_ok"]).all()),
+                    "offset_bits": int(np.asarray(n_lock["offset_bits"])),
+                }
             if args.audio_out:
                 if audio_rec is None:
                     raise SystemExit(
@@ -1336,6 +1389,8 @@ def main(argv=None) -> int:
                    if audio_snr is not None else {}),
                 **({"stereo": stereo_report}
                    if stereo_report is not None else {}),
+                **({"nicam": nicam_report}
+                   if nicam_report is not None else {}),
             }
         channel = {"noise": args.noise, "chroma_gain": args.chroma_gain,
                    "chroma_phase_deg": args.chroma_phase,
