@@ -145,6 +145,13 @@ def build_parser() -> argparse.ArgumentParser:
         "standards)",
     )
     rt.add_argument(
+        "--wss", default=None, metavar="ASPECT",
+        help="embed a widescreen-signalling status line (EN 300 294 "
+        "odd-weight aspect codebook, biphase at 330*fh) on the row after "
+        "the caption/teletext rows; decoded aspect is reported in the "
+        "JSON (625-line standards; e.g. '16:9 full (anamorphic)')",
+    )
+    rt.add_argument(
         "--acc", action="store_true",
         help="automatic chroma control: scale chroma by spec-over-"
         "measured burst amplitude (cancels --chroma-gain; needs "
@@ -1094,6 +1101,24 @@ def main(argv=None) -> int:
             comp_b = comp_b.at[
                 0, cap_rows:cap_rows + ttx_rows, cap_off:
             ].set(waves)
+        wss_row = -1
+        if args.wss:
+            from color_modem_tpu.frame import wss as wss_mod
+
+            if args.wss not in wss_mod.ASPECT_CODES:
+                raise SystemExit(
+                    f"--wss: unknown aspect {args.wss!r}; one of "
+                    f"{sorted(wss_mod.ASPECT_CODES)}"
+                )
+            wss_row = cap_rows + ttx_rows
+            wss_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                wss_off = make_raster(plan).n_blank
+            comp_b = comp_b.at[0, wss_row, wss_off:].set(
+                wss_mod.encode_wss(plan, wss_mod.wss_word(args.wss))
+            )
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
                 or args.rf_stereo or args.rf_nicam
                 or args.rf_dropouts > 0.0 or args.rf_doc
@@ -1542,7 +1567,25 @@ def main(argv=None) -> int:
                 "parity_ok": all(bool(p.parity_ok.all()) for p in pkts),
                 "worst_margin": round(min(p.margin for p in pkts), 3),
             }
-        data_rows = cap_rows + ttx_rows
+        if wss_row >= 0:
+            from color_modem_tpu.frame import wss as wss_mod
+
+            wss_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                wss_off = make_raster(plan).n_blank
+            got, margin = wss_mod.decode_wss(
+                plan, comp_b[0, wss_row, wss_off:]
+            )
+            rep = wss_mod.parse_wss(np.asarray(got))
+            result["wss"] = {
+                "sent": args.wss,
+                "received": rep["aspect"],
+                "exact": rep["aspect"] == args.wss and rep["aspect_ok"],
+                "margin": round(float(margin), 3),
+            }
+        data_rows = cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
         if data_rows:
             result["psnr_db"] = round(
                 psnr(out[:, data_rows:], rgb[:, data_rows:]), 2
