@@ -145,6 +145,14 @@ def build_parser() -> argparse.ArgumentParser:
         "standards)",
     )
     rt.add_argument(
+        "--vits", action="store_true",
+        help="insert vertical-interval test signals (modulated staircase "
+        "+ multiburst) on the bottom rows before encoding; measures "
+        "DG/DP off the received composite and the luma frequency "
+        "response off the decoded picture — in-service measurement "
+        "through whatever channel/RF options are active",
+    )
+    rt.add_argument(
         "--wss", default=None, metavar="ASPECT",
         help="embed a widescreen-signalling status line (EN 300 294 "
         "odd-weight aspect codebook, biphase at 330*fh) on the row after "
@@ -1038,6 +1046,36 @@ def main(argv=None) -> int:
     else:  # roundtrip
         from color_modem_tpu.frame.channel import impair
 
+        n_vits = 0
+        if getattr(args, "vits", False):
+            # VITS: test stimuli REPLACE the bottom rows of the input
+            # frame BEFORE encoding, so they are modulated with the
+            # correct per-line phase and ride every channel/RF/receiver
+            # stage — in-service measurement, the way broadcast plants
+            # actually monitored themselves
+            if svideo or interlaced:
+                raise SystemExit(
+                    "--vits does not combine with --svideo/--interlaced"
+                )
+            from color_modem_tpu.frame.measure import (
+                modulated_staircase,
+                multiburst,
+            )
+
+            k = 4
+            is_qam = not plan.cfg.is_fm
+            n_vits = (2 * k) if is_qam else k
+            if rgb.shape[1] < 2 * n_vits:
+                raise SystemExit(
+                    f"--vits needs >= {2*n_vits} lines, frame has "
+                    f"{rgb.shape[1]}"
+                )
+            rgb = np.asarray(rgb).copy()
+            if is_qam:
+                rgb[:, -2 * k: -k] = modulated_staircase(
+                    plan, k, rgb.shape[2]
+                )
+            rgb[:, -k:] = multiburst(plan, k)[..., : rgb.shape[2]]
         # interlaced encode of one frame yields TWO field blocks, so the
         # composite is kept batch-shaped — and device-resident (transfers
         # through the tunnel are the bottleneck, CLAUDE.md) — throughout
@@ -1585,10 +1623,48 @@ def main(argv=None) -> int:
                 "exact": rep["aspect"] == args.wss and rep["aspect_ok"],
                 "margin": round(float(margin), 3),
             }
+        if n_vits:
+            # read the test lines off the RECEIVED composite (staircase:
+            # vectorscope numbers) and the DECODED luma (multiburst:
+            # frequency response) — the in-service measurement loop
+            from color_modem_tpu.frame.measure import (
+                measure_differential,
+                measure_frequency_response,
+            )
+            from color_modem_tpu.frame.pipeline import frame_line_index
+
+            vits_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                vits_off = make_raster(plan).n_blank
+            k = 4
+            L = rgb.shape[1]
+            vits_report = {}
+            if not plan.cfg.is_fm:
+                g = frame_line_index(plan, args.frame, 1, L)
+                rep = measure_differential(
+                    plan,
+                    comp_b[:, L - 2 * k: L - k, vits_off:],
+                    g[:, L - 2 * k: L - k],
+                )
+                vits_report["dg"] = round(rep["dg"], 4)
+                vits_report["dp_deg"] = round(rep["dp_deg"], 2)
+            import jax.numpy as jnp
+
+            y = np.tensordot(
+                np.asarray(plan.rgb_to_ycc)[0], out[:, L - k:], axes=(0, 0)
+            )
+            freq = measure_frequency_response(plan, jnp.asarray(y))
+            vits_report["frequency_response"] = {
+                f"{f}MHz": round(v, 3) for f, v in freq.items()
+            }
+            result["vits"] = vits_report
         data_rows = cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
-        if data_rows:
+        if data_rows or n_vits:
+            hi = rgb.shape[1] - n_vits
             result["psnr_db"] = round(
-                psnr(out[:, data_rows:], rgb[:, data_rows:]), 2
+                psnr(out[:, data_rows:hi], rgb[:, data_rows:hi]), 2
             )
         else:
             result["psnr_db"] = round(psnr(out, rgb), 2)
