@@ -145,6 +145,14 @@ def build_parser() -> argparse.ArgumentParser:
         "standards)",
     )
     rt.add_argument(
+        "--secam-ident", action="store_true",
+        help="SECAM only: transmit identification lines (the 'bottles' — "
+        "content-free sawtooth FM sweeps), slip the receiver's line "
+        "counter by one, and let the receiver recover the Dr/Db parity "
+        "from the bottles before decoding (a real SECAM receiver cannot "
+        "trust its line counter; this demonstrates the recovery loop)",
+    )
+    rt.add_argument(
         "--vits", action="store_true",
         help="insert vertical-interval test signals (modulated staircase "
         "+ multiburst) on the bottom rows before encoding; measures "
@@ -1139,6 +1147,28 @@ def main(argv=None) -> int:
             comp_b = comp_b.at[
                 0, cap_rows:cap_rows + ttx_rows, cap_off:
             ].set(waves)
+        ident_rows = 0
+        if args.secam_ident:
+            if not plan.cfg.is_fm:
+                raise SystemExit("--secam-ident is a SECAM feature")
+            if args.raster or interlaced or svideo:
+                raise SystemExit(
+                    "--secam-ident does not combine with --raster/"
+                    "--interlaced/--svideo"
+                )
+            from color_modem_tpu.frame.pipeline import frame_line_index
+            from color_modem_tpu.modem import secam as secam_mod
+
+            if args.caption or args.teletext or args.wss:
+                raise SystemExit(
+                    "--secam-ident shares the top rows with the data-line "
+                    "options; use it alone"
+                )
+            ident_rows = 4
+            g_tx = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+            comp_b = comp_b.at[:, :ident_rows].set(
+                secam_mod.ident_lines(plan, g_tx[:, :ident_rows])
+            )
         wss_row = -1
         if args.wss:
             from color_modem_tpu.frame import wss as wss_mod
@@ -1552,6 +1582,25 @@ def main(argv=None) -> int:
                 result["acc"] = True
             if args.color_kill > 0.0:
                 result["color_kill"] = args.color_kill
+        elif ident_rows:
+            # the receiver's line counter slipped one line; the bottles
+            # tell it the Dr/Db parity anyway
+            from color_modem_tpu.frame.pipeline import decode_block
+            from color_modem_tpu.modem import secam as secam_mod
+
+            rx_g = g_tx + 1
+            swap = secam_mod.identify_from_ident(
+                plan, comp_b[:, :ident_rows], rx_g[:, :ident_rows]
+            )
+            out = np.asarray(jax.block_until_ready(decode_block(
+                plan, comp_b, rx_g + swap[..., None],
+                args.decoder, args.backend,
+            )))[0]
+            result["secam_ident"] = {
+                "rx_line_slip": 1,
+                "identified_swap": int(np.asarray(swap)[0]),
+                "recovered": int(np.asarray(swap)[0]) == 1,
+            }
         else:
             out = np.asarray(
                 jax.block_until_ready(decode(comp_b, args.frame))
@@ -1660,7 +1709,8 @@ def main(argv=None) -> int:
                 f"{f}MHz": round(v, 3) for f, v in freq.items()
             }
             result["vits"] = vits_report
-        data_rows = cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
+        data_rows = (cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
+                     + ident_rows)
         if data_rows or n_vits:
             hi = rgb.shape[1] - n_vits
             result["psnr_db"] = round(

@@ -99,21 +99,28 @@ def extend_blanking(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
     return jnp.concatenate([left, comp, right], axis=-1)
 
 
-def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
-    """(..., L, N) composite -> (luma, v) with v = this line's D'R or D'B."""
-    m = plan.fm_margin
-    ext = extend_blanking(plan, comp, gline)
+def _instantaneous_frequency(plan: ModemPlan, ext: jax.Array) -> jax.Array:
+    """Quadrature discriminator on a blanking-extended block: (..., L,
+    N+2M) -> instantaneous frequency in Hz.  Parity-free — nothing here
+    depends on which component a line carries."""
     takeoff = fir_same(ext, plan.bell_takeoff)
-    luma = ext - fir_same(ext, plan.luma_notch)
     mix = jnp.asarray(plan.mix_ramp_ext, dtype=jnp.float32)
     i = fir_same(2.0 * takeoff * jnp.cos(mix), plan.mix_lpf)
     q = fir_same(-2.0 * takeoff * jnp.sin(mix), plan.mix_lpf)
     di = fir_same(i, plan.diff)
     dq = fir_same(q, plan.diff)
     a2 = jnp.maximum(i * i + q * q, 1e-9)  # limiter: amplitude cancels
-    f_inst = np.float32(plan.f_center) + (i * dq - q * di) / (
+    return np.float32(plan.f_center) + (i * dq - q * di) / (
         np.float32(TWO_PI) * a2
     ) * np.float32(plan.fs)
+
+
+def demodulate_lines(plan: ModemPlan, comp: jax.Array, gline: jax.Array):
+    """(..., L, N) composite -> (luma, v) with v = this line's D'R or D'B."""
+    m = plan.fm_margin
+    ext = extend_blanking(plan, comp, gline)
+    luma = ext - fir_same(ext, plan.luma_notch)
+    f_inst = _instantaneous_frequency(plan, ext)
     f0, dev = _per_line_f0_dev(plan, gline)
     d_hat = (f_inst - f0[..., None]) / dev[..., None]
     d_hat = fir_same(d_hat, plan.deemph)
@@ -163,3 +170,110 @@ def decode(
     pair = pair_components_interp if pairing == "interp" else pair_components
     dr, db = pair(v, gline)
     return jnp.stack([luma, dr, db], axis=-3)
+
+
+def identify_parity(plan: ModemPlan, comp: jax.Array,
+                    gline: jax.Array) -> jax.Array:
+    """Blind SECAM line identification: is the assumed Dr/Db parity right?
+
+    A real SECAM receiver cannot trust its line counter for chroma — it
+    must IDENTIFY which lines carry D'R (field-ident "bottles" on the
+    early VBI lines, or per-line rest-carrier detection).  This is the
+    frame-layer equivalent: the per-line mean instantaneous frequency
+    estimates each line's rest carrier (the content deviation averages
+    toward zero over a line), and the parity hypothesis — as-given vs
+    swapped — with the smaller squared residual against the (f0r, f0b)
+    line pattern wins.  One decision per frame (the alternation itself is
+    structural), reduced over all lines, so a single pathological line
+    cannot flip it.
+
+    Returns (...,) int32: 0 = ``gline`` parity is correct, 1 = swapped.
+    Limitation (documented): a frame that is one solid, fully saturated
+    color on EVERY line pushes the mean frequency by up to ~dev — close
+    to the 156 kHz f0 separation — and can weaken the margin; natural
+    content identifies with a wide margin (see tests).
+    """
+    m = plan.fm_margin
+    n = comp.shape[-1]
+    ext = extend_blanking(plan, comp, gline)
+    f = _instantaneous_frequency(plan, ext)
+    # central 60%: clear of the margins and the takeoff/mix edge smear
+    lo, hi = m + n // 5, m + (4 * n) // 5
+    mean_f = jnp.mean(f[..., lo:hi], axis=-1)          # (..., L)
+    f0_given, _ = _per_line_f0_dev(plan, gline)
+    f0_swap, _ = _per_line_f0_dev(plan, gline + 1)
+    s_given = jnp.sum((mean_f - f0_given) ** 2, axis=-1)
+    s_swap = jnp.sum((mean_f - f0_swap) ** 2, axis=-1)
+    return (s_swap < s_given).astype(jnp.int32)
+
+
+#: ident-line sawtooth peak, in component units (the real "bottles"
+#: sweep toward the positive D'R / negative D'B deviation limits)
+_IDENT_PEAK = 1.0
+
+
+def ident_lines(plan: ModemPlan, gline: jax.Array) -> jax.Array:
+    """Content-free identification lines — the SECAM "bottles" (A.4).
+
+    Real SECAM transmitted sawtooth frequency sweeps on the early VBI
+    lines of every field: D'R lines ramp UP from rest, D'B lines ramp
+    DOWN, so a receiver reads the alternation off a known, content-free
+    waveform.  ``gline`` (..., R) selects each row's parity; returns the
+    (..., R, N) composite rows (zero luma + the swept FM carrier) to
+    place on a frame's top rows.
+    """
+    n = plan.n_samples
+    ramp = jnp.asarray(
+        np.linspace(0.0, _IDENT_PEAK, n, dtype=np.float32)
+    )
+    r = is_r_line(gline)[..., None]
+    # D'R sweeps up (positive component), D'B sweeps down: after the
+    # per-line dev scaling both move AWAY from the other rest frequency
+    d = jnp.where(r, ramp, -ramp)
+    y = jnp.zeros_like(d)
+    ycc = jnp.stack([y, jnp.where(r, d, y), jnp.where(r, y, d)], axis=-3)
+    return encode(plan, ycc, gline)
+
+
+def identify_from_ident(
+    plan: ModemPlan, ident_rows: jax.Array, gline: jax.Array
+) -> jax.Array:
+    """Read the parity off received ident lines (..., R, N).
+
+    The per-line SLOPE of the instantaneous frequency is + for D'R
+    bottles and - for D'B bottles regardless of any parity assumption —
+    a content-free decision, robust to noise (the regression spans the
+    whole line).  Returns (...,) int32 swap like
+    :func:`identify_parity`."""
+    m = plan.fm_margin
+    n = ident_rows.shape[-1]
+    ext = extend_blanking(plan, ident_rows, gline)
+    f = _instantaneous_frequency(plan, ext)
+    lo, hi = m + n // 5, m + (4 * n) // 5
+    fw = f[..., lo:hi]
+    t = jnp.arange(hi - lo, dtype=jnp.float32)
+    t = t - jnp.mean(t)
+    slope = jnp.sum(fw * t, axis=-1)               # ~ regression numerator
+    want_up = is_r_line(gline).astype(jnp.float32) * 2.0 - 1.0
+    agree = jnp.sum(slope * want_up, axis=-1)      # (+ if parity correct)
+    return (agree < 0.0).astype(jnp.int32)
+
+
+def decode_identified(
+    plan: ModemPlan, comp: jax.Array, gline: jax.Array,
+    pairing: str = "copy", ident_rows: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """SECAM decode WITHOUT trusting the line parity.
+
+    With ``ident_rows > 0`` the top rows are identification lines
+    (:func:`ident_lines`) and the decision is content-free and
+    unambiguous; otherwise the blind :func:`identify_parity` estimator
+    decides (robust on natural content, see its docstring for the
+    solid-saturated-frame limitation).  Returns (components, swap)."""
+    if ident_rows > 0:
+        swap = identify_from_ident(
+            plan, comp[..., :ident_rows, :], gline[..., :ident_rows]
+        )
+    else:
+        swap = identify_parity(plan, comp, gline)
+    return decode(plan, comp, gline + swap[..., None], pairing), swap

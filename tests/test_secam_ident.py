@@ -1,0 +1,140 @@
+"""SECAM line identification (modem/secam.identify_parity).
+
+A real SECAM receiver cannot trust its line counter for the Dr/Db
+alternation — it must identify.  These tests prove the blind identifier:
+correct/swapped detection, exact recovery via decode_identified, noise
+robustness, per-batch-element decisions, and behavior on hostile content.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from conftest import get_plan
+from color_modem_tpu.frame.channel import impair
+from color_modem_tpu.frame.pipeline import frame_line_index, make_pipeline
+from color_modem_tpu.modem import secam
+from color_modem_tpu.utils.testimages import color_bars, smooth_scene
+
+L = 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    plan = get_plan("secam")
+    enc, _, _ = make_pipeline(plan, "notch")
+    rgb = smooth_scene(L, plan.n_samples, seed=5).astype(np.float32)[None]
+    comp = enc(jnp.asarray(rgb), 0)
+    g = frame_line_index(plan, 0, 1, L)
+    return plan, comp, g
+
+
+def test_identifies_correct_and_swapped(setup):
+    plan, comp, g = setup
+    assert int(secam.identify_parity(plan, comp, g)[0]) == 0
+    assert int(secam.identify_parity(plan, comp, g + 1)[0]) == 1
+    # ANY odd receiver offset is a parity swap; even offsets are fine
+    assert int(secam.identify_parity(plan, comp, g + 3)[0]) == 1
+    assert int(secam.identify_parity(plan, comp, g + 2)[0]) == 0
+
+
+def test_identified_decode_is_exact(setup):
+    plan, comp, g = setup
+    ref = secam.decode(plan, comp, g)
+    got, swap = secam.decode_identified(plan, comp, g + 1)
+    assert int(swap[0]) == 1
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_wrong_parity_actually_destroys_color(setup):
+    # sanity: the failure mode identification prevents must be real
+    plan, comp, g = setup
+    ref = secam.decode(plan, comp, g)
+    bad = secam.decode(plan, comp, g + 1)
+    # chroma planes swap AND rescale (different f0/dev): large error
+    assert float(jnp.max(jnp.abs(bad - ref))) > 0.5
+
+
+def test_noise_robustness(setup):
+    plan, comp, g = setup
+    noisy = impair(plan, comp, noise_sigma=0.05,
+                   key=jax.random.PRNGKey(7))
+    assert int(secam.identify_parity(plan, noisy, g)[0]) == 0
+    assert int(secam.identify_parity(plan, noisy, g + 1)[0]) == 1
+
+
+def test_per_batch_element_decision(setup):
+    plan, comp, g = setup
+    comp2 = jnp.concatenate([comp, comp], axis=0)
+    g2 = jnp.concatenate([g, g + 1], axis=0)
+    swap = secam.identify_parity(plan, comp2, g2)
+    assert list(np.asarray(swap)) == [0, 1]
+
+
+def test_identifies_on_color_bars(setup):
+    plan, _, g = setup
+    enc, _, _ = make_pipeline(plan, "notch")
+    bars = color_bars(L, plan.n_samples).astype(np.float32)[None]
+    comp = enc(jnp.asarray(bars), 0)
+    assert int(secam.identify_parity(plan, comp, g)[0]) == 0
+    assert int(secam.identify_parity(plan, comp, g + 1)[0]) == 1
+
+
+@pytest.mark.parametrize("rgbval", [(0.0, 0.0, 0.0), (1.0, 1.0, 1.0),
+                                    (0.0, 0.3, 0.8)])
+def test_blind_identifies_on_solid_flats(setup, rgbval):
+    # solid frames with moderate chroma still identify blindly; pure
+    # saturated primaries (e.g. red, D'R = -1.33) are the documented
+    # ambiguous case and need ident lines — tested below
+    plan, _, g = setup
+    enc, _, _ = make_pipeline(plan, "notch")
+    flat = np.broadcast_to(
+        np.asarray(rgbval, np.float32)[:, None, None],
+        (3, L, plan.n_samples),
+    ).copy()[None]
+    comp = enc(jnp.asarray(flat), 0)
+    assert int(secam.identify_parity(plan, comp, g)[0]) == 0
+    assert int(secam.identify_parity(plan, comp, g + 1)[0]) == 1
+
+
+# ---------------------------------------------------------------------------
+# Ident lines ("bottles"): the content-free mechanism
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("rgbval", [(1.0, 0.0, 0.0), (0.0, 0.0, 1.0),
+                                    (0.0, 1.0, 0.0)])
+def test_ident_lines_resolve_saturated_primaries(setup, rgbval):
+    # the case blind identification cannot promise: a frame that is one
+    # solid fully saturated primary.  Bottles decide it unambiguously.
+    plan, _, g = setup
+    enc, _, _ = make_pipeline(plan, "notch")
+    flat = np.broadcast_to(
+        np.asarray(rgbval, np.float32)[:, None, None],
+        (3, L, plan.n_samples),
+    ).copy()[None]
+    comp = enc(jnp.asarray(flat), 0)
+    n_id = 4
+    comp = comp.at[:, :n_id].set(secam.ident_lines(plan, g[:, :n_id]))
+    for off, want in ((0, 0), (1, 1), (3, 1), (2, 0)):
+        got = int(secam.identify_from_ident(
+            plan, comp[:, :n_id], (g + off)[:, :n_id]
+        )[0])
+        assert got == want, (off, got)
+
+
+def test_ident_lines_under_noise(setup):
+    plan, comp, g = setup
+    n_id = 4
+    comp = comp.at[:, :n_id].set(secam.ident_lines(plan, g[:, :n_id]))
+    noisy = impair(plan, comp, noise_sigma=0.08,
+                   key=jax.random.PRNGKey(11))
+    got, swap = secam.decode_identified(
+        plan, noisy, g + 1, ident_rows=n_id
+    )
+    assert int(swap[0]) == 1
+    ref = secam.decode(plan, noisy, g)
+    np.testing.assert_array_equal(
+        np.asarray(got[..., n_id:, :]), np.asarray(ref[..., n_id:, :])
+    )
