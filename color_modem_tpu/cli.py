@@ -368,6 +368,26 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--output", help="decoded-at-destination PNG")
     tc.add_argument("--composite", help="destination composite PNG")
 
+    mc = sub.add_parser(
+        "mac",
+        help="D2-MAC time-multiplexed components: round trip an image "
+        "(no subcarrier, no cross-color) and ride text on the duobinary "
+        "data burst (99 bits/line at 10.125 Mbaud)",
+    )
+    mc.add_argument("--width", type=int, default=720)
+    mc.add_argument("--lines", type=int, default=0,
+                    help="demo height (0 = 576, the 625-family active count)")
+    mc.add_argument("--input", help="image file; omit with --demo")
+    mc.add_argument("--demo", action="store_true",
+                    help="use generated color bars")
+    mc.add_argument("--noise", type=float, default=0.0,
+                    help="AWGN sigma on the MAC baseband signal")
+    mc.add_argument("--data", default=None, metavar="TEXT",
+                    help="text payload for the data burst (UTF-8, packed "
+                    "12 bytes + 3 zero bits per line)")
+    mc.add_argument("--output", help="decoded RGB PNG")
+    mc.add_argument("--signal", help="MAC baseband as grayscale PNG")
+
     ms = sub.add_parser(
         "measure",
         help="broadcast T&M loop: staircase + multiburst through a "
@@ -520,6 +540,79 @@ def main(argv=None) -> int:
                 "--tbe-us/--tbc need --raster (the TBC locks to the sync "
                 "edge) and are progressive-only in the CLI"
             )
+
+    if args.cmd == "mac":
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from color_modem_tpu.frame.image_io import load_rgb, save_rgb
+        from color_modem_tpu.modem import mac
+        from color_modem_tpu.utils.metrics import psnr
+        from color_modem_tpu.utils.testimages import color_bars
+
+        if args.demo or not args.input:
+            rgb = color_bars(args.lines or 576, args.width).astype(np.float32)
+        else:
+            rgb = load_rgb(args.input)
+            if rgb.shape[2] != args.width:
+                from color_modem_tpu.dsp.resample import resample_width
+
+                rgb = np.clip(
+                    np.asarray(resample_width(rgb, args.width)), 0.0, 1.0
+                ).astype(np.float32)
+        n_lines = rgb.shape[1]
+        plan = mac.make_mac_plan(args.width)
+        gline = jnp.arange(n_lines)
+
+        payload = None
+        if args.data is not None:
+            # 12 bytes = 96 bits per 99-bit line slot, zero-padded
+            raw = args.data.encode("utf-8")
+            per = 12
+            n_needed = -(-len(raw) // per)
+            if n_needed > n_lines:
+                raise SystemExit(
+                    f"--data needs {n_needed} lines, image has {n_lines}"
+                )
+            raw = raw.ljust(n_lines * per, b"\0")
+            bits = np.unpackbits(
+                np.frombuffer(raw, np.uint8).reshape(n_lines, per), axis=1
+            )
+            payload = jnp.asarray(
+                np.pad(bits, ((0, 0), (0, 99 - 8 * per))), jnp.int32
+            )
+
+        sig = mac.encode(plan, jnp.asarray(rgb), gline, payload)
+        if args.noise > 0.0:
+            sig = sig + args.noise * jax.random.normal(
+                jax.random.PRNGKey(0), sig.shape
+            )
+        out = mac.decode(plan, sig, gline)
+        print(f"d2mac roundtrip: {n_lines}x{args.width} "
+              f"psnr {float(psnr(out, jnp.clip(jnp.asarray(rgb), 0, 1))):.1f} dB"
+              + (f" (awgn sigma={args.noise})" if args.noise else ""))
+        sync_ok, bits = mac.decode_data(plan, sig)
+        print(f"line sync: {int(jnp.sum(sync_ok))}/{n_lines} bursts")
+        if args.data is not None:
+            got = np.asarray(bits)[:, : 8 * 12]
+            text = (
+                np.packbits(got.astype(np.uint8), axis=1)
+                .tobytes()
+                .rstrip(b"\0")
+                .decode("utf-8", errors="replace")
+            )
+            ber = float(np.mean(got != np.asarray(payload)[:, : 8 * 12]))
+            print(f"data burst payload (ber {ber:.2e}): {text!r}")
+        if args.output:
+            save_rgb(args.output, np.asarray(out))
+            print(f"wrote {args.output}")
+        if args.signal:
+            from color_modem_tpu.frame.image_io import save_composite
+
+            save_composite(args.signal, np.asarray(sig), lo=0.0, hi=1.0)
+            print(f"wrote {args.signal}")
+        return 0
 
     if args.cmd == "info":
         import jax

@@ -22,6 +22,8 @@ about the pipeline math rather than about two filter designs
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 
 DEFAULT_NTAPS = 129
@@ -204,3 +206,35 @@ def raised_cosine_bandpass_response(f, f_lo, f_hi, transition):
     lo = edge((f - (f_lo - transition)) / transition)
     hi = 1.0 - edge((f - f_hi) / transition)
     return lo * hi
+
+
+@_lru_cache(maxsize=32)
+def resample_matrix(n_in: int, n_out: int, taps_per_output: int = 17) -> np.ndarray:
+    """(n_in, n_out) float32 M with ``row @ M`` = windowed-sinc resample.
+
+    Grid convention: sample i covers [i, i+1)/n of the active line (pixel
+    centers at (i + 0.5)/n), matching how an image row maps onto the active
+    line interval.  Kaiser-windowed sinc, cutoff at min(n_in, n_out)
+    (anti-aliasing when decimating); rows are renormalized to unity DC gain
+    so flat fields stay exactly flat.
+
+    Lives here (JAX-free) rather than in dsp.resample so golden/ can share
+    the exact taps — the documented shared-taps tradeoff (golden/modems.py).
+    """
+    ratio = n_in / n_out                      # input samples per output sample
+    cutoff = min(1.0, 1.0 / ratio)            # in units of the input Nyquist
+    half = taps_per_output / 2.0 * max(1.0, ratio)
+    mat = np.zeros((n_in, n_out), dtype=np.float64)
+    j = np.arange(n_in)
+    for o in range(n_out):
+        center = (o + 0.5) * ratio - 0.5      # input-sample position
+        x = j - center
+        keep = np.abs(x) <= half
+        xk = x[keep]
+        # Kaiser window (beta=8) evaluated at the kept offsets
+        w = np.i0(8.0 * np.sqrt(np.maximum(0.0, 1.0 - (xk / half) ** 2)))
+        w /= np.i0(8.0)
+        kern = cutoff * np.sinc(cutoff * xk) * w
+        s = kern.sum()
+        mat[keep, o] = kern / (s if abs(s) > 1e-12 else 1.0)
+    return mat.astype(np.float32)

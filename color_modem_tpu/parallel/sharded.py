@@ -317,3 +317,66 @@ def make_sharded_interlaced_pipeline(
         return dec_sm(enc_sm(rgb, f0), f0)
 
     return encode, decode, roundtrip
+
+
+# --- sharded D2-MAC pipeline ------------------------------------------------
+
+
+def make_sharded_mac_pipeline(plan, mesh: Mesh):
+    """Jitted (encode, decode, roundtrip) for the MAC family over the mesh.
+
+    MAC (modem/mac.py) needs no QAM/FM machinery: encode is line-local and
+    decode's only cross-line dependency is the ±1-line neighbor average of
+    the line-sequential chroma — halo 1, reflect edges, the same ring
+    ppermute as every other decoder here.  ``plan`` is a
+    modem.mac_plan.MacPlan; shapes are (B, 3, L, W) <-> (B, L, 1296).
+    """
+    from color_modem_tpu.modem import mac
+
+    h = 1
+    sig_spec = P(FRAME_AXIS, LINE_AXIS, None)
+    rgb_spec = P(FRAME_AXIS, None, LINE_AXIS, None)
+    scalar = P()
+
+    def _gline(frame0, b_blk: int, l_blk: int):
+        foff = lax.axis_index(FRAME_AXIS) * b_blk
+        loff = lax.axis_index(LINE_AXIS) * l_blk
+        b = (jnp.asarray(frame0, jnp.int32) + foff
+             + jnp.arange(b_blk, dtype=jnp.int32))
+        l = loff + jnp.arange(l_blk, dtype=jnp.int32)
+        return b[:, None] * jnp.int32(plan.cfg.total_lines) + l[None, :]
+
+    def _encode_blk(rgb_blk, frame0):
+        b_blk, _, l_blk, _ = rgb_blk.shape
+        return mac.encode(plan, rgb_blk, _gline(frame0, b_blk, l_blk))
+
+    def _decode_blk(sig_blk, frame0):
+        b_blk, l_blk, _ = sig_blk.shape
+        g = _gline(frame0, b_blk, l_blk)
+        sext = halo_extend(sig_blk, h, LINE_AXIS)
+        gext = halo_extend_lines(g, h, LINE_AXIS)
+        return crop_halo(mac.decode(plan, sext, gext), h)
+
+    enc_sm = jax.shard_map(
+        _encode_blk, mesh=mesh, in_specs=(rgb_spec, scalar),
+        out_specs=sig_spec, check_vma=False,
+    )
+    dec_sm = jax.shard_map(
+        _decode_blk, mesh=mesh, in_specs=(sig_spec, scalar),
+        out_specs=rgb_spec, check_vma=False,
+    )
+
+    @jax.jit
+    def encode(rgb, frame0=0):
+        return enc_sm(rgb, jnp.asarray(frame0, jnp.int32))
+
+    @jax.jit
+    def decode(sig, frame0=0):
+        return dec_sm(sig, jnp.asarray(frame0, jnp.int32))
+
+    @jax.jit
+    def roundtrip(rgb, frame0=0):
+        f0 = jnp.asarray(frame0, jnp.int32)
+        return dec_sm(enc_sm(rgb, f0), f0)
+
+    return encode, decode, roundtrip

@@ -76,6 +76,12 @@ FROZEN = {
     # was never read).
     "frame.py": "2157eb6003944eb2",
     "modems.py": "4c4b4578a727cf70",
+    # mac.py ADDED 2026-08-18 (round 2): NEW-FILE oracle for the
+    # beyond-reference D2-MAC family (modem/mac.py) — sequential per-line
+    # NumPy with a stateful bit-by-bit duobinary precoder and an explicit
+    # chroma line store, written oracle-first.  No pre-existing golden
+    # file touched.
+    "mac.py": "d86f8d720cb1468d",
 }
 
 
