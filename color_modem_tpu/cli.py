@@ -929,6 +929,24 @@ def main(argv=None) -> int:
                     for i in range(args.animate)
                 ]
                 save_gif(os.path.join(args.out, f"{name}_crawl.gif"), crawl)
+        # D2-MAC row (modem/mac.py): the time-multiplexed family — no
+        # subcarrier, so the composite PNG shows burst/chroma/luma segments
+        # side by side instead of a frequency interleave
+        from color_modem_tpu.modem import mac as mac_mod
+
+        lines = args.lines or 576
+        rgb = (load_rgb(args.input, size=(args.width, lines))
+               if args.input else
+               color_bars(lines, args.width).astype(np.float32))
+        mplan = mac_mod.make_mac_plan(args.width)
+        import jax.numpy as jnp
+        g = jnp.arange(lines)
+        sig = mac_mod.encode(mplan, jnp.asarray(rgb), g)
+        save_composite(os.path.join(args.out, "d2mac_signal.png"),
+                       np.asarray(sig), lo=0.0, hi=1.0)
+        out_m = np.asarray(mac_mod.decode(mplan, sig, g))
+        save_rgb(os.path.join(args.out, "d2mac.png"), out_m)
+        report["d2mac"] = round(psnr(out_m, rgb), 2)
         print(json.dumps({"out": args.out, "psnr_db": report}))
         return 0
 
