@@ -187,6 +187,20 @@ def build_parser() -> argparse.ArgumentParser:
         "(frame/rf.py) between encode and the composite channel",
     )
     rt.add_argument(
+        "--satellite", action="store_true",
+        help="transmit over the SATELLITE layer instead: wideband video "
+        "FM at IF with CCIR-405-shaped emphasis and a quadrature "
+        "discriminator (frame/satellite.py) — the other transmission "
+        "physics (terrestrial --rf is VSB-AM); mutually exclusive "
+        "with --rf",
+    )
+    rt.add_argument(
+        "--sat-cnr", type=float, default=None, metavar="DB",
+        help="satellite channel carrier-to-noise ratio in dB (the FM "
+        "advantage is ~+12 dB of baseband SNR above CNR; threshold "
+        "effects appear below ~13 dB); implies --satellite",
+    )
+    rt.add_argument(
         "--rf-noise", type=float, default=0.0,
         help="AWGN sigma added at RF (fractions of peak carrier); "
         "implies --rf",
@@ -382,6 +396,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="use generated color bars")
     mc.add_argument("--noise", type=float, default=0.0,
                     help="AWGN sigma on the MAC baseband signal")
+    mc.add_argument("--satellite", action="store_true",
+                    help="ride the FM satellite layer (frame/satellite.py) "
+                    "— the channel D2-MAC was designed for; adds the "
+                    "frame-synchronous energy dispersal, which the MAC "
+                    "clamp period removes")
+    mc.add_argument("--sat-cnr", type=float, default=None, metavar="DB",
+                    help="satellite carrier-to-noise ratio in dB; implies "
+                    "--satellite")
     mc.add_argument("--data", default=None, metavar="TEXT",
                     help="text payload for the data burst (UTF-8, packed "
                     "12 bytes + 3 zero bits per line)")
@@ -584,6 +606,31 @@ def main(argv=None) -> int:
             )
 
         sig = mac.encode(plan, jnp.asarray(rgb), gline, payload)
+        if args.satellite or args.sat_cnr is not None:
+            from color_modem_tpu.frame import satellite as sat_mod
+
+            sp = sat_mod.make_sat_plan(
+                plan.cfg.fs, plan.cfg.samples_per_line,
+                dispersal=0.1, total_lines=plan.cfg.total_lines,
+            )
+            tx = sig[None]
+            rx = sat_mod.sat_roundtrip(
+                sp, tx, gline=gline[None],
+                key=jax.random.PRNGKey(11), cnr_db=args.sat_cnr,
+            )
+            # transparency measured clamp-to-clamp: the dispersal ramp is
+            # REMOVED by the receiver clamp (it reaches here scaled by the
+            # de-emphasis DC gain — the authentic reason real receivers
+            # clamp after de-emphasis), so compare both sides DC-restored
+            rx_c = rx - mac.clamp_correction(plan, rx)
+            tx_c = tx - mac.clamp_correction(plan, tx)
+            print(
+                "satellite FM hop (with energy dispersal): transparency "
+                f"{float(psnr(rx_c, tx_c)):.1f} dB"
+                + (f" at CNR {args.sat_cnr} dB"
+                   if args.sat_cnr is not None else " (noise-free)")
+            )
+            sig = rx[0]
         if args.noise > 0.0:
             sig = sig + args.noise * jax.random.normal(
                 jax.random.PRNGKey(0), sig.shape
@@ -1297,6 +1344,30 @@ def main(argv=None) -> int:
                 wss_off = make_raster(plan).n_blank
             comp_b = comp_b.at[0, wss_row, wss_off:].set(
                 wss_mod.encode_wss(plan, wss_mod.wss_word(args.wss))
+            )
+        sat_hop = args.satellite or args.sat_cnr is not None
+        if sat_hop:
+            if args.rf or args.rf_noise > 0.0:
+                raise SystemExit(
+                    "--satellite (FM) and --rf (VSB-AM) are different "
+                    "transmission layers; pick one"
+                )
+            from color_modem_tpu.frame import satellite as sat_mod
+
+            sp = sat_mod.make_sat_plan(
+                plan.fs, comp_b.shape[-1],
+                total_lines=plan.cfg.total_lines,
+            )
+            key = jax.random.PRNGKey(11)
+            comp_tx = comp_b
+            comp_b = sat_mod.sat_roundtrip(
+                sp, comp_b, key=key, cnr_db=args.sat_cnr
+            )
+            print(
+                "satellite FM hop: transparency "
+                f"{psnr(np.asarray(comp_b), np.asarray(comp_tx)):.1f} dB"
+                + (f" at CNR {args.sat_cnr} dB" if args.sat_cnr is not None
+                   else " (noise-free)")
             )
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
                 or args.rf_stereo or args.rf_nicam
