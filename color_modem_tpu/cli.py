@@ -1008,9 +1008,12 @@ def main(argv=None) -> int:
         cfg = ALL_STANDARDS[args.standard]()
         fps = (30000, 1001) if cfg.total_lines == 525 else (25, 1)
         if args.input:
-            from color_modem_tpu.frame.y4m import y4m_source
+            from color_modem_tpu.frame.y4m import prefetch_source, y4m_source
 
             source, clip_n, clip_h, clip_w = y4m_source(args.input)
+            # double-buffered loader: next chunk's disk read + YCbCr decode
+            # overlap the device compute on the current one
+            source = prefetch_source(source, clip_n)
             lines, width = clip_h, clip_w
             n_frames = min(args.frames, clip_n) if args.frames else clip_n
             plan = make_plan(cfg, width)

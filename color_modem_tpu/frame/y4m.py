@@ -139,25 +139,48 @@ def y4m_source(path: str):
                 f"y4m: frames [{start}, {start + count}) out of range "
                 f"(clip has {n_frames})"
             )
-        out = np.empty((count, 3, h, w), np.float32)
+        # one contiguous read for the whole chunk (seek storms measured
+        # slower than the over-read of count marker lines), then the
+        # native threaded decoder (NumPy fallback inside) does the
+        # planar-YCbCr -> CHW-float32 conversion in one call
+        from color_modem_tpu import native
+
         with open(path, "rb") as f:
-            for i in range(count):
-                f.seek(header_len + (start + i) * stride + marker_len)
-                raw = f.read(frame_bytes)
-                y8 = np.frombuffer(raw, np.uint8, w * h).reshape(h, w)
-                cb8 = np.frombuffer(
-                    raw, np.uint8, cw * ch, w * h
-                ).reshape(ch, cw)
-                cr8 = np.frombuffer(
-                    raw, np.uint8, cw * ch, w * h + cw * ch
-                ).reshape(ch, cw)
-                if (sv, sh) != (1, 1):  # nearest-neighbor upsample
-                    cb8 = np.repeat(np.repeat(cb8, sv, 0), sh, 1)
-                    cr8 = np.repeat(np.repeat(cr8, sv, 0), sh, 1)
-                out[i] = _ycbcr8_to_rgb(y8, cb8, cr8)
-        return out
+            f.seek(header_len + start * stride)
+            raw = f.read(count * stride)
+        return native.y4m_to_rgb(
+            raw, count, stride, marker_len, h, w, ch, cw, sv, sh
+        )
 
     return source, n_frames, h, w
+
+
+def prefetch_source(source, n_frames: int, depth: int = 1):
+    """Wrap a FrameSource with background read-ahead (the data loader).
+
+    The chunked video runner (frame/video.py) reads strictly sequential
+    windows; this wrapper overlaps the NEXT window's disk read + decode
+    with the device's compute on the current one — a classic double-
+    buffered loader, one worker thread, zero behavior change:
+    ``wrapped(start, count)`` returns exactly ``source(start, count)``
+    (sequential or not — a miss just reads synchronously and re-primes).
+    """
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(max_workers=depth)
+    pending: dict[tuple[int, int], cf.Future] = {}
+
+    def wrapped(start: int, count: int) -> np.ndarray:
+        key = (start, count)
+        fut = pending.pop(key, None)
+        out = fut.result() if fut is not None else source(start, count)
+        nxt = start + count
+        nxt_count = min(count, n_frames - nxt)
+        if nxt_count > 0 and (nxt, nxt_count) not in pending:
+            pending[(nxt, nxt_count)] = pool.submit(source, nxt, nxt_count)
+        return out
+
+    return wrapped
 
 
 def write_y4m(path: str, frames, fps=(30000, 1001)) -> int:

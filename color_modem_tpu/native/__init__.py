@@ -45,14 +45,18 @@ def _load():
         if not os.path.exists(so):
             tmp = so + f".build{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                # -ffp-contract=off: no FMA fusion — the Y4M decoder's
+                # bit-for-bit parity with the NumPy fallback depends on
+                # separate multiply-then-add rounding
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC",
                  "-std=c++17", "-pthread", _SRC, "-o", tmp],
                 check=True, capture_output=True,
             )
             os.replace(tmp, so)  # atomic: concurrent builders race safely
         lib = ctypes.CDLL(so)
         lib.cmt_version.restype = ctypes.c_int
-        if lib.cmt_version() != 1:
+        if lib.cmt_version() != 2:
             return None
         _LIB = lib
     except (OSError, subprocess.CalledProcessError):
@@ -175,3 +179,80 @@ def read_ppm(path: str, max_pixels: int = 64 * 1024 * 1024) -> np.ndarray:
         raise OSError(f"cmt_read_ppm({path}) failed with code {rc}")
     l, n = lines.value, samples.value
     return buf[: l * n * 3].reshape(l, n, 3).copy()
+
+
+#: BT.601 luma weights (the Y4M convention) — shared by the C++ decoder
+#: and the NumPy fallback below; keep in sync with frameio.cpp y4m_body.
+_KR, _KB = 0.299, 0.114
+_KG = 1.0 - _KR - _KB
+
+
+def y4m_to_rgb(
+    raw: bytes | np.ndarray,
+    count: int,
+    stride: int,
+    marker: int,
+    h: int,
+    w: int,
+    ch: int,
+    cw: int,
+    sv: int,
+    sh: int,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """Raw planar Y4M frames -> (count, 3, h, w) float32 RGB in [0, 1].
+
+    ``raw`` holds ``count`` frames of ``stride`` bytes each, every frame
+    ``marker`` bytes of FRAME line followed by planar Y (h*w), Cb, Cr
+    (ch*cw each).  BT.601 studio range, nearest-neighbor chroma upsample —
+    the video feeder's per-frame decode loop, threaded in C++ when the
+    codec is available, vectorized NumPy otherwise (bit-identical: the
+    C++ side mirrors this float32 operation order — NEP 50 keeps python
+    scalars weak, so nothing here promotes to double — and the build
+    disables FP contraction so no FMA changes the rounding).
+    """
+    buf = np.frombuffer(raw, np.uint8) if isinstance(raw, (bytes, bytearray)) \
+        else np.ascontiguousarray(raw, dtype=np.uint8)
+    if buf.size < count * stride:
+        raise ValueError(
+            f"y4m_to_rgb: {buf.size} bytes < {count} frames * {stride}"
+        )
+    lib = _load()
+    if lib is not None:
+        if out is None:
+            out = np.empty((count, 3, h, w), dtype=np.float32)
+        assert out.shape == (count, 3, h, w) and out.dtype == np.float32
+        assert out.flags["C_CONTIGUOUS"]
+        lib.cmt_y4m_to_chw_f32(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(count), ctypes.c_int64(stride),
+            ctypes.c_int64(marker), ctypes.c_int64(h), ctypes.c_int64(w),
+            ctypes.c_int64(ch), ctypes.c_int64(cw),
+            ctypes.c_int(sv), ctypes.c_int(sh), ctypes.c_int(_threads()),
+        )
+        return out
+    # NumPy fallback: same math, vectorized per chunk
+    res = np.empty((count, 3, h, w), dtype=np.float32)
+    frames = buf[: count * stride].reshape(count, stride)
+    y8 = frames[:, marker : marker + h * w].reshape(count, h, w)
+    cb8 = frames[:, marker + h * w : marker + h * w + ch * cw].reshape(
+        count, ch, cw
+    )
+    cr8 = frames[
+        :, marker + h * w + ch * cw : marker + h * w + 2 * ch * cw
+    ].reshape(count, ch, cw)
+    if (sv, sh) != (1, 1):
+        cb8 = np.repeat(np.repeat(cb8, sv, 1), sh, 2)[:, :h, :w]
+        cr8 = np.repeat(np.repeat(cr8, sv, 1), sh, 2)[:, :h, :w]
+    y = (y8.astype(np.float32) - 16.0) / 219.0
+    cb = (cb8.astype(np.float32) - 128.0) / 224.0
+    cr = (cr8.astype(np.float32) - 128.0) / 224.0
+    r = y + 2.0 * (1.0 - _KR) * cr
+    b = y + 2.0 * (1.0 - _KB) * cb
+    g = (y - _KR * r - _KB * b) / _KG
+    res[:] = np.clip(np.stack([r, g, b], axis=1), 0.0, 1.0)
+    if out is not None:
+        out[...] = res
+        return out
+    return res

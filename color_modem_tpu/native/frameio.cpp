@@ -25,7 +25,7 @@
 
 namespace {
 
-constexpr int kVersion = 1;
+constexpr int kVersion = 2;
 
 inline uint8_t clamp_u8(float v) {
     v = v * 255.0f + 0.5f;
@@ -101,11 +101,75 @@ void f32_to_u8_body(int64_t lo, int64_t hi, void* p) {
     }
 }
 
+struct Y4mCtx {
+    const uint8_t* raw;   // first frame's marker byte
+    float* dst;           // (count, 3, h, w) float32 RGB
+    int64_t stride;       // bytes per frame incl. marker
+    int64_t marker;       // marker bytes before each frame's Y plane
+    int64_t h, w, ch, cw; // luma / chroma plane dims
+    int sv, sh;           // chroma subsampling factors (vertical, horizontal)
+};
+
+// One work item = one output (frame, line) row.  BT.601 studio-range
+// YCbCr -> RGB with nearest-neighbor chroma upsampling.  Math is FLOAT32
+// in the NumPy fallback's exact operation order (NEP 50: python-float
+// scalars stay weak, so the fallback never promotes to double), and the
+// build passes -ffp-contract=off so no FMA fusion breaks the bit-for-bit
+// parity (tests/test_native.py).
+void y4m_body(int64_t lo, int64_t hi, void* p) {
+    auto* c = static_cast<Y4mCtx*>(p);
+    const int64_t H = c->h, W = c->w, CW = c->cw, CH = c->ch;
+    // scalar constants rounded to f32 once, as NEP 50 does
+    const float c2r = static_cast<float>(2.0 * (1.0 - 0.299));
+    const float c2b = static_cast<float>(2.0 * (1.0 - 0.114));
+    const float kr = 0.299f, kb = 0.114f;
+    const float kg = static_cast<float>(1.0 - 0.299 - 0.114);
+    for (int64_t row = lo; row < hi; ++row) {
+        const int64_t f = row / H, l = row % H;
+        const uint8_t* y8 = c->raw + f * c->stride + c->marker;
+        const uint8_t* cb8 = y8 + H * W;
+        const uint8_t* cr8 = cb8 + CH * CW;
+        int64_t cl = l / c->sv;
+        if (cl >= CH) cl = CH - 1;  // odd-dimension guard
+        const uint8_t* yl = y8 + l * W;
+        const uint8_t* cbl = cb8 + cl * CW;
+        const uint8_t* crl = cr8 + cl * CW;
+        float* dr = c->dst + ((f * 3 + 0) * H + l) * W;
+        float* dg = c->dst + ((f * 3 + 1) * H + l) * W;
+        float* db = c->dst + ((f * 3 + 2) * H + l) * W;
+        for (int64_t n = 0; n < W; ++n) {
+            int64_t cn = n / c->sh;
+            if (cn >= CW) cn = CW - 1;
+            const float y = (static_cast<float>(yl[n]) - 16.0f) / 219.0f;
+            const float cb = (static_cast<float>(cbl[cn]) - 128.0f) / 224.0f;
+            const float cr = (static_cast<float>(crl[cn]) - 128.0f) / 224.0f;
+            float r = y + c2r * cr;
+            float b = y + c2b * cb;
+            float g = ((y - kr * r) - kb * b) / kg;
+            if (r < 0.0f) r = 0.0f; else if (r > 1.0f) r = 1.0f;
+            if (g < 0.0f) g = 0.0f; else if (g > 1.0f) g = 1.0f;
+            if (b < 0.0f) b = 0.0f; else if (b > 1.0f) b = 1.0f;
+            dr[n] = r;
+            dg[n] = g;
+            db[n] = b;
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
 
 int cmt_version() { return kVersion; }
+
+// Raw planar Y4M frames (marker + Y + Cb + Cr each) -> (count, 3, h, w)
+// float32 RGB in [0, 1].  BT.601 studio range, nearest-neighbor chroma.
+void cmt_y4m_to_chw_f32(const uint8_t* raw, float* dst, int64_t count,
+                        int64_t stride, int64_t marker, int64_t h, int64_t w,
+                        int64_t ch, int64_t cw, int sv, int sh, int threads) {
+    Y4mCtx c{raw, dst, stride, marker, h, w, ch, cw, sv, sh};
+    parallel_for(count * h, threads, y4m_body, &c);
+}
 
 // (frames, lines, samples, 3) uint8 -> (frames, 3, lines, samples) float32
 void cmt_rgb8_hwc_to_chw_f32(const uint8_t* src, float* dst, int64_t frames,

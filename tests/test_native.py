@@ -70,3 +70,54 @@ def test_out_parameter_reuse(rgb8):
     r2 = native.chw_f32_to_rgb8(out, back)
     assert r2 is back
     np.testing.assert_array_equal(back, rgb8)
+
+
+def _y4m_chunk(count=3, h=12, w=16, sv=2, sh=2, seed=1):
+    """Synthesize raw planar frames with FRAME markers, like a .y4m body."""
+    rng = np.random.default_rng(seed)
+    ch, cw = h // sv, w // sh
+    marker = len(b"FRAME\n")
+    stride = marker + h * w + 2 * ch * cw
+    raw = bytearray()
+    for _ in range(count):
+        raw += b"FRAME\n"
+        raw += rng.integers(0, 256, h * w, dtype=np.uint8).tobytes()
+        raw += rng.integers(0, 256, 2 * ch * cw, dtype=np.uint8).tobytes()
+    return bytes(raw), count, stride, marker, h, w, ch, cw, sv, sh
+
+
+@pytest.mark.parametrize("sv,sh", [(2, 2), (1, 2), (1, 1)])
+def test_y4m_decode_native_matches_fallback(monkeypatch, sv, sh):
+    args = _y4m_chunk(sv=sv, sh=sh)
+    got = native.y4m_to_rgb(*args)
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_LIB_TRIED", True)
+    want = native.y4m_to_rgb(*args)
+    # C++ computes in double for exactly this reason (y4m_body comment)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_y4m_decode_range_and_shape():
+    args = _y4m_chunk(count=2, h=8, w=10)
+    out = native.y4m_to_rgb(*args)
+    assert out.shape == (2, 3, 8, 10) and out.dtype == np.float32
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_prefetch_source_equivalence():
+    """The double-buffered loader returns exactly what the source would,
+    sequential or not, and keeps working past a seek."""
+    from color_modem_tpu.frame.y4m import prefetch_source
+
+    calls = []
+
+    def source(start, count):
+        calls.append((start, count))
+        return np.arange(start, start + count, dtype=np.float32)
+
+    wrapped = prefetch_source(source, n_frames=10)
+    np.testing.assert_array_equal(wrapped(0, 4), [0, 1, 2, 3])
+    np.testing.assert_array_equal(wrapped(4, 4), [4, 5, 6, 7])   # prefetched
+    np.testing.assert_array_equal(wrapped(8, 2), [8, 9])          # tail
+    np.testing.assert_array_equal(wrapped(2, 3), [2, 3, 4])       # random seek
+    assert (0, 4) in calls and (4, 4) in calls
