@@ -401,6 +401,13 @@ def build_parser() -> argparse.ArgumentParser:
                     "— the channel D2-MAC was designed for; adds the "
                     "frame-synchronous energy dispersal, which the MAC "
                     "clamp period removes")
+    mc.add_argument("--audio-in", default=None, metavar="IN.wav",
+                    help="MAC packet sound: NICAM-companded stereo audio "
+                    "in the duobinary burst (resampled to 32 kHz, fills "
+                    "the frame's burst capacity); mutually exclusive "
+                    "with --data")
+    mc.add_argument("--audio-out", default=None, metavar="OUT.wav",
+                    help="write the burst-decoded audio (with --audio-in)")
     mc.add_argument("--sat-cnr", type=float, default=None, metavar="DB",
                     help="satellite carrier-to-noise ratio in dB; implies "
                     "--satellite")
@@ -588,6 +595,25 @@ def main(argv=None) -> int:
         gline = jnp.arange(n_lines)
 
         payload = None
+        n_audio_frames = 0
+        audio_ref = None
+        if args.audio_in is not None:
+            if args.data is not None:
+                raise SystemExit("--audio-in and --data share the burst "
+                                 "payload; pick one")
+            from color_modem_tpu.utils.wav import read_wav, resample_linear
+
+            wav_x, wav_rate = read_wav(args.audio_in)
+            if wav_x.shape[0] < 2:
+                wav_x = np.concatenate([wav_x, wav_x])
+            cap_frames = mac.sound_capacity(plan, n_lines)
+            n_samp = cap_frames * 32
+            audio_ref = resample_linear(wav_x[:2], wav_rate, 32000.0,
+                                        n_out=n_samp).astype(np.float32)
+            payload, n_audio_frames = mac.pack_sound(
+                plan, jnp.asarray(audio_ref[0]), jnp.asarray(audio_ref[1]),
+                n_lines,
+            )
         if args.data is not None:
             # 12 bytes = 96 bits per 99-bit line slot, zero-padded
             raw = args.data.encode("utf-8")
@@ -651,6 +677,24 @@ def main(argv=None) -> int:
             )
             ber = float(np.mean(got != np.asarray(payload)[:, : 8 * 12]))
             print(f"data burst payload (ber {ber:.2e}): {text!r}")
+        if n_audio_frames:
+            left, right, rep = mac.unpack_sound(plan, bits, n_audio_frames)
+            rx = np.stack([np.asarray(left), np.asarray(right)])
+            err = float(np.mean((rx - audio_ref) ** 2))
+            # full-scale SNR: the quantization floor of 14->10-bit
+            # companding is ~60 dB; channel bit errors show up far below
+            snr = 10.0 * np.log10(1.0 / max(err, 1e-12))
+            print(
+                f"packet sound: {n_audio_frames} NICAM frames "
+                f"({n_audio_frames * 32} samples/ch at 32 kHz), "
+                f"audio SNR {snr:.1f} dB, "
+                f"parity errors {int(np.sum(np.asarray(rep['parity_errors'])))}"
+            )
+            if args.audio_out:
+                from color_modem_tpu.utils.wav import write_wav
+
+                write_wav(args.audio_out, rx, 32000)
+                print(f"wrote {args.audio_out}")
         if args.output:
             save_rgb(args.output, np.asarray(out))
             print(f"wrote {args.output}")

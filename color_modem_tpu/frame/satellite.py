@@ -169,28 +169,61 @@ def dispersal_offset(sp: SatPlan, gline: jax.Array) -> jax.Array:
     return jnp.float32(sp.dispersal) * tri
 
 
+#: Stream-edge margin at the BASEBAND rate: every stream filter here
+#: (pre/de-emphasis 129 taps at base rate, interp/dec 517 taps at 4x =
+#: ~65 base samples of half-width) has its warm-up inside 256 samples.
+#: Zero edges are not "blanking" in this model — the stream is active
+#: video end to end, so an unpadded stream filter visibly clips the first
+#: line (measured 0.4+ absolute error on line 0's first samples, i.e. the
+#: MAC data burst).  256 * r is a multiple of 4: the fs/4 mixer patterns
+#: and the decimation grid stay aligned across the crop.
+_EDGE_PAD = 256
+
+
+def _wrap_pad(s: jax.Array, p: int) -> jax.Array:
+    """Circular (wrap-around) edge extension along the stream axis.
+
+    The frame is modulated as ONE PERIOD of a periodic signal (the FM
+    phase is closed over the frame in :func:`fm_modulate`, and the fs/4
+    carrier wraps exactly because the stream length is a multiple of 4),
+    so the true history of sample 0 IS the end of the stream — wrap
+    padding gives every stream filter its exact neighborhood instead of a
+    reflected approximation.  A real transmission is continuous (line 0
+    follows the previous frame's last line); periodicity is this model's
+    equivalent, with no privileged cold-start sample anywhere.
+    """
+    return jnp.concatenate([s[..., -p:], s, s[..., :p]], axis=-1)
+
+
 def fm_modulate(sp: SatPlan, base: jax.Array, gline=None) -> jax.Array:
     """Baseband (B, L, N) video units -> FM signal (B, L, N*r) at IF.
 
     Pre-emphasis at the baseband rate, zero-stuff interpolation to the RF
     rate, midpoint-rule deviation integral per frame (line-carry wrapped
-    mod 2pi, see module docstring), exact fs/4 carrier.
+    mod 2pi, see module docstring), exact fs/4 carrier.  Stream filters
+    run on reflect-padded streams (see ``_EDGE_PAD``).
     """
     b, l, n = base.shape
     if n != sp.n_base:
         raise ValueError(f"rows have {n} samples, plan expects {sp.n_base}")
+    pb = _EDGE_PAD
     v = fir_same_fft(
-        base.astype(jnp.float32).reshape(b, l * n), sp.pre_taps
-    ).reshape(b, l, n)
+        _wrap_pad(base.astype(jnp.float32).reshape(b, l * n), pb),
+        sp.pre_taps,
+    )[..., pb : pb + l * n].reshape(b, l, n)
     if gline is not None:
         # dispersal enters at the FM modulator input (after pre-emphasis),
         # matching the real chain; the receiver's de-emphasis scales a
         # per-line DC by g0 * (1/g0) = 1, so the next layer's clamp sees
         # the full dispersal offset and removes it exactly
         v = v + dispersal_offset(sp, gline)[..., None]
-    # zero-stuff + anti-image LPF (gain r restores amplitude), one pass
-    z = jnp.zeros((b, l, n, sp.r), jnp.float32).at[..., 0].set(sp.r * v)
-    v_rf = fir_same_fft(z.reshape(b, l * sp.n_rf), sp.interp_taps)
+    # zero-stuff + anti-image LPF (gain r restores amplitude), one pass;
+    # the PADDED baseband is stuffed so the prefix keeps the stuffing grid
+    vp = _wrap_pad(v.reshape(b, l * n), pb)
+    z = jnp.zeros(vp.shape + (sp.r,), jnp.float32).at[..., 0].set(sp.r * vp)
+    v_rf = fir_same_fft(
+        z.reshape(b, (l * n + 2 * pb) * sp.r), sp.interp_taps
+    )[..., pb * sp.r : pb * sp.r + l * sp.n_rf]
     v_rf = v_rf.reshape(b, l, sp.n_rf)
 
     # midpoint-rule FM integral of the DEVIATION (carrier = exact ramp):
@@ -198,6 +231,16 @@ def fm_modulate(sp: SatPlan, base: jax.Array, gline=None) -> jax.Array:
     dphi = (TWO_PI * sp.deviation / sp.fs_rf) * (
         v_rf - jnp.float32(sp.center)
     )
+    # close the phase over the frame: distribute the (mod-2pi) residual of
+    # the total deviation phase across all samples, so the frame is ONE
+    # PERIOD of a periodic FM signal and _wrap_pad is exact at both ends.
+    # The correction is < pi/n_total rad/sample = a < fs_rf/(2 n_total)
+    # ~ 160 Hz carrier bias (vs 12 MHz/unit deviation): ~1e-5 video units,
+    # and the downstream clamp removes line DC anyway.
+    ls0 = jnp.sum(dphi, axis=-1)                            # (B, L)
+    tot = jnp.cumsum(ls0 % TWO_PI, axis=-1)[..., -1:] % TWO_PI  # (B, 1)
+    tot = jnp.where(tot > jnp.pi, tot - TWO_PI, tot)
+    dphi = dphi - (tot / jnp.float32(l * sp.n_rf))[..., None]
     line_sum = jnp.sum(dphi, axis=-1)                       # (B, L)
     carry = jnp.cumsum(line_sum % TWO_PI, axis=-1) % TWO_PI  # (B, L)
     carry = jnp.concatenate(
@@ -224,13 +267,32 @@ def fm_demodulate(sp: SatPlan, rf: jax.Array) -> jax.Array:
     b, l, n_rf = rf.shape
     if n_rf != sp.n_rf:
         raise ValueError(f"rows have {n_rf} RF samples, plan expects {sp.n_rf}")
-    x = fir_same_fft(rf.astype(jnp.float32).reshape(b, l * n_rf), sp.rx_taps)
+    # Stream-edge treatment: a zero edge means zero CARRIER, and a dead
+    # carrier makes the discriminator spray wideband noise that the
+    # decimation LPF smears into the first line — line 0's data burst sits
+    # exactly there (measured: its sync word is the first casualty under
+    # channel noise).  A real receiver is continuously locked and never
+    # sees a carrier start.  Two-stage padding, because the two signal
+    # domains reflect differently:
+    #  * the raw RF stream is reflect-padded only through the band-pass
+    #    (a reflected fs/4 carrier is still an in-band carrier) and
+    #    cropped before mixing — the mixer needs its exact pattern phase,
+    #    which a reflected carrier does not preserve;
+    #  * the mixed I/Q BASEBANDS are smooth (bandwidth <= bw/2), so value-
+    #    continuous reflection is valid there and warms up the I/Q, dec
+    #    and discriminator chain; cropped after.
+    # pad % (4*r) == 0 keeps the fs/4 patterns and decimation grid aligned.
+    pad = _EDGE_PAD * sp.r
 
-    cpat, spat = _carrier_patterns(n_rf)
-    cpat = jnp.tile(cpat, l)
-    spat = jnp.tile(spat, l)
-    i = fir_same_fft(x * (2.0 * cpat), sp.iq_taps)
-    q = fir_same_fft(x * (-2.0 * spat), sp.iq_taps)
+    stream = rf.astype(jnp.float32).reshape(b, l * n_rf)
+    x = fir_same_fft(_wrap_pad(stream, pad), sp.rx_taps)
+    x = x[..., pad : pad + l * n_rf]
+
+    cpat, spat = _carrier_patterns(l * n_rf)
+    i0 = x * (2.0 * cpat)
+    q0 = x * (-2.0 * spat)
+    i = fir_same_fft(_wrap_pad(i0, pad), sp.iq_taps)
+    q = fir_same_fft(_wrap_pad(q0, pad), sp.iq_taps)
 
     # symmetric discriminator: angle(z[n+1] conj(z[n-1])) * fs / (4 pi),
     # edge-held so row 0 / row L-1 stream ends stay finite
@@ -243,8 +305,10 @@ def fm_demodulate(sp: SatPlan, rf: jax.Array) -> jax.Array:
     f_dev = jnp.arctan2(imag, re) * jnp.float32(sp.fs_rf / (2.0 * TWO_PI))
 
     v = f_dev / jnp.float32(sp.deviation) + jnp.float32(sp.center)
-    v = fir_same_fft(v, sp.dec_taps)[..., :: sp.r]           # decimate
-    v = fir_same_fft(v, sp.de_taps)                          # de-emphasis
+    v = fir_same_fft(v, sp.dec_taps)
+    v = v[..., pad : pad + l * n_rf][..., :: sp.r]           # crop + decimate
+    v = fir_same_fft(_wrap_pad(v, _EDGE_PAD), sp.de_taps)  # de-emphasis
+    v = v[..., _EDGE_PAD : _EDGE_PAD + l * sp.n_base]
     return v.reshape(b, l, sp.n_base)
 
 

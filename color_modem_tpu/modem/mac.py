@@ -237,3 +237,54 @@ def roundtrip(
     payload_bits: Optional[jax.Array] = None,
 ) -> jax.Array:
     return decode(plan, encode(plan, rgb, gline, payload_bits), gline)
+
+
+# ---------------------------------------------------------------------------
+# MAC packet sound: NICAM-coded audio in the duobinary burst
+# ---------------------------------------------------------------------------
+
+def sound_capacity(plan: MacPlan, n_lines: int) -> int:
+    """NICAM 728-bit sound frames that fit one video frame's burst payload.
+
+    D2-MAC carried its sound digitally in the data burst as packets of
+    NICAM-companded samples (the same coding as the terrestrial NICAM-728
+    carrier — frame/nicam.py); here the framework's NICAM bit frames ride
+    the burst payload verbatim.  625 lines x 99 bits at 25 fps is
+    ~1.55 Mb/s — two full NICAM stereo services' worth; this transport
+    uses the head of each frame's payload and leaves the tail for data.
+    """
+    cap = plan.cfg.data_symbols - len(plan.cfg.line_sync_word)
+    return (n_lines * cap) // 728
+
+
+def pack_sound(plan: MacPlan, left, right, n_lines: int):
+    """Stereo audio -> (payload (..., n_lines, 99), n_audio_frames).
+
+    ``left``/``right``: float in [-1, 1], length a multiple of 32 with
+    length//32 <= :func:`sound_capacity`.  The NICAM frames' bits are laid
+    head-first across the burst payload rows; unused tail bits are zero.
+    """
+    from color_modem_tpu.frame.nicam import nicam_frames
+
+    frames = nicam_frames(left, right)               # (F, 728)
+    n_f = frames.shape[0]
+    cap = plan.cfg.data_symbols - len(plan.cfg.line_sync_word)
+    if n_f > sound_capacity(plan, n_lines):
+        raise ValueError(
+            f"{n_f} NICAM frames need {n_f * 728} bits; {n_lines} lines "
+            f"carry {n_lines * cap}"
+        )
+    flat = frames.reshape(-1)
+    pad = n_lines * cap - flat.shape[0]
+    payload = jnp.concatenate(
+        [flat, jnp.zeros((pad,), jnp.int32)]
+    ).reshape(n_lines, cap)
+    return payload, n_f
+
+
+def unpack_sound(plan: MacPlan, payload: jax.Array, n_audio_frames: int):
+    """Inverse of :func:`pack_sound`: burst payload rows -> (L, R, report)."""
+    from color_modem_tpu.frame.nicam import parse_frames
+
+    flat = payload.reshape(-1)[: n_audio_frames * 728]
+    return parse_frames(flat.reshape(n_audio_frames, 728))

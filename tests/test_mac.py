@@ -161,3 +161,58 @@ def test_sharded_equivalence(plan):
                                    rtol=1e-6, atol=1e-6, err_msg=str(mesh))
         np.testing.assert_allclose(got_rgb, np.asarray(want_rgb),
                                    rtol=1e-6, atol=1e-6, err_msg=str(mesh))
+
+
+def test_packet_sound_roundtrip(plan):
+    """NICAM-coded audio in the duobinary burst: clean-channel transport
+    is exactly the NICAM quantization floor (~60 dB companded SNR)."""
+    n_lines = 576
+    gline = jnp.arange(n_lines)
+    cap = mac.sound_capacity(plan, n_lines)
+    assert cap >= 78  # 576 lines x 99 bits / 728
+    n = cap * 32
+    t = np.arange(n) / 32000.0
+    left = (0.7 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    right = (0.5 * np.sin(2 * np.pi * 997 * t)).astype(np.float32)
+    payload, n_f = mac.pack_sound(plan, jnp.asarray(left),
+                                  jnp.asarray(right), n_lines)
+    img = jnp.asarray(smooth_scene(n_lines, W, seed=2).astype(np.float32))
+    sig = mac.encode(plan, img, gline, payload)
+    ok, bits = mac.decode_data(plan, sig)
+    assert bool(ok.all())
+    gl, gr, rep = mac.unpack_sound(plan, bits, n_f)
+    assert int(jnp.sum(rep["parity_errors"])) == 0
+    for got, want in ((gl, left), (gr, right)):
+        snr = -10.0 * np.log10(float(jnp.mean((got - jnp.asarray(want)) ** 2))
+                               + 1e-12)
+        assert snr >= 55.0, snr  # 14->10-bit companding floor ~60 dB
+
+
+def test_packet_sound_survives_satellite(plan):
+    """The full D2-MAC service over its real channel: picture + packet
+    sound through the FM satellite hop at CNR 20 — audio must come back
+    at the companding floor with zero parity errors."""
+    from color_modem_tpu.frame import satellite as sat
+
+    n_lines = 64
+    gline = jnp.arange(n_lines)
+    n_f = mac.sound_capacity(plan, n_lines)
+    n = n_f * 32
+    rng = np.random.default_rng(3)
+    left = (0.5 * rng.standard_normal(n)).clip(-1, 1).astype(np.float32)
+    right = (0.5 * rng.standard_normal(n)).clip(-1, 1).astype(np.float32)
+    payload, n_f = mac.pack_sound(plan, jnp.asarray(left),
+                                  jnp.asarray(right), n_lines)
+    img = jnp.asarray(smooth_scene(n_lines, W, seed=4).astype(np.float32))
+    sig = mac.encode(plan, img, gline, payload)
+    sp = sat.make_sat_plan(plan.cfg.fs, plan.cfg.samples_per_line,
+                           dispersal=0.1)
+    rx = sat.sat_roundtrip(sp, sig[None], gline=gline[None],
+                           key=jax.random.PRNGKey(9), cnr_db=20.0)[0]
+    ok, bits = mac.decode_data(plan, rx)
+    assert bool(ok.all())
+    gl, gr, rep = mac.unpack_sound(plan, bits, n_f)
+    assert int(jnp.sum(rep["parity_errors"])) == 0
+    snr = -10.0 * np.log10(float(jnp.mean((gl - jnp.asarray(left)) ** 2))
+                           + 1e-12)
+    assert snr >= 50.0, snr
