@@ -168,6 +168,13 @@ def build_parser() -> argparse.ArgumentParser:
         "JSON (625-line standards; e.g. '16:9 full (anamorphic)')",
     )
     rt.add_argument(
+        "--vitc", default=None, metavar="HH:MM:SS:FF",
+        help="embed a vertical-interval timecode line (SMPTE 12M-shaped "
+        "90-bit word, NRZ at 115*fh with embedded sync pairs + CRC) on "
+        "the row after the other data services; the decoded timecode is "
+        "reported in the JSON",
+    )
+    rt.add_argument(
         "--acc", action="store_true",
         help="automatic chroma control: scale chroma by spec-over-"
         "measured burst amplitude (cancels --chroma-gain; needs "
@@ -1392,6 +1399,27 @@ def main(argv=None) -> int:
             comp_b = comp_b.at[0, wss_row, wss_off:].set(
                 wss_mod.encode_wss(plan, wss_mod.wss_word(args.wss))
             )
+        vitc_row = -1
+        vitc_sent = None
+        if args.vitc:
+            from color_modem_tpu.frame import vitc as vitc_mod
+
+            try:
+                hh, mm, ss, ff = (int(v) for v in args.vitc.split(":"))
+            except ValueError:
+                raise SystemExit(f"--vitc: want HH:MM:SS:FF, got {args.vitc!r}")
+            vitc_sent = (hh, mm, ss, ff)
+            vitc_row = cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
+            vitc_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                vitc_off = make_raster(plan).n_blank
+            comp_b = comp_b.at[0, vitc_row, vitc_off:].set(
+                vitc_mod.encode_vitc_line(
+                    plan, vitc_mod.vitc_pack(hh, mm, ss, ff)
+                )
+            )
         sat_hop = args.satellite or args.sat_cnr is not None
         if sat_hop:
             if args.rf or args.rf_noise > 0.0:
@@ -1901,6 +1929,27 @@ def main(argv=None) -> int:
                 "exact": rep["aspect"] == args.wss and rep["aspect_ok"],
                 "margin": round(float(margin), 3),
             }
+        if vitc_row >= 0:
+            from color_modem_tpu.frame import vitc as vitc_mod
+
+            vitc_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                vitc_off = make_raster(plan).n_blank
+            got, score = vitc_mod.decode_vitc_line(
+                plan, comp_b[0, vitc_row, vitc_off:]
+            )
+            rep = vitc_mod.vitc_unpack(np.asarray(got))
+            rx_tc = (rep["hours"], rep["minutes"], rep["seconds"],
+                     rep["frames"])
+            result["vitc"] = {
+                "sent": "%02d:%02d:%02d:%02d" % vitc_sent,
+                "received": "%02d:%02d:%02d:%02d" % rx_tc,
+                "exact": rx_tc == vitc_sent and rep["crc_ok"],
+                "crc_ok": rep["crc_ok"],
+                "sync_score": int(score),
+            }
         if n_vits:
             # read the test lines off the RECEIVED composite (staircase:
             # vectorscope numbers) and the DECODED luma (multiburst:
@@ -1939,7 +1988,7 @@ def main(argv=None) -> int:
             }
             result["vits"] = vits_report
         data_rows = (cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
-                     + ident_rows)
+                     + (1 if vitc_row >= 0 else 0) + ident_rows)
         if data_rows or n_vits:
             hi = rgb.shape[1] - n_vits
             result["psnr_db"] = round(
