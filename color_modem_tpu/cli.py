@@ -341,6 +341,16 @@ def build_parser() -> argparse.ArgumentParser:
         "inside the jitted chunk step",
     )
     vid.add_argument(
+        "--satellite", action="store_true",
+        help="transmit every chunk over the FM satellite layer "
+        "(frame/satellite.py) instead of --rf; noise keyed per absolute "
+        "frame, so runs are chunk-size independent and resume-safe",
+    )
+    vid.add_argument(
+        "--sat-cnr", type=float, default=None, metavar="DB",
+        help="satellite carrier-to-noise ratio in dB; implies --satellite",
+    )
+    vid.add_argument(
         "--host-source", action="store_true",
         help="generate frames on the host (default: on device — the host "
         "path re-uploads every chunk, which dominates over a slow link)",
@@ -1131,6 +1141,8 @@ def main(argv=None) -> int:
             nr=args.nr is not None,
             nr_sigma=args.nr,
             rf=args.rf,
+            satellite=args.satellite or args.sat_cnr is not None,
+            sat_cnr=args.sat_cnr,
             save_outputs=args.output is not None,
             caption_bits=cap_bits,
         )

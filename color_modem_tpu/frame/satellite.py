@@ -312,19 +312,25 @@ def fm_demodulate(sp: SatPlan, rf: jax.Array) -> jax.Array:
     return v.reshape(b, l, sp.n_base)
 
 
-def awgn(sp: SatPlan, rf: jax.Array, key, cnr_db: float) -> jax.Array:
-    """Add channel noise at a given carrier-to-noise ratio.
+def noise_sigma(sp: SatPlan, cnr_db: float) -> float:
+    """White-noise sigma for a given carrier-to-noise ratio.
 
     CNR is referenced to the noise power inside the receiver band-pass
     (the convention link budgets use): carrier power is 1/2 (unit cos),
     the band-pass passes ~bw/fs_rf of white noise power, so
-    sigma^2 = (1/2) / CNR / (bw_fraction).
+    sigma^2 = (1/2) / CNR / (bw_fraction).  Host design-time math, so
+    callers (e.g. the chunked video runner) can key their own per-frame
+    noise realizations.
     """
-    # noise-equivalent bandwidth fraction of the rx filter (host, design time)
     H = np.fft.rfft(np.asarray(sp.rx_taps), n=1 << 15)
     bw_frac = float(np.sum(np.abs(H) ** 2) / len(H) / np.max(np.abs(H)) ** 2)
     cnr = 10.0 ** (cnr_db / 10.0)
-    sigma = float(np.sqrt(0.5 / cnr / max(bw_frac, 1e-6)))
+    return float(np.sqrt(0.5 / cnr / max(bw_frac, 1e-6)))
+
+
+def awgn(sp: SatPlan, rf: jax.Array, key, cnr_db: float) -> jax.Array:
+    """Add channel noise at a given carrier-to-noise ratio."""
+    sigma = noise_sigma(sp, cnr_db)
     return rf + sigma * jax.random.normal(key, rf.shape, rf.dtype)
 
 

@@ -94,6 +94,8 @@ def process_video(
     nr: bool = False,
     nr_sigma: float | None = None,
     rf: bool = False,
+    satellite: bool = False,
+    sat_cnr: float | None = None,
     caption_bits: np.ndarray | None = None,
 ) -> dict:
     """Round-trip ``n_frames`` frames in chunks; returns the run summary.
@@ -179,6 +181,7 @@ def process_video(
             else {}
         ),
         **({"rf": True} if rf else {}),
+        **({"satellite": True, "sat_cnr": sat_cnr} if satellite else {}),
         **({"caption": True} if caption_bits is not None else {}),
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
     }
@@ -263,6 +266,39 @@ def process_video(
             # make the output chunk-size dependent
             g0 = jnp.asarray(frame0, jnp.int32) * _rf_units
             return rf_demodulate(rfp, rf_modulate(rfp, comp, g0), g0)
+
+    if satellite:
+        if rf:
+            raise ValueError(
+                "satellite (FM) and rf (VSB-AM) are different transmission "
+                "layers; pick one"
+            )
+        from color_modem_tpu.frame import satellite as sat_mod
+
+        sp = sat_mod.make_sat_plan(plan.fs, plan.n_samples)
+        sat_sigma = (
+            sat_mod.noise_sigma(sp, sat_cnr) if sat_cnr is not None else 0.0
+        )
+        _sat_units = 2 if interlaced else 1
+        sat_base = jax.random.PRNGKey(0x5A7)
+
+        def _rf_hop(comp, frame0):  # noqa: F811 — satellite variant
+            # the satellite layer is frame-local by design (per-frame
+            # circular FM), so chunk independence is structural; noise is
+            # keyed on each item's ABSOLUTE leading-axis index like the
+            # composite channel noise below
+            rf_sig = sat_mod.fm_modulate(sp, comp)
+            if sat_sigma:
+                g = (jnp.asarray(frame0, jnp.int32) * _sat_units
+                     + jnp.arange(comp.shape[0], dtype=jnp.int32))
+                per = jax.vmap(
+                    lambda i: jax.random.normal(
+                        jax.random.fold_in(sat_base, i),
+                        rf_sig.shape[1:], dtype=jnp.float32,
+                    )
+                )(g)
+                rf_sig = rf_sig + jnp.float32(sat_sigma) * per
+            return sat_mod.fm_demodulate(sp, rf_sig)
 
     chan_noise_sigma = 0.0
     if channel:

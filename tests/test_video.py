@@ -292,6 +292,44 @@ def test_video_rf_interlaced_chunk_independent(tmp_path):
     np.testing.assert_allclose(outs[2], outs[3], atol=1e-5, rtol=0)
 
 
+def test_video_satellite_hop_chunk_independent(tmp_path):
+    """The satellite FM hop inside the chunk step: near-lossless when
+    clean, and with channel noise the realization keys on the ABSOLUTE
+    leading-axis index, so output cannot depend on the chunk layout."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    clean = process_video(plan, src, 4, str(tmp_path / "clean"),
+                          decoder="notch", chunk=4)
+    s = process_video(plan, src, 4, str(tmp_path / "sat"),
+                      decoder="notch", chunk=4, satellite=True)
+    # frame-local circular FM: the hop costs well under a dB
+    assert s["min_psnr_db"] >= clean["min_psnr_db"] - 1.0, (s, clean)
+    outs = {}
+    for chunk in (2, 3):  # chunk=3 puts a chunk start at an ODD frame
+        d = str(tmp_path / f"sn{chunk}")
+        sn = process_video(plan, src, 4, d, decoder="notch", chunk=chunk,
+                           satellite=True, sat_cnr=14.0, save_outputs=True)
+        assert sn["min_psnr_db"] > 25.0, sn  # FM advantage holds it up
+        outs[chunk] = np.concatenate([
+            np.load(os.path.join(d, f))
+            for f in sorted(os.listdir(d)) if f.endswith(".npy")
+        ])
+    # chunk size changes batch shapes -> fp scheduling moves; unlike the
+    # linear VSB path (~3e-6) the FM discriminator's atan2/derivative
+    # amplifies that to ~2e-4 here. A keying bug would be a DIFFERENT
+    # noise realization entirely (measured ~0.15 max diff in the r2
+    # interlaced review finding), so 1e-3 still catches it with margin.
+    np.testing.assert_allclose(outs[2], outs[3], atol=1e-3, rtol=0)
+    # manifest records the hop: a non-satellite resume must refuse
+    with pytest.raises(ValueError, match="refusing to resume"):
+        process_video(plan, src, 4, str(tmp_path / "sn2"), decoder="notch",
+                      chunk=2)
+    # rf and satellite are mutually exclusive layers
+    with pytest.raises(ValueError, match="pick one"):
+        process_video(plan, src, 2, str(tmp_path / "x"), chunk=2,
+                      rf=True, satellite=True)
+
+
 def test_chunk_fingerprints_are_deterministic(tmp_path):
     plan = get_plan("ntsc")
     src = synthetic_source(L, TEST_SAMPLES)
