@@ -208,6 +208,23 @@ def build_parser() -> argparse.ArgumentParser:
         "effects appear below ~13 dB); implies --satellite",
     )
     rt.add_argument(
+        "--sat-audio", action="store_true",
+        help="analog FM audio subcarrier on the satellite multiplex "
+        "(mono demo tones; the way analog satellite TV carried sound); "
+        "implies --satellite",
+    )
+    rt.add_argument(
+        "--sat-stereo", action="store_true",
+        help="two audio subcarriers (L/R demo tones, the Astra-pair "
+        "style); implies --satellite",
+    )
+    rt.add_argument(
+        "--sat-audio-in", default=None, metavar="IN.wav",
+        help="real audio for the satellite subcarrier(s): WAV file, "
+        "resampled to the composite grid (stereo files use two "
+        "subcarriers); implies --satellite",
+    )
+    rt.add_argument(
         "--rf-noise", type=float, default=0.0,
         help="AWGN sigma added at RF (fractions of peak carrier); "
         "implies --rf",
@@ -1432,30 +1449,108 @@ def main(argv=None) -> int:
                     plan, vitc_mod.vitc_pack(hh, mm, ss, ff)
                 )
             )
-        sat_hop = args.satellite or args.sat_cnr is not None
+        sat_sound = bool(args.sat_audio or args.sat_stereo
+                         or args.sat_audio_in)
+        sat_hop = args.satellite or args.sat_cnr is not None or sat_sound
         if sat_hop:
             if args.rf or args.rf_noise > 0.0:
                 raise SystemExit(
                     "--satellite (FM) and --rf (VSB-AM) are different "
                     "transmission layers; pick one"
                 )
+            import jax.numpy as jnp
+
             from color_modem_tpu.frame import satellite as sat_mod
 
+            b_s, l_s, n_row = comp_b.shape
+            n_tot = l_s * n_row
+            k_subs = 0
+            sat_tx = None
+            if sat_sound:
+                k_subs = 2 if args.sat_stereo else 1
+                if args.sat_audio_in:
+                    from color_modem_tpu.utils.wav import (
+                        read_wav,
+                        resample_linear,
+                    )
+
+                    wx, wr = read_wav(args.sat_audio_in)
+                    if args.sat_stereo or wx.shape[0] >= 2:
+                        k_subs = 2
+                    wav = resample_linear(wx, wr, plan.fs, n_out=n_tot)
+                    sat_tx = np.stack(
+                        [wav[min(i, wav.shape[0] - 1)] for i in range(k_subs)]
+                    ).astype(np.float32)
+                else:
+                    # demo tones, snapped to frame-periodic bins (the
+                    # satellite block is ONE PERIOD — frame/satellite.py)
+                    t_s = np.arange(n_tot) / plan.fs
+
+                    def _bin_tone(f, amp):
+                        kk = max(1, round(f * n_tot / plan.fs))
+                        return amp * np.sin(
+                            2 * np.pi * (kk * plan.fs / n_tot) * t_s
+                        )
+
+                    if k_subs == 2:
+                        sat_tx = np.stack(
+                            [_bin_tone(1000, 0.7), _bin_tone(3000, 0.5)]
+                        ).astype(np.float32)
+                    else:
+                        sat_tx = (_bin_tone(1000, 0.6)
+                                  + _bin_tone(7000, 0.3)).astype(
+                            np.float32
+                        )[None]
             sp = sat_mod.make_sat_plan(
-                plan.fs, comp_b.shape[-1],
-                total_lines=plan.cfg.total_lines,
+                plan.fs, n_row,
+                total_lines=plan.cfg.total_lines, audio_subs=k_subs,
             )
             key = jax.random.PRNGKey(11)
             comp_tx = comp_b
-            comp_b = sat_mod.sat_roundtrip(
-                sp, comp_b, key=key, cnr_db=args.sat_cnr
+            sat_rf = sat_mod.fm_modulate(
+                sp, comp_b,
+                audio=(jnp.asarray(
+                    np.broadcast_to(sat_tx, (b_s, k_subs, n_tot))
+                ) if k_subs else None),
             )
+            if args.sat_cnr is not None:
+                sat_rf = sat_mod.awgn(sp, sat_rf, key, args.sat_cnr)
+            comp_b = sat_mod.fm_demodulate(sp, sat_rf)
             print(
                 "satellite FM hop: transparency "
                 f"{psnr(np.asarray(comp_b), np.asarray(comp_tx)):.1f} dB"
                 + (f" at CNR {args.sat_cnr} dB" if args.sat_cnr is not None
                    else " (noise-free)")
             )
+            if k_subs:
+                sat_rx = np.asarray(
+                    sat_mod.fm_demodulate_audio(sp, sat_rf)
+                )[0]
+                snrs = []
+                for i in range(k_subs):
+                    ref = sat_tx[i] - sat_tx[i].mean()  # rx is AC-coupled
+                    err = sat_rx[i] - ref
+                    snrs.append(round(float(
+                        10 * np.log10(np.mean(ref ** 2)
+                                      / max(np.mean(err ** 2), 1e-30))
+                    ), 1))
+                subs_mhz = [round(f / 1e6, 2) for f in sp.sub_freqs]
+                print(
+                    f"satellite sound: {k_subs} FM subcarrier(s) at "
+                    f"{subs_mhz} MHz, audio SNR {snrs} dB"
+                )
+                if args.audio_out:
+                    from color_modem_tpu.utils.wav import (
+                        resample_linear,
+                        write_wav,
+                    )
+
+                    write_wav(
+                        args.audio_out,
+                        resample_linear(sat_rx, plan.fs, 48000.0),
+                        48000,
+                    )
+                    print(f"wrote {args.audio_out}")
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
                 or args.rf_stereo or args.rf_nicam
                 or args.rf_dropouts > 0.0 or args.rf_doc
@@ -1463,7 +1558,7 @@ def main(argv=None) -> int:
                 or args.rf_gain != 1.0 or args.rf_agc
                 or args.rf_freq_error != 0.0 or args.rf_aft
                 or args.rf_ghost_gain != 0.0 or args.rf_equalize
-                or args.rf_audio_in or args.audio_out):
+                or args.rf_audio_in or (args.audio_out and not sat_hop)):
             # RF hop first (it IS the transmission); the composite-level
             # impairments below then model the receiver-side degradations
             import dataclasses

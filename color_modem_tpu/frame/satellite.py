@@ -42,6 +42,7 @@ TPU-first design, mirroring frame/rf.py's conventions:
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 
@@ -70,6 +71,17 @@ def preemph_response(f, f1: float, f2: float, g0: float):
     return mag.astype(np.complex128)
 
 
+def _emph50_mag(f, audio_bw: float, tau: float = 50e-6):
+    """50 us audio emphasis shelf magnitude |1 + j 2 pi f tau|, held flat
+    above ``audio_bw`` so the pre taps stay bounded; the de-emphasis pair
+    is the exact reciprocal, so pre * de == 1 at EVERY frequency and the
+    cap only shapes out-of-band noise (which the audio low-pass removes
+    anyway)."""
+    f50 = 1.0 / (2.0 * np.pi * tau)
+    fe = np.minimum(np.abs(np.asarray(f, np.float64)), audio_bw)
+    return np.sqrt(1.0 + (fe / f50) ** 2).astype(np.complex128)
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class SatPlan:
     """Host-side constants for one (baseband geometry) satellite link."""
@@ -89,6 +101,27 @@ class SatPlan:
     dec_taps: np.ndarray      # pre-decimation low-pass (RF rate)
     pre_taps: np.ndarray      # pre-emphasis (baseband rate)
     de_taps: np.ndarray       # de-emphasis (baseband rate)
+    # --- analog audio subcarriers (empty tuple = no sound designed) -----
+    sub_freqs: tuple = ()     # subcarrier frequencies, Hz (baseband mux)
+    sub_dev: float = 85e3     # audio FM deviation per subcarrier, Hz
+    sub_amp: float = 0.11     # subcarrier amplitude, video units each
+    audio_bw: float = 15e3
+    mux_lpf: np.ndarray | None = None  # video LPF clearing the sub band
+    sub_lpf: np.ndarray | None = None  # post-mix I/Q LPF (baseband rate)
+    aud_rx: np.ndarray | None = None   # audio LPF * 50us de-emphasis
+    aud_pre: np.ndarray | None = None  # 50us pre-emphasis
+
+
+#: Analog-satellite audio subcarrier ladder (Hz): the classic 6.50 MHz
+#: main mono slot, then slots on the Astra 180 kHz grid anchored at
+#: 7.02 MHz.  The real Astra pairs sat 180 kHz apart because they ran
+#: +-50 kHz Panda-companded deviation; at this module's default 85 kHz
+#: mono-spec deviation the Carson widths need every THIRD grid slot
+#: (7.02/7.56/8.10).  Callers wanting the literal 7.02/7.20 pair pass
+#: sub_freqs=(7.02e6, 7.20e6), sub_dev=50e3 — the spacing check scales
+#: with the deviation.  Used verbatim when the baseband rate has room
+#: (27 MHz composites, MAC geometries); scaled positions otherwise.
+AUDIO_SUB_LADDER = (6.50e6, 7.02e6, 7.56e6, 8.10e6)
 
 
 def make_sat_plan(
@@ -102,6 +135,11 @@ def make_sat_plan(
     total_lines: int = 625,
     f_emph: float = 1.0e6,
     g_emph: float = 0.45,
+    audio_subs: int = 0,
+    sub_freqs: tuple | None = None,
+    sub_dev: float = 85e3,
+    sub_amp: float = 0.11,
+    audio_bw: float = 15e3,
 ) -> SatPlan:
     """Design the satellite link for a given baseband geometry.
 
@@ -112,6 +150,18 @@ def make_sat_plan(
     ``dispersal`` > 0 adds the frame-synchronous triangular energy
     dispersal (in video units; removed by the NEXT layer's clamp — MAC's
     clamp period or a raster's porch — not by this module).
+
+    ``audio_subs`` > 0 adds that many analog FM audio subcarriers to the
+    baseband multiplex above the (then low-passed) video — the way real
+    analog satellite TV carried sound (MAC instead rides its packet-sound
+    burst, modem/mac.py).  Frequencies come from :data:`AUDIO_SUB_LADDER`
+    when they fit under the interpolation/decimation passband (true from
+    ~15.5 MHz baseband rates, e.g. 27 MHz composites); at narrower
+    basebands (13.5 MHz composites) they scale to 0.43/0.465 of the rate
+    (5.8/6.3 MHz — the same positions relative to the video band).  The
+    multiplex video LPF lands below the lowest subcarrier: NTSC/PAL
+    chroma always fits; SECAM at 13.5 MHz loses its outermost FM
+    sideband tops (use the 1440-sample/27 MHz SECAM geometry).
     """
     fs_rf = r * base_fs
     fc = fs_rf / 4.0
@@ -121,7 +171,43 @@ def make_sat_plan(
     ntaps_rf = 4 * design.DEFAULT_NTAPS + 1   # RF-rate filters: same time
     #                                           span as a 129-tap baseband FIR
 
-    interp = design.lowpass_taps(fs_rf, 0.5 * base_fs * 0.96, ntaps_rf)
+    # subcarrier geometry first: with sound, the interp/dec passband
+    # opens to 0.49 * base_fs so the subcarriers clear its rolloff
+    sub_half = 2.0 * (sub_dev + audio_bw)  # Carson half-width, x2 margin
+    if audio_subs:
+        if sub_freqs is None:
+            top = 0.49 * base_fs - sub_half - 0.1e6
+            if AUDIO_SUB_LADDER[audio_subs - 1] <= top:
+                sub_freqs = AUDIO_SUB_LADDER[:audio_subs]
+            elif audio_subs <= 2:
+                sub_freqs = tuple(
+                    (0.43 + 0.035 * i) * base_fs for i in range(audio_subs)
+                )
+            else:
+                raise ValueError(
+                    f"audio_subs={audio_subs}: only 2 scaled subcarrier "
+                    f"slots fit a {base_fs/1e6:.1f} MHz baseband — use a "
+                    "wider geometry (27 MHz) for the full ladder"
+                )
+        sub_freqs = tuple(float(f) for f in sub_freqs)
+        for f in sub_freqs:
+            if f + sub_half > 0.49 * base_fs - 0.05e6:
+                raise ValueError(
+                    f"subcarrier {f/1e6:.2f} MHz + {sub_half/1e3:.0f} kHz "
+                    f"Carson width exceeds the {base_fs/1e6:.1f} MHz "
+                    "baseband's passband"
+                )
+        fl = sorted(sub_freqs)
+        # spacing scales with the true Carson half-width (dev + f_aud),
+        # not the x2-margined filter width: the authentic Astra grid
+        # (180 kHz at +-50 kHz deviation) must remain expressible
+        if any(b - a < 2.2 * (sub_dev + audio_bw) for a, b in zip(fl, fl[1:])):
+            raise ValueError(f"subcarriers too close: {fl}")
+    else:
+        sub_freqs = ()
+
+    base_cut = 0.49 * base_fs if sub_freqs else 0.5 * base_fs * 0.96
+    interp = design.lowpass_taps(fs_rf, base_cut, ntaps_rf)
     rx = design.freq_sampled_taps(
         fs_rf,
         lambda f: design.raised_cosine_bandpass_response(
@@ -130,7 +216,7 @@ def make_sat_plan(
         ntaps_rf,
     )
     iq = design.lowpass_taps(fs_rf, 0.5 * bw, ntaps_rf)
-    dec = design.lowpass_taps(fs_rf, 0.5 * base_fs * 0.96, ntaps_rf)
+    dec = design.lowpass_taps(fs_rf, base_cut, ntaps_rf)
     f1 = f_emph
     f2 = f1 / g_emph
     pre = design.freq_sampled_taps(
@@ -139,12 +225,44 @@ def make_sat_plan(
     de = design.freq_sampled_taps(
         base_fs, lambda f: 1.0 / preemph_response(f, f1, f2, g_emph)
     )
+    mux_lpf = sub_lpf = aud_rx = aud_pre = None
+    if sub_freqs:
+        ntaps_b = 4 * design.DEFAULT_NTAPS + 1
+        mux_lpf = design.lowpass_taps(
+            base_fs, min(sub_freqs) - sub_half - 0.25e6, ntaps_b
+        )
+        # I/Q low-pass IS the subcarrier band selection: cap the cutoff
+        # at just over half the closest spacing so a tight grid (e.g. the
+        # 180 kHz Astra pairs at 50 kHz deviation) still rejects its
+        # neighbor
+        cut = sub_half + 50e3
+        if len(sub_freqs) > 1:
+            fl0 = sorted(sub_freqs)
+            cut = min(cut, 0.55 * min(b - a for a, b in zip(fl0, fl0[1:])))
+        sub_lpf = design.lowpass_taps(base_fs, cut, ntaps_b)
+        # 8193 taps at the baseband rate: the 50 us emphasis corner sits
+        # at 3.18 kHz, far below a short FIR's frequency resolution
+        # (~4*fs/ntaps); 8193 resolves it and is one FFT pass regardless
+        # (the same tradeoff as frame/rf.py's audio low-pass).
+        aud_rx = design.freq_sampled_taps(
+            base_fs,
+            lambda f: design.raised_cosine_bandpass_response(
+                f, 0.0, audio_bw + 3e3, 6e3
+            ) / _emph50_mag(f, audio_bw),
+            8193,
+        )
+        aud_pre = design.freq_sampled_taps(
+            base_fs, lambda f: _emph50_mag(f, audio_bw), 8193
+        )
     return SatPlan(
         base_fs=base_fs, n_base=n_base, r=r, fs_rf=fs_rf, n_rf=r * n_base,
         deviation=deviation, center=center, dispersal=dispersal,
         total_lines=total_lines,
         interp_taps=interp, rx_taps=rx, iq_taps=iq, dec_taps=dec,
         pre_taps=pre, de_taps=de,
+        sub_freqs=sub_freqs, sub_dev=sub_dev, sub_amp=sub_amp,
+        audio_bw=audio_bw, mux_lpf=mux_lpf, sub_lpf=sub_lpf,
+        aud_rx=aud_rx, aud_pre=aud_pre,
     )
 
 
@@ -195,22 +313,96 @@ def _wrap_pad(s: jax.Array, p: int) -> jax.Array:
     return jnp.concatenate([s[..., -p:], s, s[..., :p]], axis=-1)
 
 
-def fm_modulate(sp: SatPlan, base: jax.Array, gline=None) -> jax.Array:
+def _wrap_filter(s: jax.Array, taps: np.ndarray) -> jax.Array:
+    """Stream FIR with exact circular edge treatment: wrap-pad by the
+    filter half-width (the frame stream is ONE PERIOD, see _wrap_pad), so
+    even the 8193-tap audio filters see their true neighborhoods."""
+    n = s.shape[-1]
+    p = -(-(len(taps) // 2 + 1) // 8) * 8  # half-width, rounded up to 8
+    if p > n:
+        raise ValueError(
+            f"stream of {n} samples is shorter than the {len(taps)}-tap "
+            "filter's half-width — use more lines"
+        )
+    return fir_same_fft(_wrap_pad(s, p), taps)[..., p : p + n]
+
+
+@_lru_cache(maxsize=8)
+def _sub_trig(k_cycles: int, n_total: int):
+    """cos/sin (f32) of a subcarrier completing EXACTLY ``k_cycles`` over
+    the ``n_total``-sample frame stream — integer cycles per period, so
+    the wrap-padded filters and the circular discriminator are exact.
+    Host f64 with the product reduced mod n_total BEFORE the divide:
+    k*i reaches ~1e13 (< 2^53, exact in f64), and the reduced phase is
+    < 2 pi so the f32 cast costs ~1e-7 rad."""
+    ph = (TWO_PI / n_total) * (
+        (k_cycles * np.arange(n_total, dtype=np.float64)) % n_total
+    )
+    return np.cos(ph).astype(np.float32), np.sin(ph).astype(np.float32)
+
+
+def _audio_mux(sp: SatPlan, audio: jax.Array, l: int) -> jax.Array:
+    """(B, K, L*n_base) audio in [-1, 1] -> subcarrier multiplex
+    (B, L*n_base) in video units: 50 us pre-emphasis, per-frame circular
+    FM on each subcarrier (deviation phase closed mod 2 pi over the frame,
+    like the main carrier's in fm_modulate)."""
+    a = jnp.asarray(audio, jnp.float32)
+    if a.ndim == 2:
+        a = a[:, None, :]
+    n_tot = l * sp.n_base
+    if a.shape[1] != len(sp.sub_freqs) or a.shape[-1] != n_tot:
+        raise ValueError(
+            f"audio shape {audio.shape} != (B, {len(sp.sub_freqs)}, {n_tot})"
+        )
+    a = _wrap_filter(a, sp.aud_pre)
+    out = jnp.zeros(a.shape[:1] + (n_tot,), jnp.float32)
+    for j, f in enumerate(sp.sub_freqs):
+        k_cyc = int(round(f * n_tot / sp.base_fs))
+        dphi = jnp.float32(TWO_PI * sp.sub_dev / sp.base_fs) * a[:, j]
+        tot = jnp.sum(dphi, axis=-1, keepdims=True) % TWO_PI
+        tot = jnp.where(tot > jnp.pi, tot - TWO_PI, tot)
+        dphi = dphi - tot / n_tot
+        phi = jnp.cumsum(dphi, axis=-1) - 0.5 * dphi
+        c, s = _sub_trig(k_cyc, n_tot)
+        out = out + jnp.float32(sp.sub_amp) * (
+            jnp.asarray(c) * jnp.cos(phi) - jnp.asarray(s) * jnp.sin(phi)
+        )
+    return out
+
+
+def fm_modulate(sp: SatPlan, base: jax.Array, gline=None,
+                audio: jax.Array | None = None) -> jax.Array:
     """Baseband (B, L, N) video units -> FM signal (B, L, N*r) at IF.
 
     Pre-emphasis at the baseband rate, zero-stuff interpolation to the RF
     rate, midpoint-rule deviation integral per frame (line-carry wrapped
     mod 2pi, see module docstring), exact fs/4 carrier.  Stream filters
     run on reflect-padded streams (see ``_EDGE_PAD``).
+
+    ``audio``: (B, K, L*n_base) (or (B, L*n_base) when K=1) audio in
+    [-1, 1] at the baseband rate, one stream per designed subcarrier —
+    added to the multiplex above the video, which is then low-passed
+    below the lowest subcarrier (the plan must have ``audio_subs`` > 0).
     """
     b, l, n = base.shape
     if n != sp.n_base:
         raise ValueError(f"rows have {n} samples, plan expects {sp.n_base}")
+    if audio is not None and not sp.sub_freqs:
+        raise ValueError(
+            "this SatPlan has no audio subcarriers — pass audio_subs= to "
+            "make_sat_plan"
+        )
     pb = _EDGE_PAD
     v = fir_same_fft(
         _wrap_pad(base.astype(jnp.float32).reshape(b, l * n), pb),
         sp.pre_taps,
     )[..., pb : pb + l * n].reshape(b, l, n)
+    if sp.sub_freqs:
+        # multiplex: video cleared out of the subcarrier band, sound added
+        stream = _wrap_filter(v.reshape(b, l * n), sp.mux_lpf)
+        if audio is not None:
+            stream = stream + _audio_mux(sp, audio, l)
+        v = stream.reshape(b, l, n)
     if gline is not None:
         # dispersal enters at the FM modulator input (after pre-emphasis),
         # matching the real chain; the receiver's de-emphasis scales a
@@ -256,14 +448,12 @@ def fm_modulate(sp: SatPlan, base: jax.Array, gline=None) -> jax.Array:
     return cpat * jnp.cos(phi) - spat * jnp.sin(phi)
 
 
-def fm_demodulate(sp: SatPlan, rf: jax.Array) -> jax.Array:
-    """FM signal (B, L, N*r) -> baseband (B, L, N) video units.
-
-    Receiver band-pass, exact fs/4 quadrature mixers, I/Q low-pass,
-    symmetric phase-difference discriminator, decimation, de-emphasis.
-    Dispersal (if transmitted) is still present in the output — the next
-    layer's clamp removes it, as in the real receiver.
-    """
+def _demod_multiplex(sp: SatPlan, rf: jax.Array) -> jax.Array:
+    """Receiver front end shared by video and sound: band-pass, exact
+    fs/4 quadrature mixers, I/Q low-pass, symmetric phase-difference
+    discriminator, decimation — returns the recovered baseband MULTIPLEX
+    stream (B, L*n_base) in video units, before de-emphasis and before
+    the video/sound band split."""
     b, l, n_rf = rf.shape
     if n_rf != sp.n_rf:
         raise ValueError(f"rows have {n_rf} RF samples, plan expects {sp.n_rf}")
@@ -306,10 +496,60 @@ def fm_demodulate(sp: SatPlan, rf: jax.Array) -> jax.Array:
 
     v = f_dev / jnp.float32(sp.deviation) + jnp.float32(sp.center)
     v = fir_same_fft(v, sp.dec_taps)
-    v = v[..., pad : pad + l * n_rf][..., :: sp.r]           # crop + decimate
+    return v[..., pad : pad + l * n_rf][..., :: sp.r]        # crop + decimate
+
+
+def fm_demodulate(sp: SatPlan, rf: jax.Array) -> jax.Array:
+    """FM signal (B, L, N*r) -> baseband (B, L, N) video units.
+
+    The shared front end (:func:`_demod_multiplex`), then the video side
+    of the multiplex: sound subcarriers low-passed away (when designed),
+    de-emphasis.  Dispersal (if transmitted) is still present in the
+    output — the next layer's clamp removes it, as in the real receiver.
+    """
+    b, l, _ = rf.shape
+    v = _demod_multiplex(sp, rf)
+    if sp.sub_freqs:
+        v = _wrap_filter(v, sp.mux_lpf)
     v = fir_same_fft(_wrap_pad(v, _EDGE_PAD), sp.de_taps)  # de-emphasis
     v = v[..., _EDGE_PAD : _EDGE_PAD + l * sp.n_base]
     return v.reshape(b, l, sp.n_base)
+
+
+def fm_demodulate_audio(sp: SatPlan, rf: jax.Array) -> jax.Array:
+    """FM signal (B, L, N*r) -> subcarrier audio (B, K, L*n_base).
+
+    The sound side of the multiplex: per subcarrier, quadrature mix with
+    the exact integer-cycles-per-frame carrier (so the mixed baseband is
+    itself frame-periodic), I/Q low-pass (which IS the band selection —
+    the neighboring subcarrier lands >= 2.2 Carson widths away and the
+    low-pass removes it), circular symmetric discriminator, audio
+    low-pass combined with 50 us de-emphasis in one FIR.
+    """
+    if not sp.sub_freqs:
+        raise ValueError("this SatPlan has no audio subcarriers")
+    b, l, _ = rf.shape
+    mux = _demod_multiplex(sp, rf)
+    n_tot = l * sp.n_base
+    outs = []
+    for f in sp.sub_freqs:
+        k_cyc = int(round(f * n_tot / sp.base_fs))
+        c, s = _sub_trig(k_cyc, n_tot)
+        i = _wrap_filter(mux * (2.0 * jnp.asarray(c)), sp.sub_lpf)
+        q = _wrap_filter(mux * (-2.0 * jnp.asarray(s)), sp.sub_lpf)
+        # circular symmetric discriminator — jnp.roll is EXACT here
+        # because the mixed-down stream is frame-periodic by construction
+        ip, im = jnp.roll(i, -1, -1), jnp.roll(i, 1, -1)
+        qp, qm = jnp.roll(q, -1, -1), jnp.roll(q, 1, -1)
+        f_dev = jnp.arctan2(qp * im - ip * qm, ip * im + qp * qm) * (
+            jnp.float32(sp.base_fs / (2.0 * TWO_PI))
+        )
+        a = _wrap_filter(f_dev / jnp.float32(sp.sub_dev), sp.aud_rx)
+        # AC coupling (every real sound IF is): removes the ~100 Hz
+        # carrier bias left by the per-frame FM phase closure, which
+        # otherwise floors non-zero-mean audio at ~45 dB
+        outs.append(a - jnp.mean(a, axis=-1, keepdims=True))
+    return jnp.stack(outs, axis=1)
 
 
 def noise_sigma(sp: SatPlan, cnr_db: float) -> float:

@@ -123,3 +123,105 @@ def test_composite_transparency():
     direct = float(psnr(dec(comp, 0), img[None]))
     via = float(psnr(dec(rx, 0), img[None]))
     assert via >= direct - 0.5, (via, direct)
+
+
+# --- analog audio subcarriers -------------------------------------------
+
+
+def _bin_tone(f, amp, n_tot, fs):
+    """Frame-periodic tone: integer cycles over the block, because the
+    satellite layer models the block as ONE PERIOD (module docstring) —
+    a non-periodic tone would measure the seam glitch, not the chain."""
+    k = max(1, round(f * n_tot / fs))
+    t = np.arange(n_tot) / fs
+    return (amp * np.sin(2 * np.pi * (k * fs / n_tot) * t)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def sub_link():
+    fs = 13.5e6
+    sp = sat.make_sat_plan(fs, W, audio_subs=2)
+    comp = jnp.asarray(smooth_scene(L, W, seed=4).astype(np.float32)[0])[None]
+    n_tot = L * W
+    a = np.stack([
+        _bin_tone(1000, 0.6, n_tot, fs) + _bin_tone(7000, 0.3, n_tot, fs),
+        _bin_tone(3000, 0.5, n_tot, fs),
+    ])
+    rf = sat.fm_modulate(sp, comp, audio=jnp.asarray(a)[None])
+    return sp, comp, a, rf
+
+
+def _audio_snr(ref, out):
+    ref = ref - ref.mean()  # the receiver is AC-coupled
+    err = np.asarray(out) - ref
+    return 10 * np.log10(np.mean(ref ** 2) / np.mean(err ** 2))
+
+
+def test_audio_subcarriers_clean(sub_link):
+    """Noise-free: >=55 dB audio on both subcarriers, video transparent
+    to the multiplex low-pass (measured 2026-08-18: 64.0/61.7 dB audio,
+    62.6 dB video on the smooth scene)."""
+    sp, comp, a, rf = sub_link
+    vid = sat.fm_demodulate(sp, rf)
+    aud = sat.fm_demodulate_audio(sp, rf)
+    assert float(psnr(vid, comp)) >= 57.0
+    s0, s1 = _audio_snr(a[0], aud[0, 0]), _audio_snr(a[1], aud[0, 1])
+    assert s0 >= 58.0 and s1 >= 55.0, (s0, s1)
+
+
+def test_audio_subcarriers_under_noise(sub_link):
+    """CNR 14 dB (near FM threshold): the emphasis + high modulation
+    index keep audio ~20 dB above the video's post-detection SNR, and
+    the HIGHER subcarrier is the noisier one — the discriminator's
+    f^2 (triangular) noise spectrum, the reason real links put the main
+    mono sound on the lowest subcarrier (measured: 51.3/47.8 dB audio,
+    31.8 dB video)."""
+    sp, comp, a, rf = sub_link
+    rfn = sat.awgn(sp, rf, jax.random.PRNGKey(7), 14.0)
+    aud = sat.fm_demodulate_audio(sp, rfn)
+    s0, s1 = _audio_snr(a[0], aud[0, 0]), _audio_snr(a[1], aud[0, 1])
+    assert s0 >= 46.0 and s1 >= 43.0, (s0, s1)
+    assert s0 > s1, "lower subcarrier must be the quieter one"
+    assert float(psnr(sat.fm_demodulate(sp, rfn), comp)) >= 28.0
+
+
+def test_audio_emphasis_pair_flat(sub_link):
+    """50 us pre-emphasis times (de-emphasis * audio LPF) == the LPF mask:
+    flat through the audio band even though the two FIRs are windowed
+    separately."""
+    from color_modem_tpu.dsp.design import freqz
+
+    sp = sub_link[0]
+    f = np.linspace(100.0, 12e3, 40)
+    prod = np.abs(freqz(sp.aud_pre, sp.base_fs, f)) * np.abs(
+        freqz(sp.aud_rx, sp.base_fs, f)
+    )
+    assert np.max(np.abs(prod - 1.0)) < 0.02
+
+
+def test_sub_geometry_and_validation():
+    # wide basebands take the authentic ladder verbatim
+    sp27 = sat.make_sat_plan(27e6, 1440, audio_subs=3)
+    assert sp27.sub_freqs == sat.AUDIO_SUB_LADDER[:3]
+    # 13.5 MHz: scaled positions, and no room for a third
+    sp13 = sat.make_sat_plan(13.5e6, 720, audio_subs=2)
+    assert all(f < 6.6e6 for f in sp13.sub_freqs)
+    with pytest.raises(ValueError, match="scaled subcarrier slots"):
+        sat.make_sat_plan(13.5e6, 720, audio_subs=3)
+    with pytest.raises(ValueError, match="exceeds"):
+        sat.make_sat_plan(13.5e6, 720, audio_subs=1, sub_freqs=(6.7e6,))
+    with pytest.raises(ValueError, match="too close"):
+        sat.make_sat_plan(27e6, 1440, audio_subs=2,
+                          sub_freqs=(6.5e6, 6.6e6))
+    # the literal Astra 180 kHz pair IS expressible at its real 50 kHz
+    # Panda-era deviation (the spacing rule scales with deviation)
+    astra = sat.make_sat_plan(27e6, 1440, audio_subs=2,
+                              sub_freqs=(7.02e6, 7.20e6), sub_dev=50e3)
+    assert astra.sub_freqs == (7.02e6, 7.20e6)
+    # audio without designed subcarriers refuses on both sides
+    sp0 = sat.make_sat_plan(13.5e6, 720)
+    z = jnp.zeros((1, 1, 8 * 720), jnp.float32)
+    with pytest.raises(ValueError, match="no audio subcarriers"):
+        sat.fm_modulate(sp0, jnp.zeros((1, 8, 720), jnp.float32), audio=z)
+    with pytest.raises(ValueError, match="no audio subcarriers"):
+        sat.fm_demodulate_audio(sp0, jnp.zeros((1, 8, 2880), jnp.float32))
