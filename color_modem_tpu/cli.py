@@ -314,6 +314,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--raster so sync is present); implies --rf",
     )
     rt.add_argument(
+        "--rf-a2", default=None, choices=("stereo", "dual"),
+        help="A2/Zweikanalton two-carrier sound (the German B/G system): "
+        "a second FM sound carrier 15.5 fh up carries R (stereo) or a "
+        "second program (dual), with the 3.5 fh AM-ident pilot; the "
+        "receiver reports the DETECTED mode and per-channel SNR; "
+        "implies --rf (the other two stereo systems: --rf-stereo is "
+        "MTS/BTSC, --rf-nicam is NICAM-728)",
+    )
+    rt.add_argument(
         "--rf-stereo", action="store_true",
         help="transmit an MTS/BTSC-style stereo pair (1 kHz left, 3 kHz "
         "right) on the sound channel; reports per-ear SNR and the pilot "
@@ -1552,7 +1561,7 @@ def main(argv=None) -> int:
                     )
                     print(f"wrote {args.audio_out}")
         if (args.rf or args.rf_noise > 0.0 or args.rf_recover or args.rf_audio
-                or args.rf_stereo or args.rf_nicam
+                or args.rf_stereo or args.rf_nicam or args.rf_a2
                 or args.rf_dropouts > 0.0 or args.rf_doc
                 or args.rf_detection != "sync" or args.rf_phase_error != 0.0
                 or args.rf_gain != 1.0 or args.rf_agc
@@ -1601,7 +1610,36 @@ def main(argv=None) -> int:
                 wav_in = resample_linear(
                     wav_x, wav_rate, plan.fs, n_out=l_rf * n_rf
                 )
-            if args.rf_stereo:
+            a2_l = a2_r = None
+            if args.rf_a2:
+                if args.rf_stereo:
+                    raise SystemExit(
+                        "--rf-a2 and --rf-stereo are different stereo "
+                        "systems (A2 two-carrier vs MTS multiplex); "
+                        "pick one"
+                    )
+                if wav_in is not None:
+                    st = wav_in if wav_in.shape[0] >= 2 else np.concatenate(
+                        [wav_in, wav_in]
+                    )
+                    a2_l, a2_r = st[0], st[1]
+                else:
+                    a2_l = (0.6 * np.sin(2 * np.pi * 800 * t)
+                            + 0.2 * np.sin(2 * np.pi * 5000 * t)).astype(
+                        np.float32
+                    )
+                    a2_r = (0.5 * np.sin(2 * np.pi * 2300 * t)).astype(
+                        np.float32
+                    )
+                a2_l = np.broadcast_to(a2_l, (b_rf, l_rf * n_rf))
+                a2_r = np.broadcast_to(a2_r, (b_rf, l_rf * n_rf))
+                import jax.numpy as jnp
+
+                # carrier 1: compatible mono sum (stereo) or program 1
+                audio = jnp.asarray(
+                    0.5 * (a2_l + a2_r) if args.rf_a2 == "stereo" else a2_l
+                )
+            elif args.rf_stereo:
                 from color_modem_tpu.frame.mts import mts_encode
 
                 if wav_in is not None:
@@ -1633,6 +1671,17 @@ def main(argv=None) -> int:
                 )
             rf_sig = rf_modulate(tx_rfp, comp_b, args.frame, audio,
                                  df=args.rf_freq_error)
+            a2p = None
+            if args.rf_a2:
+                from color_modem_tpu.frame import a2 as a2_mod
+
+                a2p = a2_mod.make_a2_plan(rfp)
+                import jax.numpy as jnp
+
+                rf_sig = a2_mod.a2_on_rf(
+                    a2p, rf_sig, args.frame,
+                    jnp.asarray(a2_r), args.rf_a2,
+                )
             nic_l = nic_r = None
             nic_cap = 0
             if args.rf_nicam:
@@ -1742,8 +1791,33 @@ def main(argv=None) -> int:
                 comp_b = apply_equalizer(comp_b, taps, pivot=pv)
             audio_snr = None
             stereo_report = None
+            a2_report = None
             audio_rec = None  # recovered (channels, n) at composite rate
-            if args.rf_stereo:
+            if args.rf_a2:
+                gl, gr, a2_info = a2_mod.a2_decode(a2p, rf_sig, args.frame)
+                audio_rec = np.stack([gl[0], gr[0]])
+                crop = min(8192, gl.shape[-1] // 4)
+                want_l = (0.5 * (a2_l + a2_r)
+                          if a2_info["mode"][0] == "mono" else a2_l)
+                want_r = (a2_r if a2_info["mode"][0] != "mono"
+                          else want_l)
+
+                def _a2snr(got, want):
+                    e = got[:, crop:-crop] - want[:, crop:-crop]
+                    return round(10.0 * np.log10(
+                        max(float(np.mean(want[:, crop:-crop] ** 2)), 1e-20)
+                        / max(float(np.mean(e ** 2)), 1e-20)
+                    ), 2)
+
+                a2_report = {
+                    "mode_sent": args.rf_a2,
+                    "mode_detected": a2_info["mode"][0],
+                    "left_snr_db": _a2snr(gl, want_l),
+                    "right_snr_db": _a2snr(gr, want_r),
+                    "pilot_level": round(float(a2_info["pilot_level"][0]), 4),
+                    "carrier2_mhz": round(a2p.f_snd2 / 1e6, 4),
+                }
+            elif args.rf_stereo:
                 from color_modem_tpu.frame.mts import mts_decode
                 from color_modem_tpu.frame.rf import rf_demodulate_sound
 
@@ -1846,6 +1920,7 @@ def main(argv=None) -> int:
                    if audio_snr is not None else {}),
                 **({"stereo": stereo_report}
                    if stereo_report is not None else {}),
+                **({"a2": a2_report} if a2_report is not None else {}),
                 **({"nicam": nicam_report}
                    if nicam_report is not None else {}),
             }
