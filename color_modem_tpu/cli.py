@@ -432,6 +432,10 @@ def build_parser() -> argparse.ArgumentParser:
         "data burst (99 bits/line at 10.125 Mbaud)",
     )
     mc.add_argument("--width", type=int, default=720)
+    mc.add_argument("--variant", default="d2", choices=("d2", "d"),
+                    help="d2 = 10.125 Mbaud duobinary burst (cable, the "
+                    "default); d = full-rate D-MAC, 20.25 Mbaud, double "
+                    "the payload (204 vs 99 bits/line)")
     mc.add_argument("--lines", type=int, default=0,
                     help="demo height (0 = 576, the 625-family active count)")
     mc.add_argument("--input", help="image file; omit with --demo")
@@ -634,7 +638,8 @@ def main(argv=None) -> int:
                     np.asarray(resample_width(rgb, args.width)), 0.0, 1.0
                 ).astype(np.float32)
         n_lines = rgb.shape[1]
-        plan = mac.make_mac_plan(args.width)
+        plan = mac.make_mac_plan(args.width, args.variant)
+        mac_cap = plan.cfg.data_symbols - len(plan.cfg.line_sync_word)
         gline = jnp.arange(n_lines)
 
         payload = None
@@ -658,9 +663,10 @@ def main(argv=None) -> int:
                 n_lines,
             )
         if args.data is not None:
-            # 12 bytes = 96 bits per 99-bit line slot, zero-padded
+            # whole bytes per line slot, zero-padded (d2: 12 bytes of the
+            # 99-bit slot; d: 25 of the 204-bit slot)
             raw = args.data.encode("utf-8")
-            per = 12
+            per = mac_cap // 8
             n_needed = -(-len(raw) // per)
             if n_needed > n_lines:
                 raise SystemExit(
@@ -671,7 +677,7 @@ def main(argv=None) -> int:
                 np.frombuffer(raw, np.uint8).reshape(n_lines, per), axis=1
             )
             payload = jnp.asarray(
-                np.pad(bits, ((0, 0), (0, 99 - 8 * per))), jnp.int32
+                np.pad(bits, ((0, 0), (0, mac_cap - 8 * per))), jnp.int32
             )
 
         sig = mac.encode(plan, jnp.asarray(rgb), gline, payload)
@@ -705,20 +711,21 @@ def main(argv=None) -> int:
                 jax.random.PRNGKey(0), sig.shape
             )
         out = mac.decode(plan, sig, gline)
-        print(f"d2mac roundtrip: {n_lines}x{args.width} "
+        print(f"{plan.cfg.name} roundtrip: {n_lines}x{args.width} "
               f"psnr {float(psnr(out, jnp.clip(jnp.asarray(rgb), 0, 1))):.1f} dB"
               + (f" (awgn sigma={args.noise})" if args.noise else ""))
         sync_ok, bits = mac.decode_data(plan, sig)
         print(f"line sync: {int(jnp.sum(sync_ok))}/{n_lines} bursts")
         if args.data is not None:
-            got = np.asarray(bits)[:, : 8 * 12]
+            per = mac_cap // 8
+            got = np.asarray(bits)[:, : 8 * per]
             text = (
                 np.packbits(got.astype(np.uint8), axis=1)
                 .tobytes()
                 .rstrip(b"\0")
                 .decode("utf-8", errors="replace")
             )
-            ber = float(np.mean(got != np.asarray(payload)[:, : 8 * 12]))
+            ber = float(np.mean(got != np.asarray(payload)[:, : 8 * per]))
             print(f"data burst payload (ber {ber:.2e}): {text!r}")
         if n_audio_frames:
             left, right, rep = mac.unpack_sound(plan, bits, n_audio_frames)

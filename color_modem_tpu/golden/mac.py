@@ -59,10 +59,18 @@ def encode_line(
     line = np.full(cfg.samples_per_line, cfg.pedestal, dtype=np.float64)
 
     d = _duobinary_line(bits)
-    up = np.zeros(2 * cfg.data_symbols, dtype=np.float64)
-    up[0::2] = d
-    shaped = np.convolve(up, plan.halfband.astype(np.float64), mode="same")
-    line[cfg.data_start : cfg.data_start + 2 * cfg.data_symbols] = (
+    spb = cfg.samples_per_symbol
+    if spb == 1:
+        # D-MAC: one symbol per grid sample, no interpolation (the
+        # duobinary correlation is the spectrum shaping)
+        shaped = d
+    else:
+        up = np.zeros(spb * cfg.data_symbols, dtype=np.float64)
+        up[0::spb] = d
+        shaped = np.convolve(
+            up, plan.halfband.astype(np.float64), mode="same"
+        )
+    line[cfg.data_start : cfg.data_start + spb * cfg.data_symbols] = (
         cfg.pedestal + cfg.data_amplitude * shaped
     )
 
@@ -139,10 +147,11 @@ def decode_data_line(plan: MacPlan, line: np.ndarray):
     cfg = plan.cfg
     clamp = line[cfg.clamp_start : cfg.clamp_start + cfg.clamp_len]
     line = line.astype(np.float64) - (clamp.mean() - cfg.pedestal)
-    burst = line[cfg.data_start : cfg.data_start + 2 * cfg.data_symbols]
+    spb = cfg.samples_per_symbol
+    burst = line[cfg.data_start : cfg.data_start + spb * cfg.data_symbols]
     bits = []
     for k in range(cfg.data_symbols):
-        d = (burst[2 * k] - cfg.pedestal) / cfg.data_amplitude
+        d = (burst[spb * k] - cfg.pedestal) / cfg.data_amplitude
         bits.append(1 if abs(d) < 0.5 else 0)
     n_sync = len(cfg.line_sync_word)
     sync_ok = tuple(bits[:n_sync]) == tuple(cfg.line_sync_word)

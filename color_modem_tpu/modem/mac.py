@@ -82,11 +82,20 @@ def duobinary_bits(levels: jax.Array) -> jax.Array:
 
 
 def _burst_signal(plan: MacPlan, bits: jax.Array) -> jax.Array:
-    """(..., L, K) bits -> (..., L, 2K) shaped burst around 0 (no pedestal)."""
+    """(..., L, K) bits -> (..., L, spb*K) shaped burst around 0 (no
+    pedestal).  D2 (spb=2): zero-stuff to the grid and half-band shape —
+    symbol centers stay exact.  D-MAC (spb=1): every grid sample IS a
+    symbol; the duobinary (1+D)/2 correlation already shapes the
+    spectrum (null at the 10.125 MHz Nyquist of the baud), no filter."""
     cfg = plan.cfg
     d = duobinary_levels(bits)                       # (..., L, K)
-    up = jnp.zeros(d.shape[:-1] + (2 * cfg.data_symbols,), jnp.float32)
-    up = up.at[..., 0::2].set(d)                     # symbol centers at even n
+    if cfg.samples_per_symbol == 1:
+        return jnp.float32(cfg.data_amplitude) * d
+    up = jnp.zeros(
+        d.shape[:-1] + (cfg.samples_per_symbol * cfg.data_symbols,),
+        jnp.float32,
+    )
+    up = up.at[..., 0 :: cfg.samples_per_symbol].set(d)
     shaped = fir_same(up, plan.halfband)             # even samples preserved
     return jnp.float32(cfg.data_amplitude) * shaped
 
@@ -150,7 +159,7 @@ def encode(
     burst = jnp.float32(cfg.pedestal) + _burst_signal(plan, bits)
 
     ped = jnp.float32(cfg.pedestal)
-    n_burst = 2 * cfg.data_symbols
+    n_burst = cfg.samples_per_symbol * cfg.data_symbols
 
     def gap(n):
         return jnp.full(y.shape[:-1] + (n,), ped, jnp.float32)
@@ -219,10 +228,10 @@ def decode_data(plan: MacPlan, sig: jax.Array):
     """
     cfg = plan.cfg
     sig = sig.astype(jnp.float32) - clamp_correction(plan, sig)
-    burst = _seg(sig, cfg.data_start, 2 * cfg.data_symbols)
-    d = (burst[..., 0::2] - jnp.float32(cfg.pedestal)) / jnp.float32(
-        cfg.data_amplitude
-    )
+    burst = _seg(sig, cfg.data_start,
+                 cfg.samples_per_symbol * cfg.data_symbols)
+    d = (burst[..., 0 :: cfg.samples_per_symbol]
+         - jnp.float32(cfg.pedestal)) / jnp.float32(cfg.data_amplitude)
     bits = duobinary_bits(d)
     n_sync = len(cfg.line_sync_word)
     sync = jnp.asarray(cfg.line_sync_word, dtype=jnp.int32)

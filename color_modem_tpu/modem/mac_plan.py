@@ -33,6 +33,9 @@ class MacConfig:
 
     # --- duobinary data burst (D2 = half the D-MAC symbol rate) -----------
     data_symbols: int = 105               # at fs/2 = 10.125 Mbaud
+    samples_per_symbol: int = 2           # D2: symbol centers on even n;
+    #                                       D-MAC: 1 (20.25 Mbaud, one
+    #                                       symbol per grid sample)
     data_start: int = 0                   # burst occupies [0, 210)
     #: 6-symbol line sync word opening every burst (spec-shaped [MEM-L];
     #: the exact published word is not load-bearing — detection is tested
@@ -81,8 +84,19 @@ def halfband_taps(half_width: int = 15) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _cached_plan(width: int) -> MacPlan:
-    cfg = MacConfig()
+def _cached_plan(width: int, variant: str) -> MacPlan:
+    if variant == "d2":
+        cfg = MacConfig()
+    elif variant == "d":
+        # D-MAC: the full-rate original (BO.650's satellite member) — the
+        # duobinary burst runs at 20.25 Mbaud, one symbol per grid sample,
+        # doubling the per-line payload (204 vs 99 bits) at double the
+        # data bandwidth (D2 was derived by halving exactly this burst
+        # rate to fit cable networks).  Same analog segments, levels and
+        # line geometry — the picture path is IDENTICAL by construction.
+        cfg = MacConfig(name="dmac", data_symbols=210, samples_per_symbol=1)
+    else:
+        raise ValueError(f"unknown MAC variant {variant!r} (want 'd2'|'d')")
     # MAC transmits weighted color-difference components.  The published
     # MAC weighting differs in the third decimal from PAL's; with the mount
     # empty we reuse the framework's exact PAL rows (A.3: U = 0.493(B-Y),
@@ -99,6 +113,10 @@ def _cached_plan(width: int) -> MacPlan:
     )
 
 
-def make_mac_plan(width: int = 720) -> MacPlan:
-    """Plan for W-pixel image rows <-> 1296-sample D2-MAC lines."""
-    return _cached_plan(int(width))
+def make_mac_plan(width: int = 720, variant: str = "d2") -> MacPlan:
+    """Plan for W-pixel image rows <-> 1296-sample MAC lines.
+
+    ``variant``: "d2" (default, 10.125 Mbaud duobinary burst) or "d"
+    (full-rate D-MAC, 20.25 Mbaud, double payload).
+    """
+    return _cached_plan(int(width), variant)

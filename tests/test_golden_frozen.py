@@ -81,7 +81,15 @@ FROZEN = {
     # NumPy with a stateful bit-by-bit duobinary precoder and an explicit
     # chroma line store, written oracle-first.  No pre-existing golden
     # file touched.
-    "mac.py": "d86f8d720cb1468d",
+    # mac.py updated 2026-08-18 (round 2): ADDITIVE change — the burst
+    # writer/reader honor cfg.samples_per_symbol for the full-rate D-MAC
+    # variant (spb=1: one duobinary level per grid sample, no half-band
+    # interpolation — the (1+D)/2 correlation is the spectrum shaping,
+    # BO.650's satellite member at 20.25 Mbaud).  The D2 path (spb=2) is
+    # numerically IDENTICAL to before: same zero-stuff + convolve, the
+    # factor 2 merely became cfg.samples_per_symbol (enforced by the
+    # unmodified D2 parity tests passing across this edit).
+    "mac.py": "f6c08015baa67284",
 }
 
 

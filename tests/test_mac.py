@@ -216,3 +216,50 @@ def test_packet_sound_survives_satellite(plan):
     snr = -10.0 * np.log10(float(jnp.mean((gl - jnp.asarray(left)) ** 2))
                            + 1e-12)
     assert snr >= 50.0, snr
+
+
+def test_dmac_variant(gline):
+    """Full-rate D-MAC (20.25 Mbaud, samples_per_symbol=1): double the
+    payload (204 vs 99 bits/line), bit-exact clean, IDENTICAL picture
+    path (the analog segments don't change), golden parity."""
+    from color_modem_tpu.golden import mac as gmac
+
+    d2 = mac.make_mac_plan(W, "d2")
+    dm = mac.make_mac_plan(W, "d")
+    assert dm.cfg.samples_per_symbol == 1
+    cap = dm.cfg.data_symbols - len(dm.cfg.line_sync_word)
+    assert cap == 204 and dm.cfg.data_symbols == 210
+    # burst region identical: [0, 210) grid samples in both variants
+    assert (dm.cfg.samples_per_symbol * dm.cfg.data_symbols
+            == d2.cfg.samples_per_symbol * d2.cfg.data_symbols)
+
+    img = smooth_scene(L, W, seed=3).astype(np.float32)
+    rng = np.random.default_rng(1)
+    payload = jnp.asarray(rng.integers(0, 2, size=(L, cap)), jnp.int32)
+    sig = mac.encode(dm, jnp.asarray(img), gline, payload)
+    ok, bits = mac.decode_data(dm, sig)
+    assert bool(ok.all())
+    assert bool(jnp.all(bits == payload))
+    p_d = float(psnr(mac.decode(dm, sig, gline),
+                     jnp.clip(jnp.asarray(img), 0, 1)))
+    p_d2 = float(psnr(mac.roundtrip(d2, jnp.asarray(img), gline),
+                      jnp.clip(jnp.asarray(img), 0, 1)))
+    assert p_d == pytest.approx(p_d2, abs=0.05), (p_d, p_d2)
+
+    # golden mirror handles the variant (hash updated same commit)
+    g_sig = gmac.encode_frame(dm, img, 0,
+                              payload=list(np.asarray(payload)))
+    assert float(psnr(jnp.asarray(g_sig, jnp.float32), sig)) >= 60.0
+    okg, bitsg = gmac.decode_data_line(dm, g_sig[5])
+    assert okg and list(bitsg) == list(np.asarray(payload[5]))
+
+    # and the burst survives its real channel: satellite FM at CNR 18
+    from color_modem_tpu.frame import satellite as sat
+
+    sp = sat.make_sat_plan(dm.cfg.fs, dm.cfg.samples_per_line)
+    rx = sat.sat_roundtrip(sp, sig[None], key=jax.random.PRNGKey(2),
+                           cnr_db=18.0)[0]
+    ok2, bits2 = mac.decode_data(dm, rx)
+    assert bool(ok2.all())
+    ber = float(jnp.mean((bits2 != payload).astype(jnp.float32)))
+    assert ber < 1e-3, ber
