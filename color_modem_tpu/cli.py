@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_raster(rt)
     rt.add_argument("--input", help="image file; omit with --demo")
     rt.add_argument("--demo", action="store_true", help="use generated color bars")
+    rt.add_argument(
+        "--pattern", default="bars", choices=("bars", "card", "ramp", "scene"),
+        help="demo image: 75%% color bars, the broadcast test card "
+        "(crosshatch + circle + bars + gray steps + multiburst), a "
+        "luminance ramp, or a band-limited pseudo-natural scene",
+    )
     rt.add_argument("--lines", type=int, default=0, help="demo height (0=standard)")
     rt.add_argument("--output", help="decoded PNG")
     rt.add_argument("--composite", help="composite visualization PNG")
@@ -543,6 +549,19 @@ def _load_input(args):
     cfg = ALL_STANDARDS[args.standard]()
     if getattr(args, "demo", False) or not getattr(args, "input", None):
         lines = getattr(args, "lines", 0) or cfg.active_lines
+        pattern = getattr(args, "pattern", "bars")
+        if pattern == "card":
+            from color_modem_tpu.utils.testimages import test_card
+
+            return test_card(lines, args.width).astype(np.float32), cfg
+        if pattern == "ramp":
+            from color_modem_tpu.utils.testimages import gray_ramp
+
+            return gray_ramp(lines, args.width).astype(np.float32), cfg
+        if pattern == "scene":
+            from color_modem_tpu.utils.testimages import smooth_scene
+
+            return smooth_scene(lines, args.width).astype(np.float32), cfg
         return color_bars(lines, args.width).astype(np.float32), cfg
     rgb = load_rgb(args.input)
     if rgb.shape[2] != args.width:

@@ -56,3 +56,67 @@ def smooth_scene(n_lines: int, n_samples: int, seed: int = 0) -> np.ndarray:
     img -= img.min()
     img /= max(img.max(), 1e-9)
     return 0.1 + 0.8 * img  # stay away from clamp rails
+
+
+def test_card(n_lines: int, n_samples: int) -> np.ndarray:
+    """(3, L, N) broadcast-style test card (PM5544-inspired geometry).
+
+    The classic service pattern rolled into one frame, so a single image
+    exercises every modem failure mode at once: a crosshatch (convergence
+    — sharp luma edges in both axes), edge castellations (overscan),
+    a center circle carrying 75 % color bars (chroma amplitude/phase), a
+    5-step gray scale (differential gain), a multiburst of luma gratings
+    rising toward the chroma band (cross-color: the finest grating lands
+    where a notch decoder rings and a comb stays clean), and a
+    half-amplitude checkerboard (DC bounce).  Geometry scales with the
+    requested raster instead of pinning the original's 625-line counts.
+    """
+    L, N = n_lines, n_samples
+    yy = np.arange(L)[:, None]
+    xx = np.arange(N)[None, :]
+    img = np.full((3, L, N), 0.5, dtype=np.float64)
+
+    # crosshatch on the neutral background
+    cw, ch = max(8, N // 15), max(6, L // 12)
+    lwx, lwy = max(1, N // 360), max(1, L // 288)
+    grid = ((xx % cw) < lwx) | ((yy % ch) < lwy)
+    img[:, grid] = 0.9
+
+    # castellations: alternating black/white blocks along top and bottom
+    blk = (((xx // cw) % 2) == 0)
+    cast = np.where(blk, 1.0, 0.0)
+    img[:, : ch // 2, :] = cast[: ch // 2 if cast.shape[0] > 1 else 1, :]
+    img[:, L - ch // 2 :, :] = cast[:1, :]
+
+    # center circle: white ring, structured interior
+    cy, cx = (L - 1) / 2.0, (N - 1) / 2.0
+    # sample-aspect correction so the ring is circular on a 4:3 display
+    # of the L x N active raster
+    sx = (L * 4.0 / 3.0) / N
+    r = np.sqrt(((yy - cy) / (L / 2.0)) ** 2
+                + ((xx - cx) * sx / (L / 2.0)) ** 2)
+    inside = r < 0.92
+    ring = (r >= 0.92) & (r < 0.98)
+
+    bands = np.full((3, L, N), 0.5, dtype=np.float64)
+    b = [int(L * f) for f in (0.18, 0.38, 0.52, 0.68, 0.84)]
+    # color bars band
+    bar = BAR_COLORS_75[np.minimum((xx[0] * 8) // N, 7)].T  # (3, N)
+    bands[:, b[0] : b[1], :] = bar[:, None, :]
+    # gray steps (5)
+    steps = (np.minimum((xx[0] * 5) // N, 4)) / 4.0
+    bands[:, b[1] : b[2], :] = steps[None, None, :]
+    # multiburst: per-segment constant-frequency luma gratings, rising
+    # from ~N/64 to ~N/6 cycles per active width
+    seg = np.minimum((xx[0] * 5) // N, 4)
+    cycles = np.array([N / 64.0, N / 32.0, N / 16.0, N / 9.0, N / 6.0])
+    phase = 2.0 * np.pi * cycles[seg] * (xx[0] / N)
+    burst = 0.5 + 0.4 * np.sin(phase)
+    bands[:, b[2] : b[3], :] = burst[None, None, :]
+    # half-amplitude checkerboard
+    chk = ((xx // (2 * cw) + yy // (2 * ch)) % 2) == 0
+    bands[:, b[3] : b[4], :] = np.where(chk, 0.75, 0.25)[None, b[3] : b[4], :]
+
+    img = np.where(inside[None], bands, img)
+    img[:, ring] = 1.0
+    return np.clip(img, 0.0, 1.0)

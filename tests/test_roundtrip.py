@@ -218,3 +218,25 @@ def test_adaptive_comb_beats_fixed_on_vertical_transitions(name):
     s_f = psnr(np.asarray(rt_f(jnp.asarray(smooth), 0)), smooth)
     s_a = psnr(np.asarray(rt_a(jnp.asarray(smooth), 0)), smooth)
     assert s_a > s_f - 0.5, (name, s_f, s_a)
+
+
+def test_card_pattern_roundtrip():
+    """The broadcast test card (utils/testimages.test_card): well-formed
+    at any raster, and its multiburst band makes the comb-vs-notch gap
+    directly visible (the finest gratings land where a notch decoder
+    confuses luma with chroma)."""
+    from color_modem_tpu.utils.testimages import test_card
+
+    img = test_card(64, TEST_SAMPLES).astype(np.float32)
+    assert img.shape == (3, 64, TEST_SAMPLES)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert test_card(480, 1440).shape == (3, 480, 1440)
+
+    plan = get_plan("ntsc")
+    _, _, rt_n = make_pipeline(plan, "notch")
+    _, _, rt_c = make_pipeline(plan, "comb3")
+    x = jnp.asarray(img)[None]
+    p_n = psnr(np.asarray(rt_n(x, 0)), img[None])
+    p_c = psnr(np.asarray(rt_c(x, 0)), img[None])
+    # measured: comb3 beats notch by several dB on the card's gratings
+    assert p_c > p_n + 1.0, (p_n, p_c)
