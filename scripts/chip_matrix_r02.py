@@ -152,6 +152,40 @@ def main(batch: int = 16, iters: int = 60) -> None:
     out["rows"].append(row)
     print(json.dumps(row), flush=True)
 
+    # --- satellite FM hop row (frame/satellite.py): 4x-oversampled FM ----
+    # over the NTSC composite; the heaviest per-pixel transmission layer
+    # (pow2 FFT stream filters at the RF rate), so a chip number matters.
+    from color_modem_tpu.frame import satellite as sat_mod
+
+    cfg = ALL_STANDARDS["ntsc"]()
+    plan = make_plan(cfg, 720)
+    enc2, _, _ = _mk(plan, "notch", "xla")
+    one = smooth_scene(cfg.active_lines, 720, seed=0)
+    rgb = jnp.asarray(
+        np.broadcast_to(one, (batch, 3, cfg.active_lines, 720)), jnp.float32
+    )
+    comp = jax.block_until_ready(enc2(rgb, 0))
+    sp = sat_mod.make_sat_plan(plan.fs, 720)
+    sat_rt = jax.jit(lambda c: sat_mod.fm_demodulate(
+        sp, sat_mod.fm_modulate(sp, c)))
+    best = None
+    for _ in range(REPEATS):
+        r = measure(sat_rt, comp, iters=max(10, iters // 4))
+        if r.get("below_timing_resolution"):
+            continue
+        if best is None or r["seconds_per_call"] < best:
+            best = r["seconds_per_call"]
+    q = float(psnr(np.asarray(sat_rt(comp)), np.asarray(comp)))
+    pixels = batch * cfg.active_lines * 720
+    row = {
+        "standard": "ntsc", "decoder": "satellite-fm-hop", "backend": "xla",
+        "shape": [batch, cfg.active_lines, 720],
+        "mpix_per_s": round(pixels / best / 1e6, 1) if best else None,
+        "roundtrip_psnr_db": round(q, 2),  # composite transparency
+    }
+    out["rows"].append(row)
+    print(json.dumps(row), flush=True)
+
     os.makedirs("results", exist_ok=True)
     with open("results/chip_matrix_r02.json", "w") as f:
         json.dump(out, f, indent=1)
