@@ -61,10 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--input", help="image file; omit with --demo")
     rt.add_argument("--demo", action="store_true", help="use generated color bars")
     rt.add_argument(
-        "--pattern", default="bars", choices=("bars", "card", "ramp", "scene"),
+        "--pattern", default="bars",
+        choices=("bars", "card", "ramp", "scene", "zone"),
         help="demo image: 75%% color bars, the broadcast test card "
         "(crosshatch + circle + bars + gray steps + multiburst), a "
-        "luminance ramp, or a band-limited pseudo-natural scene",
+        "luminance ramp, a band-limited pseudo-natural scene, or a "
+        "zone plate (cross-color/aliasing sweep)",
     )
     rt.add_argument("--lines", type=int, default=0, help="demo height (0=standard)")
     rt.add_argument("--output", help="decoded PNG")
@@ -562,6 +564,10 @@ def _load_input(args):
             from color_modem_tpu.utils.testimages import smooth_scene
 
             return smooth_scene(lines, args.width).astype(np.float32), cfg
+        if pattern == "zone":
+            from color_modem_tpu.utils.testimages import zone_plate
+
+            return zone_plate(lines, args.width).astype(np.float32), cfg
         return color_bars(lines, args.width).astype(np.float32), cfg
     rgb = load_rgb(args.input)
     if rgb.shape[2] != args.width:

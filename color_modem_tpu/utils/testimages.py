@@ -120,3 +120,26 @@ def test_card(n_lines: int, n_samples: int) -> np.ndarray:
     img = np.where(inside[None], bands, img)
     img[:, ring] = 1.0
     return np.clip(img, 0.0, 1.0)
+
+
+def zone_plate(n_lines: int, n_samples: int, k: float = 0.5) -> np.ndarray:
+    """(3, L, N) luma zone plate: cos(pi*k*(x^2+y^2)) about the center.
+
+    Instantaneous spatial frequency grows linearly from DC at the center
+    to ``k`` x Nyquist at the edges in BOTH axes — the classic sweep that
+    lights up every aliasing and cross-color mechanism at once: the ring
+    where horizontal frequency crosses the chroma band shows a notch
+    decoder's cross-color as false rainbows, the vertical sweep shows a
+    comb's resolution loss, and resamplers show their stopband as moire.
+    Zero chroma by construction (equal RGB).
+    """
+    L, N = n_lines, n_samples
+    y = (np.arange(L) - (L - 1) / 2.0) / (L / 2.0)
+    x = (np.arange(N) - (N - 1) / 2.0) / (N / 2.0)
+    # phase = pi*k/2 * (u^2 * Nu + v^2 * Nv) in samples: d(phase)/du hits
+    # k*pi per sample (k x Nyquist) at |u| = 1
+    ph = (np.pi * k / 2.0) * (
+        (x[None, :] ** 2) * N / 2.0 + (y[:, None] ** 2) * L / 2.0
+    )
+    img = 0.5 + 0.4 * np.cos(2.0 * ph)
+    return np.broadcast_to(img, (3, L, N)).copy()
