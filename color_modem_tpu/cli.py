@@ -385,6 +385,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="satellite carrier-to-noise ratio in dB; implies --satellite",
     )
     vid.add_argument(
+        "--rf-audio-in", default=None, metavar="IN.wav",
+        help="soundtrack for the RF hop: WAV resampled to one audio "
+        "sample per video sample, riding the intercarrier FM sound "
+        "carrier phase-continuously across frames AND chunks (the "
+        "deviation phase at each chunk start comes from the full "
+        "track's host-f64 prefix sum, so chunking/resume cannot move "
+        "the audio); needs --rf",
+    )
+    vid.add_argument(
+        "--rf-stereo", action="store_true",
+        help="carry the soundtrack as an MTS/BTSC stereo multiplex on "
+        "the sound carrier (stereo WAV via --rf-audio-in, or L/R demo "
+        "tones); the receiver decodes L/R and reports per-ear SNR; "
+        "implies the wider 50 kHz sound channel",
+    )
+    vid.add_argument(
+        "--audio-out", default=None, metavar="OUT.wav",
+        help="write the receiver's recovered soundtrack as 48 kHz PCM "
+        "(mono, or L/R with --rf-stereo; needs --rf-audio-in or "
+        "--rf-stereo)",
+    )
+    vid.add_argument(
         "--host-source", action="store_true",
         help="generate frames on the host (default: on device — the host "
         "path re-uploads every chunk, which dominates over a slow link)",
@@ -1117,6 +1139,10 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "video":
+        import os
+
+        import numpy as np
+
         from color_modem_tpu.frame.video import (
             process_video,
             synthetic_device_source,
@@ -1183,6 +1209,44 @@ def main(argv=None) -> int:
                 np.asarray(cc_pack(text[2 * i : 2 * i + 2]))
                 for i in range(n_frames)
             ])
+        vid_audio = None
+        vid_st = None  # (2, T) source pair when --rf-stereo (for SNRs)
+        if args.rf_audio_in or args.rf_stereo:
+            if not args.rf:
+                raise SystemExit("--rf-audio-in/--rf-stereo ride the RF "
+                                 "sound carrier: add --rf")
+            n_samp = n_frames * lines * args.width
+            if args.rf_audio_in:
+                from color_modem_tpu.utils.wav import (
+                    read_wav,
+                    resample_linear,
+                )
+
+                wv, wr = read_wav(args.rf_audio_in)
+                if args.rf_stereo and wv.shape[0] < 2:
+                    wv = np.concatenate([wv, wv])
+                tracks = resample_linear(
+                    wv[: 2 if args.rf_stereo else 1], wr, plan.fs,
+                    n_out=n_samp,
+                ).astype(np.float32)
+            else:  # --rf-stereo demo tones
+                tt = np.arange(n_samp) / plan.fs
+                tracks = np.stack([
+                    (0.7 * np.sin(2 * np.pi * 1000 * tt)),
+                    (0.5 * np.sin(2 * np.pi * 3000 * tt)),
+                ]).astype(np.float32)
+            if args.rf_stereo:
+                from color_modem_tpu.frame.mts import mts_encode
+
+                vid_st = tracks
+                # the MTS multiplex is itself just a composite-rate
+                # stream: the chunked runner carries it like mono audio,
+                # phase-continuously; L/R come back out at the end
+                vid_audio = np.asarray(
+                    mts_encode(plan, tracks[:1], tracks[1:2])
+                )[0].astype(np.float32)
+            else:
+                vid_audio = tracks[0]
         summary = process_video(
             plan,
             source if args.input else make_src(lines, args.width),
@@ -1199,11 +1263,48 @@ def main(argv=None) -> int:
             nr=args.nr is not None,
             nr_sigma=args.nr,
             rf=args.rf,
+            rf_audio=vid_audio,
+            rf_audio_bw=50e3 if args.rf_stereo else 15e3,
             satellite=args.satellite or args.sat_cnr is not None,
             sat_cnr=args.sat_cnr,
             save_outputs=args.output is not None,
             caption_bits=cap_bits,
         )
+        if vid_audio is not None and (args.audio_out or vid_st is not None):
+            import glob as _glob
+
+            from color_modem_tpu.utils.wav import resample_linear, write_wav
+
+            rec = np.concatenate([
+                np.load(p) for p in sorted(
+                    _glob.glob(os.path.join(args.out, "aud_*.npy"))
+                )
+            ])
+            if vid_st is not None:
+                from color_modem_tpu.frame.mts import mts_decode
+
+                l2, r2, pilot = mts_decode(plan, rec[None])
+                chans = np.stack([np.asarray(l2)[0], np.asarray(r2)[0]])
+                crop = min(16384, rec.size // 4)
+
+                def _snr(got, want):
+                    e = got[crop:-crop] - want[crop:-crop]
+                    return round(float(10 * np.log10(
+                        max(float(np.mean(want[crop:-crop] ** 2)), 1e-20)
+                        / max(float(np.mean(e ** 2)), 1e-20)
+                    )), 2)
+
+                summary["stereo"] = {
+                    "left_snr_db": _snr(chans[0], vid_st[0]),
+                    "right_snr_db": _snr(chans[1], vid_st[1]),
+                    "pilot": round(float(np.mean(np.asarray(pilot))), 4),
+                }
+            else:
+                chans = rec[None]
+            if args.audio_out:
+                write_wav(args.audio_out,
+                          resample_linear(chans, plan.fs, 48000.0), 48000)
+                summary["audio_out"] = args.audio_out
         if args.caption:
             # receiver text: assemble the per-chunk decoded cells
             import glob

@@ -746,6 +746,72 @@ def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0, freq_error: float = 0.0):
     return fir_same_fft(audio, rfp.aud_lpf)
 
 
+def sound_on_rf(rfp: RFPlan, rf, frame0, audio, phi0=0.0):
+    """Add the FM sound carrier treating the BATCH as one contiguous
+    broadcast (the chunked-video transmitter).
+
+    ``rf_modulate(audio=...)`` integrates the deviation per batch item —
+    right for independent stills, but a video chunk's frames are
+    consecutive broadcast time: per-item integration would restart the
+    carrier phase (and the stream filters' warm-up) at every frame
+    boundary, a frame-rate buzz.  Here the ZOH, the deviation cumsum and
+    the carrier synthesis all run over the joined (B*L*N*r) stream;
+    ``phi0`` (radians) is the deviation phase accumulated BEFORE this
+    chunk — the host computes it from the full audio track's f64 prefix
+    sum, so any chunking reconstructs the same continuous phase law
+    (frame/video.py).  The carrier ramp itself needs no state: it is the
+    closed-form half-integer-cycles row law, keyed on the absolute row
+    via ``frame0``.
+
+    ``audio``: (B, L*N) in [-1, 1] at the composite rate, consecutive
+    frames of one stream.
+    """
+    b, l, n_rf = rf.shape
+    a_rf = jnp.repeat(
+        jnp.asarray(audio, jnp.float32).reshape(1, b * l * rfp.row_samples),
+        rfp.r, axis=-1,
+    )
+    dphi = (TWO_PI * rfp.snd_dev / rfp.fs_rf) * a_rf
+    phi_dev = jnp.cumsum(dphi, axis=-1) + jnp.asarray(phi0, jnp.float32)
+    ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
+    phi = jnp.broadcast_to(ramp, (b, l, n_rf)).reshape(1, b * l * n_rf)
+    phi = phi + phi_dev
+    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
+    snd = jnp.cos(phi).reshape(b, l, n_rf) * sign
+    return rf + rfp.snd_amp * snd
+
+
+def sound_from_rf(rfp: RFPlan, rf, frame0=0):
+    """Contiguous-batch sound takeoff: RF (B, L, N*r) -> audio (B, L*N).
+
+    The receive mirror of :func:`sound_on_rf`: every stream filter (sound
+    band-pass, I/Q low-pass, audio low-pass) runs over the joined chunk
+    stream, so frame boundaries inside a chunk see their true neighbors
+    and only the chunk edges carry filter warm-up — which the video
+    runner hides under its one-frame overlap fetch.
+    """
+    b, l, n_rf = rf.shape
+    n = rfp.row_samples
+    stream = rf.reshape(1, b * l * n_rf)
+    xs = fir_same_fft(stream, rfp.snd_bpf)
+    ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
+    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
+    base = (jnp.broadcast_to(ramp, (b, l, n_rf))
+            * jnp.ones_like(sign)).reshape(1, b * l * n_rf)
+    sgn = jnp.broadcast_to(sign, (b, l, n_rf)).reshape(1, b * l * n_rf)
+    c = jnp.cos(base) * sgn
+    s = jnp.sin(base) * sgn
+    i = fir_same_fft(xs * (2.0 * c), rfp.snd_lpf)
+    q = fir_same_fft(xs * (-2.0 * s), rfp.snd_lpf)
+    i = i.reshape(b * l * n, rfp.r)[:, 0].reshape(1, b * l * n)
+    q = q.reshape(b * l * n, rfp.r)[:, 0].reshape(1, b * l * n)
+    ip = jnp.concatenate([i[:, :1], i[:, :-1]], axis=-1)
+    qp = jnp.concatenate([q[:, :1], q[:, :-1]], axis=-1)
+    dphi = jnp.arctan2(ip * q - i * qp, i * ip + q * qp)
+    audio = dphi * (rfp.plan.fs / (2.0 * np.pi * rfp.snd_dev))
+    return fir_same_fft(audio, rfp.aud_lpf).reshape(b, l * n)
+
+
 def rf_roundtrip(rfp: RFPlan, comp, frame0=0, audio=None):
     """modulate -> demodulate (the RF-transparency test surface).
 

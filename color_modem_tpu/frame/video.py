@@ -94,6 +94,8 @@ def process_video(
     nr: bool = False,
     nr_sigma: float | None = None,
     rf: bool = False,
+    rf_audio: np.ndarray | None = None,
+    rf_audio_bw: float = 15e3,
     satellite: bool = False,
     sat_cnr: float | None = None,
     caption_bits: np.ndarray | None = None,
@@ -181,6 +183,8 @@ def process_video(
             else {}
         ),
         **({"rf": True} if rf else {}),
+        **({"rf_audio": True} if rf_audio is not None else {}),
+        **({"rf_audio_bw": rf_audio_bw} if rf_audio_bw != 15e3 else {}),
         **({"satellite": True, "sat_cnr": sat_cnr} if satellite else {}),
         **({"caption": True} if caption_bits is not None else {}),
         "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh else None,
@@ -235,18 +239,29 @@ def process_video(
             wave = encode_data_line(plan, cap_spec, _cap_bits[idx])
             return comp.at[:, 0, :].set(wave)
 
-        def roundtrip(rgb, frame0):  # noqa: F811 — rebuilt: the library
-            # roundtrip predates the caption wrap (and the channel/rf
-            # variants below overwrite this with the same comp-returning
-            # shape anyway)
+        def roundtrip(rgb, frame0, aud=None, phi0=None):  # noqa: F811 —
+            # rebuilt: the library roundtrip predates the caption wrap
+            # (and the channel/rf variants below overwrite this with the
+            # same (out, comp, aud) shape anyway)
             comp = enc_f(rgb, frame0)
-            return dec_f(comp, frame0), comp
+            return dec_f(comp, frame0), comp, None
 
     else:
         _lib_rt = roundtrip
 
-        def roundtrip(rgb, frame0):  # noqa: F811 — uniform (out, comp)
-            return _lib_rt(rgb, frame0), None
+        def roundtrip(rgb, frame0, aud=None, phi0=None):  # noqa: F811
+            return _lib_rt(rgb, frame0), None, None
+
+    want_sound = rf_audio is not None
+    if want_sound:
+        if not rf:
+            raise ValueError("rf_audio rides the RF sound carrier — pass "
+                             "rf=True")
+        if interlaced:
+            raise NotImplementedError(
+                "rf_audio with interlaced fields is not wired yet — the "
+                "audio stream would need per-field slicing"
+            )
 
     _rf_hop = None
     if rf:
@@ -254,18 +269,33 @@ def process_video(
             make_rf_plan,
             rf_demodulate,
             rf_modulate,
+            sound_from_rf,
+            sound_on_rf,
         )
 
-        rfp = make_rf_plan(plan)
+        # a wider sound channel (e.g. 50 kHz for an MTS stereo multiplex
+        # riding rf_audio) widens the takeoff/audio filters like the
+        # roundtrip CLI's --rf-stereo path does
+        rfp = make_rf_plan(plan, audio_bw=rf_audio_bw)
         _rf_units = 2 if interlaced else 1
 
-        def _rf_hop(comp, frame0):  # noqa: F811 — enabled variant
+        def _rf_hop(comp, frame0, aud=None, phi0=None):  # noqa: F811
             # the carrier row law keys on the ABSOLUTE leading-axis index
             # (fields when interlaced): an odd frame0 would otherwise flip
             # the (-1)^row parity relative to a chunk starting at 0 and
             # make the output chunk-size dependent
             g0 = jnp.asarray(frame0, jnp.int32) * _rf_units
-            return rf_demodulate(rfp, rf_modulate(rfp, comp, g0), g0)
+            rf_sig = rf_modulate(rfp, comp, g0)
+            aud_rx = None
+            if aud is not None:
+                # the chunk's frames are consecutive broadcast time: the
+                # sound carrier runs over the JOINED stream, its deviation
+                # phase continued across chunks by the host-f64 prefix
+                # phi0 (sound_on_rf docstring) — so chunking and resume
+                # points cannot move the audio either
+                rf_sig = sound_on_rf(rfp, rf_sig, g0, aud, phi0)
+                aud_rx = sound_from_rf(rfp, rf_sig, g0)
+            return rf_demodulate(rfp, rf_sig, g0), aud_rx
 
     if satellite:
         if rf:
@@ -282,7 +312,7 @@ def process_video(
         _sat_units = 2 if interlaced else 1
         sat_base = jax.random.PRNGKey(0x5A7)
 
-        def _rf_hop(comp, frame0):  # noqa: F811 — satellite variant
+        def _rf_hop(comp, frame0, aud=None, phi0=None):  # noqa: F811 — satellite
             # the satellite layer is frame-local by design (per-frame
             # circular FM), so chunk independence is structural; noise is
             # keyed on each item's ABSOLUTE leading-axis index like the
@@ -298,7 +328,7 @@ def process_video(
                     )
                 )(g)
                 rf_sig = rf_sig + jnp.float32(sat_sigma) * per
-            return sat_mod.fm_demodulate(sp, rf_sig)
+            return sat_mod.fm_demodulate(sp, rf_sig), None
 
     chan_noise_sigma = 0.0
     if channel:
@@ -344,12 +374,13 @@ def process_video(
             )(g)
             return comp + jnp.float32(chan_noise_sigma) * per
 
-        def roundtrip(rgb, frame0):  # noqa: F811 — impaired variant
+        def roundtrip(rgb, frame0, aud=None, phi0=None):  # noqa: F811
             comp = enc_f(rgb, frame0)
+            aud_rx = None
             if _rf_hop is not None:
                 # RF transmission first; the composite-level impairments
                 # below model receiver-side degradations (cli.py order)
-                comp = _rf_hop(comp, frame0)
+                comp, aud_rx = _rf_hop(comp, frame0, aud, phi0)
             comp = impair(plan, comp, **channel)
             if noisy:
                 comp = _add_noise(comp, frame0)
@@ -373,15 +404,15 @@ def process_video(
                 )
             return dec_f(comp, frame0), (
                 comp if cap_spec is not None else None
-            )
+            ), aud_rx
 
     elif _rf_hop is not None:
 
-        def roundtrip(rgb, frame0):  # noqa: F811 — RF-only variant
-            comp = _rf_hop(enc_f(rgb, frame0), frame0)
+        def roundtrip(rgb, frame0, aud=None, phi0=None):  # noqa: F811
+            comp, aud_rx = _rf_hop(enc_f(rgb, frame0), frame0, aud, phi0)
             return dec_f(comp, frame0), (
                 comp if cap_spec is not None else None
-            )
+            ), aud_rx
 
     from color_modem_tpu.utils.metrics import fingerprint_hex, fingerprint_jnp
 
@@ -417,9 +448,9 @@ def process_video(
         if nr_sigma is None and chan_noise_sigma > 0.0:
             nr_sigma = chan_noise_sigma
 
-    def _roundtrip_nr(rgb, frame0):
-        out, comp = roundtrip(rgb, frame0)
-        return (temporal_nr(out, nr_sigma) if nr else out), comp
+    def _roundtrip_nr(rgb, frame0, aud=None, phi0=None):
+        out, comp, aud_rx = roundtrip(rgb, frame0, aud, phi0)
+        return (temporal_nr(out, nr_sigma) if nr else out), comp, aud_rx
 
     def _rx_caption(comp):
         """Receiver: slice the caption cells off the received row 0."""
@@ -428,15 +459,24 @@ def process_video(
         bits, _ = decode_data_line(plan, cap_spec, comp[:, 0, :])
         return bits
 
-    @jax.jit
-    def step(rgb, frame0, off, n_real):
-        out, comp = _roundtrip_nr(rgb, frame0)
-        return (out,) + _metrics(out, rgb, off, n_real) + (_rx_caption(comp),)
+    def _aud_out(aud_rx, b):
+        if aud_rx is None:
+            return jnp.zeros((b, 0), jnp.float32)
+        return aud_rx
 
     @jax.jit
-    def step_metrics(rgb, frame0, off, n_real):
-        out, comp = _roundtrip_nr(rgb, frame0)
-        return _metrics(out, rgb, off, n_real) + (_rx_caption(comp),)
+    def step(rgb, frame0, off, n_real, aud=None, phi0=None):
+        out, comp, aud_rx = _roundtrip_nr(rgb, frame0, aud, phi0)
+        return (out,) + _metrics(out, rgb, off, n_real) + (
+            _rx_caption(comp), _aud_out(aud_rx, out.shape[0]),
+        )
+
+    @jax.jit
+    def step_metrics(rgb, frame0, off, n_real, aud=None, phi0=None):
+        out, comp, aud_rx = _roundtrip_nr(rgb, frame0, aud, phi0)
+        return _metrics(out, rgb, off, n_real) + (
+            _rx_caption(comp), _aud_out(aud_rx, out.shape[0]),
+        )
 
     # the sharded pipeline needs the frame batch to divide the mesh frame
     # axis, and the temporal comb needs >= 2*spacing frames PER DEVICE; a
@@ -462,6 +502,28 @@ def process_video(
         # substitutes and the result depended on the chunk size
         min_per_dev = max(min_per_dev, 2)
         overlap = max(overlap, 1)
+    if want_sound:
+        # the sound filters (8193-tap audio LPF at the composite rate)
+        # warm up over ~6 lines: a one-frame overlap hides the chunk-edge
+        # transients, so interior audio is seam-free
+        overlap = max(overlap, 1)
+        aud_np = np.asarray(rf_audio, np.float64).reshape(-1)
+        if aud_np.size % n_frames:
+            raise ValueError(
+                f"rf_audio length {aud_np.size} is not a whole number of "
+                f"per-frame blocks for {n_frames} frames"
+            )
+        _aud_item = aud_np.size // n_frames
+        # deviation phase accumulated before each frame, host f64 (exact
+        # to ~1e-11 rad at any video length), reduced mod 2pi — any
+        # chunking reconstructs the same continuous sound-carrier law
+        _frame_sums = aud_np.reshape(n_frames, _aud_item).sum(axis=1)
+        _pref = np.concatenate([
+            [0.0],
+            np.cumsum((2.0 * np.pi * rfp.snd_dev / plan.fs) * _frame_sums),
+        ])
+        _phi0_all = np.mod(_pref, 2.0 * np.pi).astype(np.float32)
+        _aud_f32 = aud_np.astype(np.float32).reshape(n_frames, _aud_item)
 
     def _pad_frames(rgb):
         b = rgb.shape[0]
@@ -494,8 +556,13 @@ def process_video(
             np.asarray(jnp.concatenate([p[6] for p in pending]))
             if cap_spec is not None else None
         )
+        all_aud = (  # one stacked fetch, flattened (chunks may be ragged)
+            np.asarray(jnp.concatenate([p[7].reshape(-1) for p in pending]))
+            if want_sound else None
+        )
         cc_at = 0
-        for k, (start, end, off, out, _, _, cc) in enumerate(pending):
+        aud_at = 0
+        for k, (start, end, off, out, _, _, cc, aud_rx) in enumerate(pending):
             q = float(all_q[k])
             psnrs.append(q)
             frames_done += end - start
@@ -510,6 +577,13 @@ def process_video(
                     all_cc[cc_at + off : cc_at + off + (end - start)],
                 )
                 cc_at += cc.shape[0]
+            if want_sound:
+                a0 = aud_at + off * _aud_item
+                np.save(
+                    os.path.join(out_dir, f"aud_{start:06d}.npy"),
+                    all_aud[a0 : a0 + (end - start) * _aud_item],
+                )
+                aud_at += int(np.prod(aud_rx.shape))
             if manifest:
                 manifest.mark_done(
                     start, end, fp=fingerprint_hex(all_fp[k]), psnr=round(q, 2)
@@ -528,11 +602,21 @@ def process_video(
         off = jnp.asarray(start - lo, jnp.int32)
         n_real = jnp.asarray(end - start, jnp.int32)
         pixels += (end - start) * rgb.shape[2] * rgb.shape[3]
+        aud_args = ()
+        if want_sound:
+            b_pad = int(rgb.shape[0])
+            idx = np.arange(lo, lo + b_pad)
+            aud_chunk = _aud_f32[np.clip(idx, 0, n_frames - 1)].copy()
+            aud_chunk[idx >= n_frames] = 0.0  # padded frames: silence
+            aud_args = (jnp.asarray(aud_chunk),
+                        jnp.float32(_phi0_all[lo]))
         if save_outputs:
-            out, q, fp, cc = step(rgb, lo, off, n_real)
+            out, q, fp, cc, aud_rx = step(rgb, lo, off, n_real, *aud_args)
         else:
-            out, (q, fp, cc) = None, step_metrics(rgb, lo, off, n_real)
-        pending.append((start, end, start - lo, out, q, fp, cc))
+            out, (q, fp, cc, aud_rx) = None, step_metrics(
+                rgb, lo, off, n_real, *aud_args
+            )
+        pending.append((start, end, start - lo, out, q, fp, cc, aud_rx))
         if len(pending) >= wave:
             _resolve(pending)
             pending = []

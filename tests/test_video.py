@@ -292,6 +292,49 @@ def test_video_rf_interlaced_chunk_independent(tmp_path):
     np.testing.assert_allclose(outs[2], outs[3], atol=1e-5, rtol=0)
 
 
+def test_video_rf_audio_phase_continuous(tmp_path):
+    """Soundtrack through the chunked runner: the FM sound carrier's
+    deviation phase continues across frames (joined-stream integration)
+    AND chunks (host-f64 prefix phi0), so audio quality matches the
+    single-shot chain and the output is chunk-size independent.
+    Measured 2026-08-18: 61.9 dB at both chunkings, max diff 1e-6."""
+    import glob
+
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    n = 5
+    t = np.arange(n * L * TEST_SAMPLES) / plan.fs
+    aud = (0.5 * np.sin(2 * np.pi * 700 * t)
+           + 0.3 * np.sin(2 * np.pi * 4000 * t)).astype(np.float32)
+    outs = {}
+    for chunk in (2, 3):
+        d = str(tmp_path / f"s{chunk}")
+        s = process_video(plan, src, n, d, decoder="notch", chunk=chunk,
+                          rf=True, rf_audio=aud)
+        assert s["frames_processed_this_run"] == n
+        got = np.concatenate([
+            np.load(p) for p in sorted(glob.glob(d + "/aud_*.npy"))
+        ])
+        assert got.shape == aud.shape
+        crop = 8192
+        e = got[crop:-crop] - aud[crop:-crop]
+        snr = 10 * np.log10(np.mean(aud[crop:-crop] ** 2) / np.mean(e ** 2))
+        assert snr >= 55.0, snr
+        outs[chunk] = got
+    np.testing.assert_allclose(outs[2], outs[3], atol=1e-4, rtol=0)
+    # a non-audio resume of an audio run must refuse
+    with pytest.raises(ValueError, match="refusing to resume"):
+        process_video(plan, src, n, str(tmp_path / "s2"), decoder="notch",
+                      chunk=2, rf=True)
+    # guards: audio needs the RF layer; interlaced not wired
+    with pytest.raises(ValueError, match="rf=True"):
+        process_video(plan, src, 2, str(tmp_path / "x"), chunk=2,
+                      rf_audio=aud)
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        process_video(plan, src, 2, str(tmp_path / "y"), chunk=2,
+                      rf=True, interlaced=True, rf_audio=aud)
+
+
 def test_video_satellite_hop_chunk_independent(tmp_path):
     """The satellite FM hop inside the chunk step: near-lossless when
     clean, and with channel noise the realization keys on the ABSOLUTE
@@ -433,3 +476,24 @@ def test_video_caption_interlaced_refused(tmp_path):
             str(tmp_path / "x"), chunk=2, interlaced=True,
             caption_bits=bits,
         )
+
+
+def test_cli_video_rf_stereo(tmp_path, capsys):
+    """Stereo television: the MTS multiplex rides the chunked runner's
+    sound carrier as an opaque composite-rate stream; the CLI decodes
+    L/R at the end (measured: L 68 / R 60 dB, pilot at its 0.1 level)."""
+    from color_modem_tpu.cli import main
+
+    rc = main(["video", "--standard", "ntsc", "--decoder", "comb3",
+               "--frames", "6", "--lines", str(L), "--chunk", "3",
+               "--out", str(tmp_path / "run"), "--rf", "--rf-stereo",
+               "--audio-out", str(tmp_path / "st.wav")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    st = rep["stereo"]
+    assert st["left_snr_db"] > 45.0 and st["right_snr_db"] > 45.0, st
+    assert st["pilot"] == pytest.approx(0.1, rel=0.2)
+    from color_modem_tpu.utils.wav import read_wav
+
+    y, rate = read_wav(str(tmp_path / "st.wav"))
+    assert rate == 48000 and y.shape[0] == 2
