@@ -512,6 +512,11 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--ghost-gain", type=float, default=0.0)
     ms.add_argument("--vhs", action="store_true")
     ms.add_argument(
+        "--pulse-bar", action="store_true",
+        help="also run the ITU-R pulse-and-bar line: 2T K-rating and "
+        "20T chrominance/luminance gain+delay inequality",
+    )
+    ms.add_argument(
         "--vectorscope", metavar="PNG",
         help="also render the vectorscope instrument display of 75%% "
         "bars through the same channel (green phosphor trace, graticule "
@@ -895,6 +900,15 @@ def main(argv=None) -> int:
             "frequency_response": {f"{f}MHz": round(v, 3)
                                    for f, v in freq.items()},
         }
+        if args.pulse_bar:
+            from color_modem_tpu.frame.measure import (
+                measure_pulse_bar,
+                pulse_and_bar,
+            )
+
+            pb = through(pulse_and_bar(plan, args.lines))
+            pbr = measure_pulse_bar(plan, pb, g)
+            report["pulse_bar"] = {k: round(v, 3) for k, v in pbr.items()}
         if args.vectorscope:
             from color_modem_tpu.frame.measure import vectorscope_image
             from color_modem_tpu.utils.testimages import color_bars

@@ -206,6 +206,194 @@ def measure_differential(
     }
 
 
+# ---------------------------------------------------------------------------
+# ITU-R pulse-and-bar insertion test line (K-factor + chroma/luma inequality)
+# ---------------------------------------------------------------------------
+
+def _pb_T_seconds(plan: ModemPlan) -> float:
+    """The system's sine-squared unit time T: 125 ns for 525-line systems,
+    100 ns for 625-line systems (ITU-R BT.628 convention — T = 1/(2*BW)
+    at the nominal video bandwidths 4 MHz / 5 MHz)."""
+    return 125e-9 if plan.cfg.total_lines == 525 else 100e-9
+
+
+def _pb_layout(plan: ModemPlan) -> dict:
+    """Sample-index layout of the pulse-and-bar line, shared by stimulus
+    and measurement.  All windows are functions of the line length and of
+    T so the geometry scales with ``n_samples``/``fs``."""
+    n = plan.n_samples
+    ts = _pb_T_seconds(plan) * plan.fs  # T in samples
+    lay = {
+        "T": ts,
+        "blank": (int(0.02 * n), int(0.08 * n)),
+        "bar_rise": 0.10 * n,          # leading-edge start
+        "bar_fall": 0.40 * n,          # trailing-edge start
+        "bar_win": (int(0.18 * n), int(0.34 * n)),
+        "pulse_c": 0.55 * n,           # 2T pulse center
+        "p20_c": 0.78 * n,             # 20T modulated pulse center
+    }
+    c = lay["pulse_c"]
+    lay["pulse_win"] = (int(c - 3.0 * ts), int(c + 3.0 * ts) + 1)
+    # K-factor ring/echo windows: baseline disturbance between 3T and 20T
+    # on either side of the pulse (the flat-graticule reading — the real
+    # graticule relaxes with distance, so this is the conservative bound)
+    lay["ring_l"] = (int(c - 20.0 * ts), int(c - 3.0 * ts))
+    lay["ring_r"] = (int(c + 3.0 * ts) + 1, int(c + 20.0 * ts) + 1)
+    c2 = lay["p20_c"]
+    lay["p20_win"] = (int(c2 - 25.0 * ts), int(c2 + 25.0 * ts) + 1)
+    return lay
+
+
+def pulse_and_bar(plan: ModemPlan, n_lines: int,
+                  amplitude: float = 0.7) -> np.ndarray:
+    """(3, L, N) RGB pulse-and-bar insertion test line.
+
+    The classic ITU-R waveform-distortion stimulus, three elements on one
+    line: a white BAR with sine-squared (raised-cosine) edges of duration
+    4T, a 2T sine-squared PULSE (half-amplitude duration 2T — energy up to
+    the full video band, so it exposes everything the plant does near and
+    above fsc), and a 20T MODULATED pulse (sine-squared luma envelope with
+    the chroma subcarrier riding at equal amplitude) that reads the
+    chrominance/luminance gain and delay inequality.  Bar and 2T pulse are
+    equal-RGB (pure luma) at full scale; the 20T element is scaled by
+    ``amplitude`` so the chroma excursion stays inside RGB [0, 1].
+    """
+    lay = _pb_layout(plan)
+    n = plan.n_samples
+    ts = lay["T"]
+    m = np.arange(n, dtype=np.float64)
+
+    # bar with sine-squared edges (rise time 4T each side)
+    def edge(t0):
+        u = np.clip((m - t0) / (4.0 * ts), 0.0, 1.0)
+        return np.sin(0.5 * np.pi * u) ** 2
+
+    y = edge(lay["bar_rise"]) - edge(lay["bar_fall"])
+
+    # 2T pulse: sin^2(pi*t/tau), tau = 4T  (HAD = tau/2 = 2T)
+    def sin2(center, tau):
+        t = m - (center - 0.5 * tau)
+        return np.where((t >= 0) & (t <= tau),
+                        np.sin(np.pi * np.clip(t, 0, tau) / tau) ** 2, 0.0)
+
+    y += sin2(lay["pulse_c"], 4.0 * ts)
+
+    # 20T modulated pulse: luma = env/2, chroma magnitude = env/2
+    env = amplitude * sin2(lay["p20_c"], 40.0 * ts)
+    y20 = 0.5 * env
+    cmag = 0.5 * env / np.sqrt(2.0)  # split across both components
+    ycc = np.stack([y + y20, cmag, cmag])
+    rgb = plan.ycc_to_rgb @ ycc
+    if rgb.min() < -1e-6 or rgb.max() > 1.0 + 1e-6:
+        raise ValueError(
+            f"pulse-and-bar amplitude {amplitude} clips RGB "
+            f"[{rgb.min():.3f}, {rgb.max():.3f}] — lower it"
+        )
+    rgb = np.clip(rgb, 0.0, 1.0)
+    return np.broadcast_to(
+        rgb[:, None, :], (3, n_lines, n)
+    ).astype(np.float32).copy()
+
+
+def measure_pulse_bar(
+    plan: ModemPlan, comp: jax.Array, gline: jax.Array,
+    amplitude: float = 0.7,
+) -> dict:
+    """Waveform-monitor readout of a (..., L, N) pulse-and-bar composite.
+
+    Reads the received composite the way a broadcast monitor does (the bar
+    and 2T pulse carry no chroma, so the raw waveform IS the luma there):
+
+    * ``k2t_pct`` — the 2T K-rating in percent: the larger of the
+      pulse-to-bar inequality |P/B - 1|/4 and the flat-graticule echo
+      reading max|r|/(4B) over the 3T..20T windows flanking the pulse.
+      An echo of relative amplitude a reads K = a/4 — e.g. a -12 dB ghost
+      inside the window rates ~6 %.
+    * ``pulse_bar_ratio`` — P/B itself.
+    * ``cl_gain`` — chrominance/luminance gain inequality off the 20T
+      pulse (1.0 = equal, as transmitted).
+    * ``cl_delay_ns`` — chrominance/luminance delay inequality: centroid
+      of the demodulated chroma envelope minus centroid of the low-passed
+      luma envelope, in nanoseconds (VHS color-under reads its ~400 ns
+      envelope delay here).
+
+    Both 20T envelopes are extracted with zero-phase FIRs (the plan's own
+    chroma LPF), so the measurement adds no delay bias of its own.
+    """
+    if not isinstance(plan.cfg.chroma, QamParams):
+        raise ValueError(
+            f"{plan.cfg.name}: pulse-and-bar chroma inequality is a "
+            "QAM-standard measurement"
+        )
+    lay = _pb_layout(plan)
+    n = comp.shape[-1]
+    x = comp.reshape(-1, n).astype(jnp.float32)
+    if plan.cfg.chroma.reference_amplitude is not None:
+        # NIIR: the unmodulated reference carrier rides the FULL line on
+        # alternate lines (blank, bar, and pulse regions included) — a
+        # K reading over those lines would rate the system's own carrier
+        # as distortion.  Average the waveform over chroma lines only.
+        from color_modem_tpu.modem import niir
+
+        sel_w = niir.is_chroma_line(gline).astype(jnp.float32).reshape(-1)
+        mean_line = (sel_w @ x) / jnp.maximum(jnp.sum(sel_w), 1.0)
+    else:
+        mean_line = jnp.mean(x, axis=0)
+
+    def win(name):
+        lo, hi = lay[name]
+        return mean_line[lo:hi]
+
+    base = jnp.mean(win("blank"))
+    bar = jnp.mean(win("bar_win")) - base
+    bar = jnp.maximum(bar, 1e-6)
+    pulse = jnp.max(win("pulse_win")) - base
+    ratio = pulse / bar
+    k_pb = jnp.abs(ratio - 1.0) / 4.0
+    ring = jnp.maximum(
+        jnp.max(jnp.abs(win("ring_l") - base)),
+        jnp.max(jnp.abs(win("ring_r") - base)),
+    ) / (4.0 * bar)
+    k2t = jnp.maximum(k_pb, ring)
+
+    # --- 20T chroma/luma inequality ------------------------------------
+    chroma_band = fir_same(comp.astype(jnp.float32), plan.chroma_bpf)
+    c1, c2 = qam.demodulate_carrier(plan, chroma_band, gline)
+    env = jnp.hypot(c1, c2).reshape(-1, n)
+    if plan.cfg.chroma.reference_amplitude is not None:
+        # NIIR: reference-carrier lines hold a constant carrier, not the
+        # 20T chroma — average the envelope over chroma lines only
+        from color_modem_tpu.modem import niir
+
+        sel = niir.is_chroma_line(gline).astype(jnp.float32).reshape(-1)
+        env = (sel @ env) / jnp.maximum(jnp.sum(sel), 1.0)
+    else:
+        env = jnp.mean(env, axis=0)
+    # zero-phase LPF strips the subcarrier from the raw waveform, leaving
+    # the 20T LUMA envelope (its own bandwidth is ~1/(40T), well inside)
+    luma = fir_same(mean_line, plan.c1_lpf)
+    lo, hi = lay["p20_win"]
+    idx = jnp.arange(lo, hi, dtype=jnp.float32)
+    blo, bhi = lay["blank"]
+    ce = jnp.maximum(env[lo:hi] - jnp.mean(env[blo:bhi]), 0.0)
+    le = jnp.maximum(luma[lo:hi] - jnp.mean(luma[blo:bhi]), 0.0)
+    cw = ce * ce
+    lw = le * le
+    cen_c = jnp.sum(idx * cw) / jnp.maximum(jnp.sum(cw), 1e-12)
+    cen_l = jnp.sum(idx * lw) / jnp.maximum(jnp.sum(lw), 1e-12)
+    delay_ns = (cen_c - cen_l) / plan.fs * 1e9
+    gain = jnp.max(ce) / jnp.maximum(jnp.max(le), 1e-9)
+    # one stacked readback (device->host fetches cost ~0.1 s each here)
+    k2t, ratio, gain, delay_ns = np.asarray(
+        jnp.stack([k2t, ratio, gain, delay_ns]))
+    return {
+        "k2t_pct": float(100.0 * k2t),
+        "pulse_bar_ratio": float(ratio),
+        "cl_gain": float(gain),
+        "cl_delay_ns": float(delay_ns),
+    }
+
+
 def bar_vectors(plan: ModemPlan, amplitude: float = 0.75) -> np.ndarray:
     """(6, 2) chroma component targets of the 75% color bars (yellow,
     cyan, green, magenta, red, blue) in the standard's own (c1, c2)

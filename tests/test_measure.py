@@ -323,3 +323,75 @@ def test_spectrum_image_renders(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["spectrum"] == out
     assert os.path.getsize(out) > 1000
+
+
+# ---------------------------------------------------------------------------
+# pulse-and-bar: 2T K-rating + 20T chroma/luma inequality
+# ---------------------------------------------------------------------------
+
+def _pb(name, **impairments):
+    from color_modem_tpu.frame.measure import measure_pulse_bar, pulse_and_bar
+
+    plan = get_plan(name)
+    rgb = pulse_and_bar(plan, L)[None]
+    enc, _, _ = make_pipeline(plan, "notch")
+    comp = enc(jnp.asarray(rgb), 0)
+    if impairments:
+        comp = impair(plan, comp, **impairments)
+    g = frame_line_index(plan, 0, 1, L)
+    return plan, comp, g, measure_pulse_bar
+
+
+@pytest.mark.parametrize("name", ["ntsc", "pal", "niir"])
+def test_pulse_bar_clean_reads_flat(name):
+    plan, comp, g, meas = _pb(name)
+    rep = meas(plan, comp, g)
+    assert rep["k2t_pct"] < 1.0, rep
+    assert abs(rep["pulse_bar_ratio"] - 1.0) < 0.02, rep
+    assert abs(rep["cl_gain"] - 1.0) < 0.05, rep
+    assert abs(rep["cl_delay_ns"]) < 15.0, rep
+
+
+def test_pulse_bar_rates_a_ghost():
+    # a -12 dB echo 1 us after the pulse sits inside the 3T..20T graticule
+    # window: the flat-graticule reading is a/4 = 6.25 %, and the echo
+    # also rides the bar top, pulling the pulse/bar inequality
+    plan, comp, g, meas = _pb("ntsc", ghost_delay_us=1.0, ghost_gain=0.25)
+    rep = meas(plan, comp, g)
+    assert rep["k2t_pct"] > 4.0, rep
+    # clean control
+    plan2, comp2, g2, _ = _pb("ntsc")
+    assert meas(plan2, comp2, g2)["k2t_pct"] < 1.0
+
+
+def test_pulse_bar_reads_vhs_chroma_delay():
+    # the color-under chain delays the chroma ENVELOPE by ~0.4 us while
+    # the up-converter re-locks the carrier phase — exactly what the 20T
+    # chroma/luma delay inequality was designed to read
+    from color_modem_tpu.frame.channel import vhs_playback
+    from color_modem_tpu.frame.measure import measure_pulse_bar
+
+    plan, comp, g, _ = _pb("ntsc")
+    rep = measure_pulse_bar(plan, vhs_playback(plan, comp), g)
+    assert 250.0 < rep["cl_delay_ns"] < 500.0, rep
+
+
+def test_pulse_bar_secam_rejected():
+    from color_modem_tpu.frame.measure import measure_pulse_bar
+
+    plan = get_plan("secam")
+    with pytest.raises(ValueError):
+        measure_pulse_bar(plan, jnp.zeros((1, 4, TEST_SAMPLES)),
+                          jnp.zeros((1, 4), jnp.int32))
+
+
+def test_pulse_bar_cli(capsys):
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["measure", "--standard", "pal", "--lines", "32",
+                 "--pulse-bar"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pb = rep["pulse_bar"]
+    assert pb["k2t_pct"] < 1.0 and abs(pb["cl_delay_ns"]) < 15.0, pb
