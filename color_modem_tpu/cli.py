@@ -153,6 +153,13 @@ def build_parser() -> argparse.ArgumentParser:
         "standards)",
     )
     rt.add_argument(
+        "--pal-ident", action="store_true",
+        help="PAL family only: slip the receiver's line counter by one "
+        "and let the receiver recover the V-switch parity from the "
+        "swinging burst before the burst-locked decode (the PAL ident "
+        "flip-flop; needs --burst-locked and --raster)",
+    )
+    rt.add_argument(
         "--secam-ident", action="store_true",
         help="SECAM only: transmit identification lines (the 'bottles' — "
         "content-free sawtooth FM sweeps), slip the receiver's line "
@@ -652,6 +659,21 @@ def main(argv=None) -> int:
             raise SystemExit("--burst-locked requires --raster")
         if args.standard == "secam":
             raise SystemExit("secam has no color burst to lock to")
+    if getattr(args, "pal_ident", False):
+        if not getattr(args, "burst_locked", False):
+            raise SystemExit(
+                "--pal-ident is the ident stage of the burst-locked "
+                "receiver: add --burst-locked (and --raster)"
+            )
+        from color_modem_tpu.standards import ALL_STANDARDS as _AS
+        from color_modem_tpu.standards.base import QamParams as _QP
+
+        _chroma = _AS[args.standard]().chroma
+        if not (isinstance(_chroma, _QP) and _chroma.v_switch):
+            raise SystemExit(
+                f"{args.standard} has no swinging burst — --pal-ident is "
+                "a PAL-family feature"
+            )
     if (getattr(args, "acc", False)
             or getattr(args, "color_kill", 0.0) > 0.0):
         if not getattr(args, "burst_locked", False):
@@ -2159,6 +2181,19 @@ def main(argv=None) -> int:
 
             rp = make_raster(plan)
             g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+            if getattr(args, "pal_ident", False):
+                # simulate a slipped receiver line counter, then let the
+                # ident stage recover the V-switch parity from the burst
+                from color_modem_tpu.frame.raster import identify_vswitch
+
+                g_rx = g + 1
+                slip = identify_vswitch(plan, rp, comp_b, g_rx)
+                g = g_rx + slip[..., None]
+                result["pal_ident"] = {
+                    "rx_line_slip": 1,
+                    "identified_slip": int(np.asarray(slip)[0]),
+                    "recovered": int(np.asarray(slip)[0]) == 1,
+                }
             out = np.asarray(jax.block_until_ready(decode_burst_locked(
                 plan, rp, comp_b, g, args.decoder, args.backend,
                 acc=args.acc, color_kill=args.color_kill,

@@ -201,6 +201,58 @@ def decode_burst_locked(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
                         phase_err=delta, chroma_gain=cg)
 
 
+def identify_vswitch(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
+                     gline: jax.Array) -> jax.Array:
+    """PAL ident: recover the V-switch parity from the swinging burst.
+
+    A real PAL receiver cannot trust its line counter for the V-switch
+    flip-flop any more than a SECAM set can for Dr/Db (modem/secam.py's
+    ``identify_parity``) — it derives the ident from the burst, whose
+    angle swings +-45 deg around 180 deg WITH the V-switch.  The detector
+    here is the coherence test that swing affords: under the correct
+    parity hypothesis the per-line residual ``measured - v_sign*135deg``
+    is one constant (any static channel phase error, and — because the
+    NCO phase law is linear in the line index — any k-line counter slip,
+    only rotate ALL lines equally); under the flipped hypothesis it
+    alternates by 180 deg line-to-line and its mean resultant collapses.
+
+    Returns int32 slip per frame (``gline.shape[:-1]``): 0 = the assumed
+    counter parity is right, 1 = decode with ``gline + 1``.  Only parity
+    (odd vs even slip) is identifiable — and only parity matters, because
+    the burst lock measures and cancels the per-line phase residual of
+    any even slip exactly.
+    """
+    if not rp.swinging:
+        raise ValueError(
+            f"{plan.cfg.name} has no swinging burst — V-switch "
+            "identification is a PAL-family feature"
+        )
+    _, phase = measure_burst_phase(plan, rp, rastered, gline)
+    expected = _burst_sign(plan, rp, gline) * jnp.float32(rp.burst_phase)
+
+    def coherence(exp):
+        e = phase - exp
+        return jnp.hypot(jnp.mean(jnp.cos(e), axis=-1),
+                         jnp.mean(jnp.sin(e), axis=-1))
+
+    return (coherence(-expected) > coherence(expected)).astype(jnp.int32)
+
+
+def decode_identified(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
+                      gline: jax.Array, decoder: str = "notch",
+                      backend: str = "xla"):
+    """Burst-locked decode WITHOUT trusting the line counter's parity.
+
+    The receiver loop of a real PAL set: the ident (from the swinging
+    burst) sets the V-switch flip-flop, then the burst lock cancels the
+    per-line subcarrier phase residual — so the output is correct for an
+    arbitrarily slipped line counter.  Returns ``(rgb, slip)``.
+    """
+    slip = identify_vswitch(plan, rp, rastered, gline)
+    g = gline + slip[..., None]
+    return decode_burst_locked(plan, rp, rastered, g, decoder, backend), slip
+
+
 def measure_burst_phase(plan: ModemPlan, rp: RasterPlan, rastered: jax.Array,
                         gline: jax.Array):
     """Quadrature-correlate the burst window -> per-line (amplitude, phase).

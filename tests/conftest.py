@@ -30,14 +30,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from color_modem_tpu.modem.plan import make_plan  # noqa: E402
-from color_modem_tpu.standards import NIIR, NTSC, PAL, SECAM  # noqa: E402
+from color_modem_tpu.standards import ALL_STANDARDS, NIIR, NTSC, PAL, SECAM  # noqa: E402
 
 # Small-but-representative geometry: full 720-sample lines (the filters and
 # fs depend on width), reduced line count for speed.
 TEST_LINES = 64
 TEST_SAMPLES = 720
 
-_FACTORIES = {"ntsc": NTSC, "pal": PAL, "secam": SECAM, "niir": NIIR}
+_FACTORIES = dict(ALL_STANDARDS)
 _PLAN_CACHE = {}
 
 

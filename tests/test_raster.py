@@ -194,3 +194,75 @@ def test_rastered_pipeline_roundtrip_identical(name, decoder):
     _, _, rt = make_pipeline(plan, decoder)
     out_r = dec_r(enc_r(rgb, 0), 0)
     np.testing.assert_array_equal(np.asarray(out_r), np.asarray(rt(rgb, 0)))
+
+
+# ---------------------------------------------------------------------------
+# PAL ident: V-switch parity recovery from the swinging burst
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", ["pal", "pal_m"])
+def test_pal_ident_recovers_any_counter_slip(name):
+    from color_modem_tpu.frame.channel import impair
+    from color_modem_tpu.frame.raster import (
+        decode_burst_locked,
+        decode_identified,
+        identify_vswitch,
+    )
+    from color_modem_tpu.utils.metrics import psnr
+
+    plan = get_plan(name)
+    rp = make_raster(plan)
+    rgb = jnp.asarray(smooth_scene(TEST_LINES, TEST_SAMPLES, seed=3)[None])
+    enc, _, _ = make_pipeline(plan, "notch", raster=True)
+    g_tx = frame_line_index(plan, 0, 1, TEST_LINES)
+    # a static channel phase error must not confuse the ident (the swing's
+    # coherence, not the absolute angle, carries the parity)
+    rast = impair(plan, enc(rgb, 0), chroma_phase_deg=20.0)
+    ref = float(psnr(
+        np.asarray(decode_burst_locked(plan, rp, rast, g_tx, "delayline")),
+        np.asarray(rgb)))
+    for k in (0, 1, 2, 3):
+        g_rx = g_tx + k
+        slip = int(np.asarray(identify_vswitch(plan, rp, rast, g_rx))[0])
+        assert slip == k % 2, (k, slip)
+        out, _ = decode_identified(plan, rp, rast, g_rx, "delayline")
+        q = float(psnr(np.asarray(out), np.asarray(rgb)))
+        assert abs(q - ref) < 0.1, (k, q, ref)
+    # control: TRUSTING a 1-line slip wrecks the picture (the V-switch
+    # flips), which is exactly why the ident stage exists
+    naive = float(psnr(
+        np.asarray(decode_burst_locked(plan, rp, rast, g_tx + 1,
+                                       "delayline")),
+        np.asarray(rgb)))
+    assert naive < ref - 10.0, (naive, ref)
+
+
+def test_pal_ident_rejects_non_swinging():
+    from color_modem_tpu.frame.raster import identify_vswitch
+
+    plan = get_plan("ntsc")
+    rp = make_raster(plan)
+    g = frame_line_index(plan, 0, 1, 4)
+    with pytest.raises(ValueError):
+        identify_vswitch(plan, rp, jnp.zeros((1, 4, rp.n_total)), g)
+
+
+def test_pal_ident_cli(capsys):
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["roundtrip", "--standard", "pal", "--decoder", "delayline",
+                 "--demo", "--raster", "--burst-locked", "--pal-ident",
+                 "--lines", str(TEST_LINES)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pal_ident"]["recovered"] is True
+    assert rep["psnr_db"] > 20.0, rep
+
+
+def test_pal_ident_cli_rejects_ntsc():
+    from color_modem_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["roundtrip", "--standard", "ntsc", "--demo", "--raster",
+              "--burst-locked", "--pal-ident"])
