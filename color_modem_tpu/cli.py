@@ -168,6 +168,15 @@ def build_parser() -> argparse.ArgumentParser:
         "trust its line counter; this demonstrates the recovery loop)",
     )
     rt.add_argument(
+        "--palplus", action="store_true",
+        help="PALplus mode (QAM standards): treat the input as a full-"
+        "height 16:9 programme, transmit it as a 4:3-compatible "
+        "letterbox with the vertical-helper signal modulated into the "
+        "black bars, and reconstruct full vertical resolution at the "
+        "receiver; reports the PSNR with and without the helper "
+        "(composes with --noise only)",
+    )
+    rt.add_argument(
         "--vits", action="store_true",
         help="insert vertical-interval test signals (modulated staircase "
         "+ multiburst) on the bottom rows before encoding; measures "
@@ -690,6 +699,76 @@ def main(argv=None) -> int:
                 "--tbe-us/--tbc need --raster (the TBC locks to the sync "
                 "edge) and are progressive-only in the CLI"
             )
+
+    if getattr(args, "palplus", False):
+        # PALplus is its own transmission geometry (letterbox + helper
+        # bars), so it short-circuits the composable roundtrip plumbing;
+        # only the white-noise channel rides along.
+        import time as _time
+
+        t0 = _time.perf_counter()
+        blocked = [
+            f"--{k.replace('_', '-')}"
+            for k in (
+                "raster", "interlaced", "svideo", "vhs", "tbc",
+                "equalize", "burst_locked", "vits", "secam_ident",
+                "pal_ident", "caption", "teletext", "wss", "vitc",
+            )
+            if getattr(args, k, False)
+        ]
+        if blocked:
+            raise SystemExit(
+                f"--palplus does not combine with {' '.join(blocked)}"
+            )
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        from color_modem_tpu.frame.image_io import save_composite, save_rgb
+        from color_modem_tpu.frame.palplus import (
+            PalPlusGeometry,
+            make_palplus_pipeline,
+        )
+        from color_modem_tpu.modem.plan import make_plan
+        from color_modem_tpu.utils.metrics import psnr
+
+        rgb, cfg = _load_input(args)
+        if cfg.is_fm:
+            raise SystemExit(
+                "--palplus needs a QAM subcarrier for the helper; "
+                f"{cfg.name} is FM"
+            )
+        try:
+            PalPlusGeometry(rgb.shape[1])
+        except ValueError as e:
+            raise SystemExit(f"--palplus: {e}")
+        plan = make_plan(cfg, args.width)
+        enc, dec, _ = make_palplus_pipeline(plan, args.decoder)
+        comp = enc(jnp.asarray(rgb)[None], args.frame)
+        if args.noise > 0.0:
+            comp = comp + args.noise * jax.random.normal(
+                jax.random.PRNGKey(0), comp.shape, jnp.float32
+            )
+        out = np.asarray(
+            jax.block_until_ready(dec(comp, args.frame, use_helper=True))
+        )[0]
+        out_lb = np.asarray(dec(comp, args.frame, use_helper=False))[0]
+        result = {
+            "cmd": "roundtrip", "standard": cfg.name, "palplus": True,
+            "decoder": args.decoder,
+            "psnr_db": round(psnr(out, rgb), 2),
+            "psnr_without_helper_db": round(psnr(out_lb, rgb), 2),
+            "lines": int(rgb.shape[1]),
+        }
+        if args.output:
+            save_rgb(args.output, out)
+            result["output"] = args.output
+        if args.composite:
+            save_composite(args.composite, np.asarray(comp)[0])
+            result["composite"] = args.composite
+        result["seconds"] = round(_time.perf_counter() - t0, 3)
+        print(json.dumps(result))
+        return 0
 
     if args.cmd == "mac":
         import numpy as np
