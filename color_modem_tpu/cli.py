@@ -168,6 +168,15 @@ def build_parser() -> argparse.ArgumentParser:
         "trust its line counter; this demonstrates the recovery loop)",
     )
     rt.add_argument(
+        "--vir", action="store_true",
+        help="insert VIR vertical-interval reference lines (EIA-516 "
+        "shape: chroma reference on a 70-IRE pedestal + luminance/black "
+        "references) before the channel, and decode with the VIR-"
+        "measured hue/saturation corrections — the picture-level "
+        "correction loop (burst-based loops can't see luma-tracking "
+        "errors; QAM standards, no --raster)",
+    )
+    rt.add_argument(
         "--palplus", action="store_true",
         help="PALplus mode (QAM standards): treat the input as a full-"
         "height 16:9 programme, transmit it as a 4:3-compatible "
@@ -1667,6 +1676,32 @@ def main(argv=None) -> int:
             comp_b = comp_b.at[:, :ident_rows].set(
                 secam_mod.ident_lines(plan, g_tx[:, :ident_rows])
             )
+        vir_rows = 0
+        if getattr(args, "vir", False):
+            if plan.cfg.is_fm:
+                raise SystemExit(
+                    "--vir needs a QAM subcarrier (FM chroma has no "
+                    "amplitude/phase to reference)"
+                )
+            if args.raster or interlaced or svideo or args.burst_locked:
+                raise SystemExit(
+                    "--vir does not combine with --raster/--interlaced/"
+                    "--svideo/--burst-locked"
+                )
+            if (args.caption or args.teletext or args.secam_ident
+                    or args.wss or args.vitc):
+                raise SystemExit(
+                    "--vir shares the top rows with the other data-line "
+                    "options; use it alone"
+                )
+            from color_modem_tpu.frame.pipeline import frame_line_index
+            from color_modem_tpu.frame.vir import vir_lines
+
+            vir_rows = 2
+            g_vir = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+            comp_b = comp_b.at[:, :vir_rows].set(
+                vir_lines(plan, g_vir[:, :vir_rows])
+            )
         wss_row = -1
         if args.wss:
             from color_modem_tpu.frame import wss as wss_mod
@@ -2301,6 +2336,36 @@ def main(argv=None) -> int:
                 "identified_swap": int(np.asarray(swap)[0]),
                 "recovered": int(np.asarray(swap)[0]) == 1,
             }
+        elif vir_rows:
+            # decode with the VIR-measured picture-level corrections; the
+            # references rode every channel stage above, like real line 19
+            from color_modem_tpu.frame.pipeline import frame_line_index
+            from color_modem_tpu.frame.vir import (
+                decode_vir_corrected,
+                measure_vir,
+            )
+
+            g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+            rep = measure_vir(plan, comp_b[:, :vir_rows], g[:, :vir_rows])
+            pic = np.asarray(jax.block_until_ready(decode_vir_corrected(
+                plan, comp_b, g, vir_rows, args.decoder, args.backend,
+            )))[0]
+            # keep `out` frame-shaped for the uniform PSNR/data_rows
+            # accounting below (the VIR rows themselves are excluded)
+            out = np.concatenate(
+                [np.zeros_like(pic[:, :vir_rows]), pic], axis=1
+            )
+            result["vir"] = {
+                "chroma_gain_corr": round(
+                    float(np.asarray(rep["chroma_gain_corr"])[0]), 3
+                ),
+                "phase_err_deg": round(
+                    float(np.degrees(np.asarray(rep["phase_err"])[0])), 2
+                ),
+                "luma_ref": round(
+                    float(np.asarray(rep["luma_ref"])[0]), 3
+                ),
+            }
         else:
             out = np.asarray(
                 jax.block_until_ready(decode(comp_b, args.frame))
@@ -2431,7 +2496,8 @@ def main(argv=None) -> int:
             }
             result["vits"] = vits_report
         data_rows = (cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
-                     + (1 if vitc_row >= 0 else 0) + ident_rows)
+                     + (1 if vitc_row >= 0 else 0) + ident_rows
+                     + vir_rows)
         if data_rows or n_vits:
             hi = rgb.shape[1] - n_vits
             result["psnr_db"] = round(
