@@ -62,11 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--demo", action="store_true", help="use generated color bars")
     rt.add_argument(
         "--pattern", default="bars",
-        choices=("bars", "card", "ramp", "scene", "zone"),
+        choices=("bars", "card", "ramp", "scene", "zone", "smpte"),
         help="demo image: 75%% color bars, the broadcast test card "
         "(crosshatch + circle + bars + gray steps + multiburst), a "
-        "luminance ramp, a band-limited pseudo-natural scene, or a "
-        "zone plate (cross-color/aliasing sweep)",
+        "luminance ramp, a band-limited pseudo-natural scene, a "
+        "zone plate (cross-color/aliasing sweep), or SMPTE engineering "
+        "bars with the blue-only strip and PLUGE band",
     )
     rt.add_argument("--lines", type=int, default=0, help="demo height (0=standard)")
     rt.add_argument("--output", help="decoded PNG")
@@ -620,6 +621,10 @@ def _load_input(args):
             from color_modem_tpu.utils.testimages import zone_plate
 
             return zone_plate(lines, args.width).astype(np.float32), cfg
+        if pattern == "smpte":
+            from color_modem_tpu.utils.testimages import smpte_bars
+
+            return smpte_bars(lines, args.width).astype(np.float32), cfg
         return color_bars(lines, args.width).astype(np.float32), cfg
     rgb = load_rgb(args.input)
     if rgb.shape[2] != args.width:

@@ -143,3 +143,41 @@ def zone_plate(n_lines: int, n_samples: int, k: float = 0.5) -> np.ndarray:
     )
     img = 0.5 + 0.4 * np.cos(2.0 * ph)
     return np.broadcast_to(img, (3, L, N)).copy()
+
+
+def smpte_bars(n_lines: int, n_samples: int) -> np.ndarray:
+    """(3, L, N) SMPTE EG 1-style engineering color bars.
+
+    Three bands, top to bottom:
+
+    * 67%: the 75% bars (the vectorscope/DG-DP stimulus);
+    * 8%: the reverse-order "castellation" strip of blue-only bars
+      (I/--/Q alignment strip simplified to the blue-channel form used
+      for hue setup: every other bar keeps only its blue component, so
+      on a "blue only" monitor the strip matches the bars above exactly
+      when hue/saturation are right);
+    * 25%: the PLUGE band — -4%/0/+4% pedestal patches around black
+      between a 100% white reference and a 7.5% gray, for brightness
+      setup.  (The sub-black patch is clamped at 0 here: the frame
+      pipeline's contract is RGB in [0, 1]; the +4% patch alone still
+      makes the brightness threshold visible.)
+    """
+    L, N = n_lines, n_samples
+    img = np.zeros((3, L, N), dtype=np.float64)
+    b1, b2 = int(0.67 * L), int(0.75 * L)
+    idx = np.minimum((np.arange(N) * 7) // N, 6)  # 7 bars (no black col)
+    bars7 = BAR_COLORS_75[:7]
+    img[:, :b1, :] = bars7[idx].T[:, None, :]
+    # blue-only strip, reverse-significance order like the EG 1 strip:
+    # bars with blue keep it, others go black; plus white/black anchors
+    strip = bars7[idx].T.copy()
+    strip[0] = strip[1] = 0.0  # keep only blue
+    keep = np.array([1, 0, 1, 0, 1, 0, 1])[idx]  # alternate on/off
+    img[:, b1:b2, :] = (strip * keep)[:, None, :]
+    img[2, b1:b2, :] = np.where(keep > 0, 0.75, 0.0)[None, :]
+    # PLUGE band: white ref | 7.5% gray | black | +4% | black | 0 (sub-
+    # black clamped) | black
+    seg = np.minimum((np.arange(N) * 7) // N, 6)
+    levels = np.array([1.0, 0.075, 0.0, 0.115, 0.0, 0.0, 0.0])[seg]
+    img[:, b2:, :] = levels[None, None, :]
+    return np.clip(img, 0.0, 1.0)

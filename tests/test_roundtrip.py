@@ -265,3 +265,23 @@ def test_zone_plate_cross_color():
     # decorrelate, the comb hallucinates too (authentic: zone plates make
     # every separator fail somewhere, that is their job)
     assert e_notch > 2.0 * e_comb, (e_notch, e_comb)
+
+
+def test_smpte_bars_pattern():
+    """SMPTE engineering bars (utils/testimages.smpte_bars): well-formed,
+    and the blue-only strip really is blue-only — the hue-setup property
+    the strip exists for (its blue plane matches the bars band's blue
+    where lit, its red/green planes are black)."""
+    from color_modem_tpu.utils.testimages import smpte_bars
+
+    img = smpte_bars(480, TEST_SAMPLES)
+    assert img.shape == (3, 480, TEST_SAMPLES)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    b1, b2 = int(0.67 * 480), int(0.75 * 480)
+    strip = img[:, b1:b2]
+    assert strip[0].max() == 0.0 and strip[1].max() == 0.0
+    assert strip[2].max() == 0.75
+    # PLUGE band: white reference and the +4% brightness patch present
+    pluge = img[:, b2:]
+    assert pluge.max() == 1.0
+    assert np.any(np.isclose(pluge, 0.115))
