@@ -89,13 +89,15 @@ class PalPlusGeometry:
         self.l_helper = active_lines // 4  # == 2 * bar
 
 
-def _check_plan(plan: ModemPlan) -> PalPlusGeometry:
+def _check_plan(plan: ModemPlan, n_lines: int) -> PalPlusGeometry:
     if not isinstance(plan.cfg.chroma, QamParams):
         raise ValueError(
             "PALplus helper transport needs a QAM subcarrier; "
             f"{plan.cfg.name} is FM"
         )
-    return PalPlusGeometry(plan.cfg.active_lines)
+    # geometry follows the FRAME actually given (tests use short frames),
+    # proportioned like the full raster
+    return PalPlusGeometry(n_lines)
 
 
 def _row_sign(l_full: int) -> np.ndarray:
@@ -157,7 +159,7 @@ def encode_palplus(
 ) -> jax.Array:
     """(..., 3, L, N) full-height 16:9 RGB -> (..., L, N) letterbox
     composite with the helper in the bars.  ``gline`` covers all L rows."""
-    geo = _check_plan(plan)
+    geo = _check_plan(plan, rgb.shape[-2])
     rgb = rgb.astype(jnp.float32)
     ycc = apply_mat3(plan.rgb_to_ycc, rgb)
     _, helper = helper_encode(geo, ycc[..., 0, :, :])
@@ -192,7 +194,7 @@ def decode_palplus(
     full-height 16:9 RGB.  ``use_helper=False`` is the conventional-TV
     control: upsample the letterbox and ignore the bars (what a 4:3 zoom
     does), isolating exactly what the helper buys."""
-    geo = _check_plan(plan)
+    geo = _check_plan(plan, comp.shape[-2])
     comp = comp.astype(jnp.float32)
     pic, bars = _split_rows(geo, comp)
     g_pic, g_bars = _split_g(geo, gline)
@@ -224,13 +226,14 @@ def make_palplus_pipeline(
     helper_gain: float = 1.0,
 ):
     """Jitted ``(encode, decode, roundtrip)`` closures, batch-first like
-    :func:`frame.pipeline.make_pipeline`."""
-    geo = _check_plan(plan)
+    :func:`frame.pipeline.make_pipeline`.  Frame height comes from the
+    input (must be divisible by 8; geometry proportions like the full
+    raster)."""
+    _check_plan(plan, plan.cfg.active_lines)
 
     @jax.jit
     def encode(rgb, frame0=0):
         b, _, l, _ = rgb.shape
-        assert l == geo.l_full, (l, geo.l_full)
         g = frame_line_index(plan, frame0, b, l)
         return encode_palplus(plan, rgb, g, backend, helper_gain)
 

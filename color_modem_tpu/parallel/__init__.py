@@ -17,6 +17,7 @@ from color_modem_tpu.parallel.mesh import (  # noqa: F401
 )
 from color_modem_tpu.parallel.sharded import (  # noqa: F401
     make_sharded_interlaced_pipeline,
+    make_sharded_palplus_pipeline,
     make_sharded_pipeline,
     required_halo,
 )

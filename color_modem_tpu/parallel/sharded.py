@@ -380,3 +380,79 @@ def make_sharded_mac_pipeline(plan, mesh: Mesh):
         return dec_sm(enc_sm(rgb, f0), f0)
 
     return encode, decode, roundtrip
+
+
+def make_sharded_palplus_pipeline(
+    plan: ModemPlan, mesh: Mesh, decoder: str = "comb3",
+    backend: str = "xla", helper_gain: float = 1.0,
+):
+    """Jitted (encode, decode, roundtrip) for PALplus over the mesh —
+    **data-parallel over frames only**.
+
+    Sharding decision, recorded like mesh.py's Ulysses/TP notes: the
+    PALplus vertical filter bank (frame/palplus.py) is a GLOBAL linear
+    map along the line axis — the letterbox resample and the helper's
+    modulated decimation each touch every line of the frame, so a
+    line-block sharding would turn the (L, 3L/4) resample matmuls into
+    all_gathers of the whole luma plane per stage.  At this workload's
+    sizes (L <= 1152) a whole frame is far below one device's memory,
+    so frames shard (zero steady-state collectives) and lines do not.
+    The lineblk mesh axis is accepted but must be 1 for PALplus.
+    """
+    from color_modem_tpu.frame.palplus import (
+        PalPlusGeometry,
+        decode_palplus,
+        encode_palplus,
+    )
+
+    PalPlusGeometry(plan.cfg.active_lines)  # validate the standard's raster
+    if mesh.shape.get(LINE_AXIS, 1) != 1:
+        raise ValueError(
+            "PALplus shards frames only (vertical filter bank is global "
+            f"along lines) — build the mesh with {LINE_AXIS}=1, got "
+            f"{mesh.shape}"
+        )
+    comp_spec = P(FRAME_AXIS, None, None)
+    rgb_spec = P(FRAME_AXIS, None, None, None)
+    scalar = P()
+
+    def _gline(frame0, b_blk: int, l_full: int):
+        foff = lax.axis_index(FRAME_AXIS) * b_blk
+        b = (jnp.asarray(frame0, jnp.int32) + foff
+             + jnp.arange(b_blk, dtype=jnp.int32))
+        l = jnp.arange(l_full, dtype=jnp.int32)
+        return b[:, None] * jnp.int32(plan.cfg.total_lines) + l[None, :]
+
+    def _encode_blk(rgb_blk, frame0):
+        g = _gline(frame0, rgb_blk.shape[0], rgb_blk.shape[-2])
+        return encode_palplus(plan, rgb_blk, g, backend, helper_gain)
+
+    def _decode_blk(comp_blk, frame0):
+        g = _gline(frame0, comp_blk.shape[0], comp_blk.shape[-2])
+        return decode_palplus(
+            plan, comp_blk, g, decoder, backend, helper_gain
+        )
+
+    enc_sm = jax.shard_map(
+        _encode_blk, mesh=mesh, in_specs=(rgb_spec, scalar),
+        out_specs=comp_spec, check_vma=False,
+    )
+    dec_sm = jax.shard_map(
+        _decode_blk, mesh=mesh, in_specs=(comp_spec, scalar),
+        out_specs=rgb_spec, check_vma=False,
+    )
+
+    @jax.jit
+    def encode(rgb, frame0=0):
+        return enc_sm(rgb, jnp.asarray(frame0, jnp.int32))
+
+    @jax.jit
+    def decode(comp, frame0=0):
+        return dec_sm(comp, jnp.asarray(frame0, jnp.int32))
+
+    @jax.jit
+    def roundtrip(rgb, frame0=0):
+        f0 = jnp.asarray(frame0, jnp.int32)
+        return dec_sm(enc_sm(rgb, f0), f0)
+
+    return encode, decode, roundtrip

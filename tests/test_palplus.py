@@ -126,3 +126,31 @@ def test_fm_standards_refused():
 def test_line_count_gate():
     with pytest.raises(ValueError, match="divisible by 8"):
         PalPlusGeometry(570)
+
+
+def test_sharded_palplus_matches_unsharded():
+    """DP-sharded PALplus (frames axis) equals unsharded to 1e-6 —
+    everything in the pipeline is per-frame, but the large (L, L')
+    vertical-resample matmuls pick up shape-dependent fp scheduling at
+    the different per-device batch shape, exactly like SECAM's decode
+    chain (test_sharding.py header); measured 4.2e-7."""
+    from color_modem_tpu.parallel import make_mesh
+    from color_modem_tpu.parallel.sharded import make_sharded_palplus_pipeline
+
+    rng = np.random.default_rng(7)
+    rgb = rng.random((8, 3, 64, 720)).astype(np.float32)  # 64 lines: %8==0
+    _, _, rt = make_palplus_pipeline(PLAN, "comb3")
+    _, _, rt_s = make_sharded_palplus_pipeline(
+        PLAN, make_mesh(frame=8, lineblk=1), "comb3"
+    )
+    a = np.asarray(rt(jnp.asarray(rgb), 3))
+    b = np.asarray(rt_s(jnp.asarray(rgb), 3))
+    assert np.abs(a - b).max() <= 1e-6
+
+
+def test_sharded_palplus_refuses_line_sharding():
+    from color_modem_tpu.parallel import make_mesh
+    from color_modem_tpu.parallel.sharded import make_sharded_palplus_pipeline
+
+    with pytest.raises(ValueError, match="frames only"):
+        make_sharded_palplus_pipeline(PLAN, make_mesh(frame=2, lineblk=4))
