@@ -154,3 +154,16 @@ def test_sharded_palplus_refuses_line_sharding():
 
     with pytest.raises(ValueError, match="frames only"):
         make_sharded_palplus_pipeline(PLAN, make_mesh(frame=2, lineblk=4))
+
+
+def test_cli_palplus(capsys):
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["roundtrip", "--standard", "pal", "--decoder", "comb3",
+                 "--demo", "--pattern", "scene", "--lines", "64",
+                 "--palplus"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["palplus"] is True
+    assert rep["psnr_db"] >= rep["psnr_without_helper_db"] - 0.2, rep

@@ -103,3 +103,16 @@ def test_reference_amplitude_on_the_wire():
     seg = v[int(0.10 * n) + 8 : int(0.50 * n) - 8]
     assert abs(seg.mean() - 0.70) < 0.01
     assert abs((seg.max() - seg.min()) / 2.0 - CHROMA_AMP) < 0.02
+
+
+def test_cli_vir(capsys):
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["roundtrip", "--standard", "ntsc", "--decoder", "comb3",
+                 "--demo", "--pattern", "scene", "--lines", "64",
+                 "--vir", "--chroma-phase", "30"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(abs(rep["vir"]["phase_err_deg"]) - 30.0) < 3.0, rep
+    assert rep["psnr_db"] > 38.0, rep
