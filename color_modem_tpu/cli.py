@@ -169,6 +169,19 @@ def build_parser() -> argparse.ArgumentParser:
         "trust its line counter; this demonstrates the recovery loop)",
     )
     rt.add_argument(
+        "--scramble", default=None,
+        choices=("cutrotate", "linedelay", "shuffle"),
+        help="pay-TV scrambling of the composite (Videocrypt-style "
+        "cut-and-rotate / Discret-style line delay / Nagravision-style "
+        "line shuffle); the receiver descrambles bit-exactly with the "
+        "key and the JSON also reports the pirate's (undescrambled) "
+        "PSNR (no --raster/--rf/--satellite)",
+    )
+    rt.add_argument(
+        "--scramble-key", type=int, default=0x5EC4E7,
+        help="scrambling key (any 32-bit integer)",
+    )
+    rt.add_argument(
         "--vir", action="store_true",
         help="insert VIR vertical-interval reference lines (EIA-516 "
         "shape: chroma reference on a 70-IRE pedestal + luminance/black "
@@ -1746,6 +1759,28 @@ def main(argv=None) -> int:
                     plan, vitc_mod.vitc_pack(hh, mm, ss, ff)
                 )
             )
+        pirate_comp = None
+        if getattr(args, "scramble", None):
+            # transmitter-side scrambling of the finished composite
+            # (after the data services — they descramble bit-exactly
+            # like the picture)
+            if args.raster or interlaced or svideo:
+                raise SystemExit(
+                    "--scramble does not combine with --raster/"
+                    "--interlaced/--svideo (sync must stay in the clear)"
+                )
+            if (args.rf or args.satellite or args.sat_cnr is not None
+                    or args.equalize or args.tbc):
+                raise SystemExit(
+                    "--scramble does not combine with --rf/--satellite/"
+                    "--equalize/--tbc"
+                )
+            from color_modem_tpu.frame.pipeline import frame_line_index
+            from color_modem_tpu.frame.scramble import scramble as _scr
+
+            g_scr = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+            comp_b = _scr(plan, comp_b, g_scr, args.scramble,
+                          args.scramble_key)
         sat_sound = bool(args.sat_audio or args.sat_stereo
                          or args.sat_audio_in)
         sat_hop = args.satellite or args.sat_cnr is not None or sat_sound
@@ -2291,6 +2326,13 @@ def main(argv=None) -> int:
                 g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
                 comp_b = tbc_correct(plan, rp, comp_b, g)
                 result["tbc"] = True
+        if getattr(args, "scramble", None):
+            # receiver-side: keep the pirate's view, then descramble
+            from color_modem_tpu.frame.scramble import descramble as _descr
+
+            pirate_comp = comp_b
+            comp_b = _descr(plan, comp_b, g_scr, args.scramble,
+                            args.scramble_key)
         if args.burst_locked:
             from color_modem_tpu.frame.pipeline import frame_line_index
             from color_modem_tpu.frame.raster import (
@@ -2500,6 +2542,13 @@ def main(argv=None) -> int:
                 f"{f}MHz": round(v, 3) for f, v in freq.items()
             }
             result["vits"] = vits_report
+        if pirate_comp is not None:
+            pirate = np.asarray(decode(pirate_comp, args.frame))[0]
+            result["scramble"] = {
+                "mode": args.scramble,
+                "key": args.scramble_key,
+                "pirate_psnr_db": round(psnr(pirate, rgb), 2),
+            }
         data_rows = (cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
                      + (1 if vitc_row >= 0 else 0) + ident_rows
                      + vir_rows)
