@@ -99,6 +99,7 @@ def process_video(
     satellite: bool = False,
     sat_cnr: float | None = None,
     caption_bits: np.ndarray | None = None,
+    scramble: tuple[str, int] | None = None,
 ) -> dict:
     """Round-trip ``n_frames`` frames in chunks; returns the run summary.
 
@@ -182,6 +183,8 @@ def process_video(
             if channel and float(channel.get("noise_sigma", 0.0) or 0.0) > 0.0
             else {}
         ),
+        **({"scramble": scramble[0], "scramble_key": scramble[1]}
+           if scramble else {}),
         **({"rf": True} if rf else {}),
         **({"rf_audio": True} if rf_audio is not None else {}),
         **({"rf_audio_bw": rf_audio_bw} if rf_audio_bw != 15e3 else {}),
@@ -251,6 +254,55 @@ def process_video(
 
         def roundtrip(rgb, frame0, aud=None, phi0=None):  # noqa: F811
             return _lib_rt(rgb, frame0), None, None
+
+    if scramble is not None:
+        # Pay-TV scrambling around every channel stage: scramble rides
+        # inside enc_f, descramble inside dec_f, so the composite-level
+        # impairments below land between them (cli.py order).  The keyed
+        # schedule is a closed-form hash of the ABSOLUTE line index
+        # (frame/scramble.py), so chunking and resume are exactly
+        # independent with no extra bookkeeping.
+        if rf or satellite:
+            raise ValueError(
+                "scramble does not combine with the rf/satellite hops"
+            )
+        if interlaced:
+            raise NotImplementedError(
+                "scramble with interlaced fields is not wired — the key "
+                "schedule would need the field-sequential line map"
+            )
+        if channel and channel.get("equalize"):
+            raise ValueError(
+                "scramble breaks the stream continuity the GCR equalizer "
+                "needs; descramble before equalizing instead"
+            )
+        if caption_bits is not None:
+            raise ValueError(
+                "caption readout sees the still-scrambled composite; "
+                "scramble and captions are not wired together"
+            )
+        from color_modem_tpu.frame.pipeline import frame_line_index
+        from color_modem_tpu.frame.scramble import (
+            descramble as _descr,
+            scramble as _scr,
+        )
+
+        s_mode, s_key = scramble
+        _clear_enc, _clear_dec = enc_f, dec_f
+
+        def enc_f(rgb, frame0):  # noqa: F811 — scrambled-output variant
+            comp = _clear_enc(rgb, frame0)
+            g = frame_line_index(plan, frame0, comp.shape[0], comp.shape[-2])
+            return _scr(plan, comp, g, s_mode, s_key)
+
+        def dec_f(comp, frame0):  # noqa: F811
+            g = frame_line_index(plan, frame0, comp.shape[0], comp.shape[-2])
+            return _clear_dec(
+                _descr(plan, comp, g, s_mode, s_key), frame0
+            )
+
+        def roundtrip(rgb, frame0, aud=None, phi0=None):  # noqa: F811
+            return dec_f(enc_f(rgb, frame0), frame0), None, None
 
     want_sound = rf_audio is not None
     if want_sound:

@@ -497,3 +497,36 @@ def test_cli_video_rf_stereo(tmp_path, capsys):
 
     y, rate = read_wav(str(tmp_path / "st.wav"))
     assert rate == 48000 and y.shape[0] == 2
+
+
+def test_video_scramble_chunk_independent(tmp_path):
+    """Pay-TV scrambling through the chunked runner: the keyed schedule
+    hashes the ABSOLUTE line index (frame/scramble.py), so chunk size
+    cannot change anything — and with noise BETWEEN scramble and
+    descramble the output still matches the unscrambled noisy run's
+    realization per frame (descrambling permutes the composite before
+    the noise is added... no: noise lands on the scrambled geometry, so
+    only the scrambled run's own chunk-independence is asserted)."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    outs = {}
+    for chunk in (2, 6):
+        d = str(tmp_path / f"s{chunk}")
+        process_video(plan, src, 6, d, decoder="comb3", chunk=chunk,
+                      channel={"noise_sigma": 0.02},
+                      scramble=("cutrotate", 0xC0FFEE), save_outputs=True)
+        outs[chunk] = np.concatenate([
+            np.load(f"{d}/rgb_{s:06d}.npy") for s in range(0, 6, chunk)
+        ])
+    np.testing.assert_allclose(outs[2], outs[6], atol=1e-6)
+    # and on a clean channel, scrambled-and-descrambled output is BIT-
+    # identical to the plain pipeline's
+    d1 = str(tmp_path / "clear")
+    d2 = str(tmp_path / "scr")
+    process_video(plan, src, 4, d1, decoder="comb3", chunk=4,
+                  save_outputs=True)
+    process_video(plan, src, 4, d2, decoder="comb3", chunk=4,
+                  scramble=("shuffle", 7), save_outputs=True)
+    a = np.load(f"{d1}/rgb_000000.npy")
+    b = np.load(f"{d2}/rgb_000000.npy")
+    assert np.array_equal(a, b)
