@@ -734,18 +734,26 @@ def main(argv=None) -> int:
         import time as _time
 
         t0 = _time.perf_counter()
-        blocked = [
-            f"--{k.replace('_', '-')}"
-            for k in (
-                "raster", "interlaced", "svideo", "vhs", "tbc",
-                "equalize", "burst_locked", "vits", "secam_ident",
-                "pal_ident", "caption", "teletext", "wss", "vitc",
-            )
-            if getattr(args, k, False)
-        ]
+        # Whitelist (ADVICE r2): the palplus path honors exactly these
+        # flags; ANY other roundtrip flag left at a non-default value is a
+        # composition the pipeline would silently ignore, so refuse it —
+        # comparing against the parser's own defaults keeps the check
+        # complete as new flags are added.
+        honored = {
+            "cmd", "standard", "decoder", "width", "frame", "backend",
+            "input", "demo", "pattern", "lines", "output", "composite",
+            "noise", "palplus",
+        }
+        defaults = vars(build_parser().parse_args(["roundtrip", "--demo"]))
+        blocked = sorted(
+            "--" + k.replace("_", "-")
+            for k, v in vars(args).items()
+            if k not in honored and v != defaults.get(k, v)
+        )
         if blocked:
             raise SystemExit(
-                f"--palplus does not combine with {' '.join(blocked)}"
+                "--palplus composes with --noise only; remove "
+                + " ".join(blocked)
             )
         import numpy as np
         import jax
@@ -770,7 +778,7 @@ def main(argv=None) -> int:
         except ValueError as e:
             raise SystemExit(f"--palplus: {e}")
         plan = make_plan(cfg, args.width)
-        enc, dec, _ = make_palplus_pipeline(plan, args.decoder)
+        enc, dec, _ = make_palplus_pipeline(plan, args.decoder, args.backend)
         comp = enc(jnp.asarray(rgb)[None], args.frame)
         if args.noise > 0.0:
             comp = comp + args.noise * jax.random.normal(
@@ -2542,23 +2550,27 @@ def main(argv=None) -> int:
                 f"{f}MHz": round(v, 3) for f, v in freq.items()
             }
             result["vits"] = vits_report
-        if pirate_comp is not None:
-            pirate = np.asarray(decode(pirate_comp, args.frame))[0]
-            result["scramble"] = {
-                "mode": args.scramble,
-                "key": args.scramble_key,
-                "pirate_psnr_db": round(psnr(pirate, rgb), 2),
-            }
         data_rows = (cap_rows + ttx_rows + (1 if wss_row >= 0 else 0)
                      + (1 if vitc_row >= 0 else 0) + ident_rows
                      + vir_rows)
+        hi = rgb.shape[1] - n_vits
         if data_rows or n_vits:
-            hi = rgb.shape[1] - n_vits
             result["psnr_db"] = round(
                 psnr(out[:, data_rows:hi], rgb[:, data_rows:hi]), 2
             )
         else:
             result["psnr_db"] = round(psnr(out, rgb), 2)
+        if pirate_comp is not None:
+            # pirate PSNR over the same picture-row slice as psnr_db
+            # (ADVICE r2): data/test lines are not picture for either
+            pirate = np.asarray(decode(pirate_comp, args.frame))[0]
+            result["scramble"] = {
+                "mode": args.scramble,
+                "key": args.scramble_key,
+                "pirate_psnr_db": round(
+                    psnr(pirate[:, data_rows:hi], rgb[:, data_rows:hi]), 2
+                ),
+            }
         result["lines"] = int(rgb.shape[1])
         if args.output:
             save_rgb(args.output, out)

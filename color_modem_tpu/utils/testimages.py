@@ -169,11 +169,9 @@ def smpte_bars(n_lines: int, n_samples: int) -> np.ndarray:
     bars7 = BAR_COLORS_75[:7]
     img[:, :b1, :] = bars7[idx].T[:, None, :]
     # blue-only strip, reverse-significance order like the EG 1 strip:
-    # bars with blue keep it, others go black; plus white/black anchors
-    strip = bars7[idx].T.copy()
-    strip[0] = strip[1] = 0.0  # keep only blue
+    # alternate bars keep a 75% blue, others go black (R/G stay zero)
     keep = np.array([1, 0, 1, 0, 1, 0, 1])[idx]  # alternate on/off
-    img[:, b1:b2, :] = (strip * keep)[:, None, :]
+    img[:, b1:b2, :] = 0.0
     img[2, b1:b2, :] = np.where(keep > 0, 0.75, 0.0)[None, :]
     # PLUGE band: white ref | 7.5% gray | black | +4% | black | 0 (sub-
     # black clamped) | black
