@@ -14,8 +14,15 @@ writes in VMEM (all filter matmuls are 3-pass split-precision dots on
   SURVEY.md §2.3.
 
 Cross-line work (comb stencils, delay-line averaging, NIIR normalization,
-colorimetry) stays outside: it is one cheap elementwise XLA pass and, when
-sharded, the halo exchange's natural home (parallel/halo.py).
+colorimetry) stays outside the kernel and, when sharded, is the halo
+exchange's natural home (parallel/halo.py).  Measured cost of keeping it
+out (scripts/p2_stencil_delta.py at 16x480x720, two chip sessions):
+comb3 +0.3% / -12.1%, comb2 +25.7% / -8.9% of the roundtrip — the two
+sessions disagree in sign, i.e. the out-of-kernel stencil delta is BELOW
+the relay's session-to-session execution variance (BASELINE.md measured
+0.7-2.0 Gpix/s for the same binary), so fusing it could not be validated
+to help and is not attempted.  Numbers live in
+results/p2_stencil_delta.json and BASELINE.md "P2 stencil placement".
 
 Twins: modem/qam.py `encode` / `separate_notch`+`demodulate_carrier`
 (tested in tests/test_kernels.py, interpret mode off-TPU).
