@@ -54,14 +54,49 @@ def scene():
     return smooth_scene(TEST_LINES, TEST_SAMPLES, seed=1).astype(np.float32)
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the full tier too (tests/_full_tier.txt — the slow "
+        "physics cases skipped by the default fast tier)",
+    )
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: needs the real TPU chip")
     config.addinivalue_line(
         "markers", "slow: multi-process / long-running (still in default run)"
     )
+    config.addinivalue_line(
+        "markers", "full: slow case, default tier skips it (--full runs all)"
+    )
+
+
+def _full_tier_ids():
+    path = os.path.join(os.path.dirname(__file__), "_full_tier.txt")
+    try:
+        with open(path) as f:
+            return {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return set()
 
 
 def pytest_collection_modifyitems(config, items):
+    # Tiering (VERDICT r2 item 8): the generated tests/_full_tier.txt lists
+    # the expensive cases; the default run skips them so iteration stays
+    # < 3 min, `--full` runs everything (zero coverage loss — superset).
+    # New/renamed tests are absent from the list, so they fail-safe into
+    # the default tier.  Regenerate with scripts/retier_tests.py.
+    if not config.getoption("--full"):
+        full_ids = _full_tier_ids()
+        skip_full = pytest.mark.skip(
+            reason="full tier: run with --full (tests/_full_tier.txt)"
+        )
+        for item in items:
+            if item.nodeid in full_ids:
+                item.add_marker(pytest.mark.full)
+                item.add_marker(skip_full)
     # any mark expression mentioning tpu counts as explicit selection
     # (exact string equality would silently re-skip '-m "tpu and not slow"')
     if "tpu" in (config.getoption("-m", default="") or ""):
