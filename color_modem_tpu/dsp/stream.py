@@ -1,0 +1,298 @@
+"""Overlap-save FFT convolution for long contiguous streams (K3 at the
+transmission layers; VERDICT r2 item 3).
+
+The RF/satellite layers filter million-sample streams (rows joined into
+one contiguous broadcast-time signal, frame/rf.py).  ``dsp.apply.
+fir_same_fft`` does that as ONE giant padded rfft/irfft pair; measured on
+the v5e (results/rf_blocksweep.json), the TPU's FFT throughput is ~flat
+at ~0.4 ns/point per real transform from 2^13 through 2^21, so the giant
+transform wastes exactly its pow2 padding (x1.52 at the RF geometry).
+Overlap-save over medium blocks cuts the padding to ~1.07-1.33x and — the
+bigger lever — enables *rate-changing and complex-baseband composition in
+the frequency domain*:
+
+* :func:`fir_stream` — real 'same' convolution, the drop-in overlap-save
+  replacement for long streams.
+* :func:`upconv_stream` — zero-stuff upsample by ``r`` + complex 'same'
+  filter in ONE pass: the composite->RF interpolation.  The rfft runs at
+  the LOW (composite) rate — a zero-stuffed block's spectrum is the
+  periodic replication of its dense block's spectrum, so only the final
+  complex ifft pays the RF rate.
+* :func:`conv_decim_stream` — complex 'same' filter + decimate by ``r``
+  in ONE pass: the RF->composite detection path.  The spectrum is folded
+  (aliased-summed) BEFORE the inverse transform, so the ifft runs at the
+  low rate; with a real input the forward transform is an rfft.
+
+Why complex taps: mixing a real signal with a carrier and filtering obeys
+``(h * (x·e^{jwn}))[n] = e^{jwn}·((h·e^{-jw·}) * x)[n]`` — so a
+filter-mix-filter cascade collapses into ONE complex filter applied to
+the unmixed signal, with the carrier multiply moved outside (where it is
+cheap elementwise work on the closed-form NCO carriers).  frame/rf.py
+composes its VSB chains this way; measured effect on the chip matrix's
+rf-vsb-hop row is recorded in BASELINE.md ("RF hop roofline").
+
+All functions take HOST numpy taps (complex128/float64, converted here) —
+kernel spectra must be host constants: a complex64 *device* array captured
+by jit needs a device->host copy at lowering, which is UNIMPLEMENTED on
+the axon relay backend (measured 2026-08-19).
+
+Same-centering contract: with odd tap count t, output[n] =
+sum_k taps[k]·x[n + (t-1)//2 - k] — identical to dsp.apply.fir_same_fft /
+np.convolve(mode='same'), so composed filters (conv of odd-length FIRs,
+zero-padded symmetrically) cascade exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+#: measured-best block size floor (results/rf_blocksweep.json: 32768 won
+#: at 0.88 ns/stream-sample vs 1.17 for the giant transform)
+_NBLK_FLOOR = 32768
+
+
+def pick_nblk(t: int) -> int:
+    """Smallest pow2 >= 8*(t-1), floored at 32768: keeps the overlap-save
+    overhead <= 14% while staying in the flat region of the measured
+    FFT-throughput curve."""
+    nblk = _NBLK_FLOOR
+    while nblk < 8 * (t - 1):
+        nblk *= 2
+    return nblk
+
+
+def _check_taps(taps) -> np.ndarray:
+    taps = np.asarray(taps)
+    if taps.ndim != 1 or taps.shape[0] % 2 == 0:
+        raise ValueError(
+            f"stream filters need odd 1-D taps, got shape {taps.shape}"
+        )
+    return taps
+
+
+def pad_taps_center(taps, multiple: int) -> np.ndarray:
+    """Zero-pad odd-length taps symmetrically until (len-1) % multiple == 0
+    — keeps the 'same' center exact while aligning the overlap-save
+    geometry to a resampling factor."""
+    taps = _check_taps(taps)
+    t = taps.shape[0]
+    extra = (-(t - 1)) % multiple
+    if extra:
+        half = extra // 2
+        if extra % 2:  # keep oddness: grow by a full 2*multiple instead
+            extra = extra + multiple
+            half = extra // 2
+        taps = np.pad(taps, (half, half))
+    return taps
+
+
+def _blocks(x: jnp.ndarray, lo: int, step: int, nb: int, nblk: int):
+    """(B, T) -> (B, nb, nblk) overlapping blocks of [lo zeros ++ x ++ 0s].
+
+    Block j = padded[j*step : j*step + nblk]; after discarding each
+    block's first (t-1) circular samples, the concatenated remainders are
+    exactly the same-centered convolution output (module docstring)."""
+    b, t_in = x.shape
+    total = (nb - 1) * step + nblk
+    xp = jnp.pad(x, ((0, 0), (lo, total - lo - t_in)))
+    idx = (
+        np.arange(nb, dtype=np.int32)[:, None] * step
+        + np.arange(nblk, dtype=np.int32)[None, :]
+    )
+    return xp[:, idx]
+
+
+def fir_stream(x: jnp.ndarray, taps) -> jnp.ndarray:
+    """Real 'same' convolution of (..., T) along the last axis by
+    overlap-save; exact (float-reassociated) match of fir_same_fft."""
+    taps = _check_taps(taps)
+    t = taps.shape[0]
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    t_in = x2.shape[-1]
+    nblk = pick_nblk(t)
+    if 2 ** int(np.ceil(np.log2(t_in + t - 1))) <= 2 * nblk:
+        # short stream: a single padded transform wastes less than the
+        # blocking would — defer to the plain path
+        from color_modem_tpu.dsp.apply import fir_same_fft
+
+        return fir_same_fft(x, taps)
+    step = nblk - (t - 1)
+    nb = -(-t_in // step)
+    K = np.fft.rfft(np.pad(taps.astype(np.float64), (0, nblk - t))).astype(
+        np.complex64
+    )
+    blocks = _blocks(x2, (t - 1) // 2, step, nb, nblk)
+    y = jnp.fft.irfft(jnp.fft.rfft(blocks, axis=-1) * K, n=nblk, axis=-1)
+    y = y[..., t - 1:].reshape(x2.shape[0], nb * step)[:, :t_in]
+    return y.astype(x.dtype).reshape(lead + (t_in,))
+
+
+def _expand_full(spec: jnp.ndarray, nsrc: int, nfull: int):
+    """rfft spectrum (.., nsrc//2+1) of a real length-``nsrc`` block ->
+    full length-``nfull`` spectrum of the same block zero-stuffed (or,
+    with nfull == nsrc, just hermitian-expanded): periodic replication
+    X_full[k] = X[k mod nsrc] with the hermitian fold X[m] =
+    conj(X[nsrc-m]) for m > nsrc//2."""
+    k = np.arange(nfull, dtype=np.int32) % nsrc
+    fold = np.minimum(k, nsrc - k).astype(np.int32)
+    out = spec[..., fold]
+    return jnp.where(jnp.asarray(k > nsrc // 2), jnp.conj(out), out)
+
+
+def upconv_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
+    """Zero-stuff (..., Tc) real by ``r`` and 'same'-filter with complex
+    ``taps_c`` (host numpy, odd length, (len-1) % (2r) == 0) in one pass.
+    Returns complex64 (..., Tc*r).  No stuffing gain is applied — fold
+    the conventional factor ``r`` into the taps."""
+    taps_c = _check_taps(taps_c)
+    t = taps_c.shape[0]
+    if (t - 1) % (2 * r):
+        raise ValueError(
+            f"upconv taps: (len-1) must divide 2r = {2*r}, got len {t} — "
+            "use pad_taps_center"
+        )
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    tc_in = x2.shape[-1]
+    nblk = pick_nblk(t)
+    nblk_c = nblk // r
+    step = nblk - (t - 1)          # divisible by r (both terms are)
+    step_c = step // r
+    nb = -(-tc_in // step_c)
+    # composite-rate blocks; prefix (t-1)//(2r) zeros = the same-centering
+    # lead at the stuffed rate ((t-1)//2 RF samples, r-aligned)
+    blocks_c = _blocks(x2, (t - 1) // (2 * r), step_c, nb, nblk_c)
+    spec_c = jnp.fft.rfft(blocks_c, axis=-1)
+    Z = _expand_full(spec_c, nblk_c, nblk)
+    K = np.fft.fft(np.pad(taps_c.astype(np.complex128), (0, nblk - t))).astype(
+        np.complex64
+    )
+    w = jnp.fft.ifft(Z * K, axis=-1)
+    w = w[..., t - 1:].reshape(x2.shape[0], nb * step)[:, : tc_in * r]
+    return w.reshape(lead + (tc_in * r,))
+
+
+def conv_complex_stream(x: jnp.ndarray, taps_c) -> jnp.ndarray:
+    """'Same'-filter real (..., T) with complex ``taps_c`` at full rate,
+    returning complex64 (..., T) — the composed quadrature front end
+    (band-pass + I/Q mix + I/Q lowpass as one filter) where the
+    downstream stage (an FM discriminator) needs the full-rate z."""
+    taps_c = _check_taps(taps_c)
+    t = taps_c.shape[0]
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    t_in = x2.shape[-1]
+    nblk = pick_nblk(t)
+    step = nblk - (t - 1)
+    nb = -(-t_in // step)
+    blocks = _blocks(x2, (t - 1) // 2, step, nb, nblk)
+    Z = _expand_full(jnp.fft.rfft(blocks, axis=-1), nblk, nblk)
+    K = np.fft.fft(np.pad(taps_c.astype(np.complex128), (0, nblk - t))).astype(
+        np.complex64
+    )
+    w = jnp.fft.ifft(Z * K, axis=-1)
+    w = w[..., t - 1:].reshape(x2.shape[0], nb * step)[:, :t_in]
+    return w.reshape(lead + (t_in,))
+
+
+def upsample_fir_stream(x: jnp.ndarray, taps, r: int) -> jnp.ndarray:
+    """Zero-stuff real (..., Tc) by ``r`` + REAL 'same' lowpass in one
+    pass — all transforms hermitian (rfft at the low rate, irfft at the
+    high rate).  Returns real (..., Tc*r); fold the stuffing gain ``r``
+    into the taps."""
+    taps = _check_taps(np.asarray(taps, np.float64))
+    t = taps.shape[0]
+    if (t - 1) % (2 * r):
+        raise ValueError(
+            f"upsample taps: (len-1) must divide 2r = {2*r}, got len {t}"
+        )
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    tc_in = x2.shape[-1]
+    nblk = pick_nblk(t)
+    nblk_c = nblk // r
+    step = nblk - (t - 1)
+    step_c = step // r
+    nb = -(-tc_in // step_c)
+    blocks_c = _blocks(x2, (t - 1) // (2 * r), step_c, nb, nblk_c)
+    spec_c = jnp.fft.rfft(blocks_c, axis=-1)
+    # rfft spectrum of the zero-stuffed block: periodic replication of
+    # the dense rfft, folded hermitian — only nblk//2+1 bins needed
+    k = np.arange(nblk // 2 + 1, dtype=np.int32) % nblk_c
+    fold = np.minimum(k, nblk_c - k).astype(np.int32)
+    Z = spec_c[..., fold]
+    Z = jnp.where(jnp.asarray(k > nblk_c // 2), jnp.conj(Z), Z)
+    K = np.fft.rfft(np.pad(taps, (0, nblk - t))).astype(np.complex64)
+    y = jnp.fft.irfft(Z * K, n=nblk, axis=-1)
+    y = y[..., t - 1:].reshape(x2.shape[0], nb * step)[:, : tc_in * r]
+    return y.astype(x.dtype).reshape(lead + (tc_in * r,))
+
+
+def fir_decim_stream(x: jnp.ndarray, taps, r: int) -> jnp.ndarray:
+    """REAL 'same' filter + decimate by ``r`` in one pass (spectrum
+    aliased-summed before a low-rate irfft).  Returns real (..., T//r)."""
+    taps = _check_taps(np.asarray(taps, np.float64))
+    t = taps.shape[0]
+    if (t - 1) % (2 * r):
+        raise ValueError(
+            f"fir_decim taps: (len-1) must divide 2r = {2*r}, got len {t}"
+        )
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    t_in = x2.shape[-1]
+    if t_in % r:
+        raise ValueError(f"stream length {t_in} not divisible by r={r}")
+    nblk = pick_nblk(t)
+    nblk_c = nblk // r
+    step = nblk - (t - 1)
+    step_c = step // r
+    nb = -(-(t_in // r) // step_c)
+    blocks = _blocks(x2, (t - 1) // 2, step, nb, nblk)
+    Z = _expand_full(jnp.fft.rfft(blocks, axis=-1), nblk, nblk)
+    K = np.fft.fft(np.pad(taps.astype(np.complex128), (0, nblk - t))).astype(
+        np.complex64
+    )
+    W = (Z * K).reshape(Z.shape[:-1] + (r, nblk_c)).sum(-2) * (1.0 / r)
+    # real input, real taps: the decimated spectrum is hermitian — take
+    # the first nblk_c//2+1 bins and irfft
+    w = jnp.fft.irfft(W[..., : nblk_c // 2 + 1], n=nblk_c, axis=-1)
+    ov_c = (t - 1) // r
+    w = w[..., ov_c:].reshape(x2.shape[0], nb * step_c)[:, : t_in // r]
+    return w.astype(x.dtype).reshape(lead + (t_in // r,))
+
+
+def conv_decim_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
+    """'Same'-filter real (..., T) with complex ``taps_c`` and keep every
+    ``r``-th output sample, in one pass (the spectrum is aliased-summed
+    before a low-rate complex ifft).  Returns complex64 (..., T//r).
+    Requires (len(taps)-1) % (2r) == 0 and T % r == 0."""
+    taps_c = _check_taps(taps_c)
+    t = taps_c.shape[0]
+    if (t - 1) % (2 * r):
+        raise ValueError(
+            f"conv_decim taps: (len-1) must divide 2r = {2*r}, got len {t}"
+        )
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    t_in = x2.shape[-1]
+    if t_in % r:
+        raise ValueError(f"stream length {t_in} not divisible by r={r}")
+    nblk = pick_nblk(t)
+    nblk_c = nblk // r
+    step = nblk - (t - 1)
+    step_c = step // r
+    nb = -(-(t_in // r) // step_c)
+    blocks = _blocks(x2, (t - 1) // 2, step, nb, nblk)
+    spec = jnp.fft.rfft(blocks, axis=-1)
+    Z = _expand_full(spec, nblk, nblk)
+    K = np.fft.fft(np.pad(taps_c.astype(np.complex128), (0, nblk - t))).astype(
+        np.complex64
+    )
+    W = (Z * K).reshape(Z.shape[:-1] + (r, nblk_c)).sum(-2) * (1.0 / r)
+    w = jnp.fft.ifft(W, axis=-1)
+    ov_c = (t - 1) // r
+    w = w[..., ov_c:].reshape(x2.shape[0], nb * step_c)[:, : t_in // r]
+    return w.reshape(lead + (t_in // r,))

@@ -27,11 +27,19 @@ TPU-first design:
   sign, no sequential phase state.  Rows, frames and batch items stay
   independent: vmap/shard-compatible, continuous across the stream.
 * All filtering is design-time FIR taps (dsp/design.freq_sampled_taps)
-  applied by pow2-FFT convolution over the whole stream
-  (dsp/apply.fir_same_fft): line-seam-free, one HBM pass per filter, and
-  pow2 FFTs are solid on the axon backend (CLAUDE.md).  The long (~1k
-  tap) channel filters cost the same as short ones this way — the regime
-  where FFT conv beat lax.conv by ~1000x (frame/equalize.py).
+  applied by overlap-save pow2-FFT convolution over the whole stream
+  (dsp/stream.py): line-seam-free, and pow2 FFTs are solid on the axon
+  backend (CLAUDE.md).  The long (~1k tap) channel filters cost the same
+  as short ones this way — the regime where FFT conv beat lax.conv by
+  ~1000x (frame/equalize.py).
+* Each direction's filter-mix-filter cascade is COMPOSED into one
+  complex FIR (RFPlan.mod_taps/dem_taps/snd_dem_taps) via the modulation
+  identity ``h*(y cos wn) = Re{e^{jwn}((h e^{-jw·})*y)}``, with the
+  rate change done in the frequency domain (dsp/stream.upconv_stream /
+  conv_decim_stream): the interpolation rfft runs at the composite rate
+  and the detection ifft at the decimated rate, so a roundtrip pays
+  ~2.25 complex-FFT-equivalents instead of the 8 real transforms of the
+  naive chain — measured numbers in BASELINE.md "RF hop roofline".
 * Integer-R up/down sampling reuses the one video lowpass design as both
   the interpolation (anti-image) filter on the way up and the
   post-detection/decimation filter on the way down.
@@ -57,6 +65,11 @@ import jax.numpy as jnp
 from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.apply import fir_same_fft
 from color_modem_tpu.dsp.nco import sample_phase_ramp
+from color_modem_tpu.dsp.stream import (
+    conv_decim_stream,
+    pad_taps_center,
+    upconv_stream,
+)
 from color_modem_tpu.modem.plan import ModemPlan
 
 TWO_PI = 2.0 * np.pi
@@ -71,6 +84,15 @@ ENV_WHITE = 0.125
 #: Design margins (Hz): band-edge transition width, guard to DC/Nyquist.
 _TRANSITION = 0.3e6
 _GUARD = 0.2e6
+
+
+def _carrier_taps(taps: np.ndarray, w: float) -> np.ndarray:
+    """taps[k] * e^{jw(k - lo)} — the complex-modulated FIR of the
+    identity  h * (y·e^{jwn}) = e^{jwn} · ((h·e^{-jw·}) * y)  at the
+    'same'-centering origin lo = (t-1)/2 (odd taps; exact host f64)."""
+    t = len(taps)
+    k = np.arange(t, dtype=np.float64) - (t - 1) / 2
+    return np.asarray(taps, np.float64) * np.exp(1j * w * k)
 
 
 def _nyquist_flank(f, fc: float, f_vestige: float, f_video: float,
@@ -130,6 +152,54 @@ class RFPlan:
     def n_rf(self) -> int:
         """RF samples per row."""
         return self.row_samples * self.r
+
+    def mod_taps(self, df: float = 0.0) -> np.ndarray:
+        """Composed complex modulate filter (VERDICT r2 item 3): the
+        anti-image video lowpass, the carrier mix at ``fc + df`` and the
+        VSB shaping collapse into ONE complex FIR via the modulation
+        identity ``h*(y·cos wn) = Re{e^{jwn}·((h·e^{-jw·})*y)}`` — so the
+        whole composite->RF chain is one :func:`dsp.stream.upconv_stream`
+        pass plus an elementwise carrier multiply.  Includes the
+        zero-stuffing gain ``r``."""
+        w = TWO_PI * (self.fc + df) / self.fs_rf
+        return pad_taps_center(
+            self.r * np.convolve(_carrier_taps(self.tx_taps, -w),
+                                 self.det_taps),
+            2 * self.r,
+        )
+
+    def dem_taps(self, df: float = 0.0) -> np.ndarray:
+        """Composed complex demodulate filter: Nyquist-flank selection,
+        product mix at ``fc + df`` and post-detection lowpass as ONE
+        complex FIR for :func:`dsp.stream.conv_decim_stream`; the carrier
+        rotation moves outside, to the decimated (composite) rate."""
+        w = TWO_PI * (self.fc + df) / self.fs_rf
+        return pad_taps_center(
+            np.convolve(_carrier_taps(self.det_taps, -w), self.rx_taps),
+            2 * self.r,
+        )
+
+    def snd_dem_taps(self, df: float = 0.0) -> np.ndarray:
+        """Composed complex sound-takeoff filter: sound bandpass + I/Q mix
+        at ``f_snd + df`` + I/Q lowpass as one complex FIR (factor 2 of
+        the quadrature mix included)."""
+        w = TWO_PI * (self.f_snd + df) / self.fs_rf
+        return pad_taps_center(
+            2.0 * np.convolve(_carrier_taps(self.snd_lpf, +w),
+                              self.snd_bpf),
+            2 * self.r,
+        )
+
+    @property
+    def ramp_comp(self) -> np.ndarray:
+        """Within-row picture-carrier phase at the COMPOSITE rate (the
+        decimated grid): fc is a half-integer number of cycles per row at
+        either rate, so the (-1)^row law carries over unchanged."""
+        return sample_phase_ramp(self.fc, self.plan.fs, self.row_samples)
+
+    @property
+    def snd_ramp_comp(self) -> np.ndarray:
+        return sample_phase_ramp(self.f_snd, self.plan.fs, self.row_samples)
 
     @property
     def video_zero(self) -> float:
@@ -282,7 +352,8 @@ def _row_sign(rfp: RFPlan, frame0, b: int, l: int):
     return (1.0 - 2.0 * (rows % 2).astype(jnp.float32))
 
 
-def _df_phase(rfp: RFPlan, df: float, frame0, b: int, l: int):
+def _df_phase(rfp: RFPlan, df: float, frame0, b: int, l: int,
+              comp_rate: bool = False):
     """(B, L, n_rf) extra carrier phase (radians) of a STATIC frequency
     offset ``df`` Hz: 2*pi*df*t over the contiguous stream, keyed by the
     absolute row index so video chunks stay phase-continuous.
@@ -293,6 +364,10 @@ def _df_phase(rfp: RFPlan, df: float, frame0, b: int, l: int):
     reduce each factor's CYCLES mod 1 in host f64 first: q <= 256 and
     r < 4096 keep both f32 products' absolute error below ~5e-4 cycles
     (0.2 deg).  The within-row ramp is exact host f64, frac-reduced.
+
+    ``comp_rate``: evaluate on the COMPOSITE (decimated-by-r) sample grid
+    instead — shape (B, L, row_samples); the row-start law is identical
+    (same rows, same duration), only the within-row ramp subsamples.
     """
     n = rfp.row_samples
     cyc = float(df) * n / rfp.plan.fs           # cycles per row (f64)
@@ -302,9 +377,11 @@ def _df_phase(rfp: RFPlan, df: float, frame0, b: int, l: int):
     q, rr = rows // 4096, rows % 4096
     cycles = (q.astype(jnp.float32) * np.float32(frac2)
               + rr.astype(jnp.float32) * np.float32(frac1)) % 1.0
+    fs_here = rfp.plan.fs if comp_rate else rfp.fs_rf
+    n_here = rfp.row_samples if comp_rate else rfp.n_rf
     in_row = jnp.asarray(
-        TWO_PI * ((float(df) / rfp.fs_rf)
-                  * np.arange(rfp.n_rf, dtype=np.float64) % 1.0),
+        TWO_PI * ((float(df) / fs_here)
+                  * np.arange(n_here, dtype=np.float64) % 1.0),
         jnp.float32,
     )
     return (TWO_PI * cycles)[:, :, None] + in_row[None, None, :]
@@ -339,26 +416,26 @@ def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None, df: float = 0.0):
             "make_rf_plan (e.g. raster.n_total for rastered lines)"
         )
     env = ENV_BLANK - (ENV_BLANK - ENV_WHITE) * comp.astype(jnp.float32)
-    # interpolate the ENVELOPE to the RF rate first (zero-stuff, gain r,
-    # anti-image lowpass over the contiguous stream), and only then mix:
-    # the envelope's images sit at fs +- f and the lowpass removes them.
-    # Mixing before interpolation would not work — the modulated sidebands
-    # (+- f_video around fc) are wider than the fs image spacing, so the
-    # stuffing images would alias straight into the VSB passband.
-    z = jnp.zeros((b, l, n, rfp.r), jnp.float32).at[..., 0].set(rfp.r * env)
-    stream = z.reshape(b, l * rfp.n_rf)
-    env_rf = fir_same_fft(stream, rfp.det_taps).reshape(b, l, rfp.n_rf)
-    if df != 0.0:
-        carrier = jnp.cos(
-            jnp.asarray(rfp.ramp, jnp.float32)[None, None, :]
-            + _df_phase(rfp, df, frame0, b, l)
-        )
-    else:
-        carrier = jnp.asarray(np.cos(rfp.ramp), jnp.float32)[None, None, :]
-    rf = env_rf * carrier * _row_sign(rfp, frame0, b, l)[:, :, None]
-    rf = fir_same_fft(
-        rf.reshape(b, l * rfp.n_rf), rfp.tx_taps
+    # One composed pass (RFPlan.mod_taps): zero-stuff interpolation,
+    # anti-image lowpass, carrier mix and VSB shaping collapse into a
+    # single complex upconversion filter; only the carrier rotation
+    # remains outside, elementwise on the closed-form NCO arrays.  The
+    # forward rfft runs at the COMPOSITE rate (dsp/stream.py) — measured
+    # ~2x over the filter-mix-filter chain it replaces (BASELINE.md "RF
+    # hop roofline").
+    v = upconv_stream(
+        env.reshape(b, l * n), rfp.mod_taps(df), rfp.r
     ).reshape(b, l, rfp.n_rf)
+    if df != 0.0:
+        ph = (jnp.asarray(rfp.ramp, jnp.float32)[None, None, :]
+              + _df_phase(rfp, df, frame0, b, l))
+        cos_t, sin_t = jnp.cos(ph), jnp.sin(ph)
+    else:
+        cos_t = jnp.asarray(np.cos(rfp.ramp), jnp.float32)[None, None, :]
+        sin_t = jnp.asarray(np.sin(rfp.ramp), jnp.float32)[None, None, :]
+    rf = (jnp.real(v) * cos_t - jnp.imag(v) * sin_t) * _row_sign(
+        rfp, frame0, b, l
+    )[:, :, None]
     if audio is not None:
         # FM: phase = closed-form carrier ramp + deviation integral.  The
         # integral is ONE cumsum over the contiguous stream (VPU work; the
@@ -404,7 +481,8 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
       diode envelope detector): insensitive to carrier phase entirely,
       at the cost of the authentic VSB quadrature distortion on
       high-frequency content (the reason real TV keeps the modulation
-      depth off 100 %).  Costs one extra detection-lowpass pass.
+      depth off 100 %).  With the composed complex detection filter the
+      envelope is literally ``4|z|`` — no extra filter pass.
 
     ``doc``: dropout compensation — samples whose detected envelope sits
     below :data:`DOC_THRESHOLD` (carrier loss, see the constant's note;
@@ -428,39 +506,39 @@ def rf_demodulate(rfp: RFPlan, rf, frame0=0, detection: str = "sync",
     same rotation-invariance reason as phase error.
     """
     b, l, n_rf = rf.shape
-    stream = rf.reshape(b, l * n_rf)
-    x = fir_same_fft(stream, rfp.rx_taps).reshape(b, l, n_rf)
-    # product detector gain 4: x2 to cancel the cos^2 halving, and x2
+    # Composed pass (RFPlan.dem_taps): Nyquist-flank selection, product
+    # mix and post-detection lowpass as ONE complex filter, decimated to
+    # the composite rate in the frequency domain (dsp/stream.py) —
+    # z[m] = (det~ * rx * x)[r m].  The carrier rotation applies at the
+    # DECIMATED rate: fc is a half-integer number of cycles per row at
+    # the composite rate too (ramp_comp), so the (-1)^row law holds.
+    # Product detector gain 4: x2 to cancel the cos^2 halving, and x2
     # because the Nyquist-flank convention H(fc+f) + H(fc-f) = 1 delivers
     # HALF the envelope everywhere (USB-only region: A/2 * 1; DSB region:
     # A/2 * [H+ + H-] = A/2).
+    z = conv_decim_stream(
+        rf.reshape(b, l * n_rf), rfp.dem_taps(freq_error), rfp.r
+    ).reshape(b, l, rfp.row_samples)
     sign = _row_sign(rfp, frame0, b, l)[:, :, None]
-    if freq_error != 0.0:
-        dphi = _df_phase(rfp, freq_error, frame0, b, l)
-        mix_c = jnp.cos(jnp.asarray(rfp.ramp + phase_error,
-                                    jnp.float32)[None, None, :] + dphi)
-        mix_s = jnp.sin(jnp.asarray(rfp.ramp + phase_error,
-                                    jnp.float32)[None, None, :] + dphi)
-    else:
-        mix_c = jnp.asarray(np.cos(rfp.ramp + phase_error),
-                            jnp.float32)[None, None, :]
-        mix_s = jnp.asarray(np.sin(rfp.ramp + phase_error),
-                            jnp.float32)[None, None, :]
     if detection == "sync":
-        i = x * (4.0 * mix_c) * sign
-        v = fir_same_fft(i.reshape(b, l * n_rf), rfp.det_taps)
-        env = v.reshape(b, l, rfp.row_samples, rfp.r)[..., 0]
+        if freq_error != 0.0:
+            ph = (jnp.asarray(rfp.ramp_comp + phase_error,
+                              jnp.float32)[None, None, :]
+                  + _df_phase(rfp, freq_error, frame0, b, l,
+                              comp_rate=True))
+            mix_c, mix_s = jnp.cos(ph), jnp.sin(ph)
+        else:
+            mix_c = jnp.asarray(np.cos(rfp.ramp_comp + phase_error),
+                                jnp.float32)[None, None, :]
+            mix_s = jnp.asarray(np.sin(rfp.ramp_comp + phase_error),
+                                jnp.float32)[None, None, :]
+        env = 4.0 * (jnp.real(z) * mix_c - jnp.imag(z) * mix_s) * sign
     elif detection == "envelope":
-        # phase_error participates but cannot matter: a mixer offset just
-        # rotates (i, q), and the magnitude is rotation-invariant — that
-        # insensitivity is the whole point of envelope detection.
-        i = fir_same_fft((x * (4.0 * mix_c) * sign)
-                         .reshape(b, l * n_rf), rfp.det_taps)
-        q = fir_same_fft((x * (-4.0 * mix_s) * sign)
-                         .reshape(b, l * n_rf), rfp.det_taps)
-        env = jnp.sqrt(i * i + q * q).reshape(
-            b, l, rfp.row_samples, rfp.r
-        )[..., 0]
+        # phase_error/freq_error at the mixer cannot matter: a mixer
+        # offset only rotates the complex z, and the magnitude is
+        # rotation-invariant — that insensitivity is the whole point of
+        # envelope detection (here it is literally |z|).
+        env = 4.0 * jnp.abs(z)
     else:
         raise ValueError(f"unknown detection {detection!r}")
     if agc:
@@ -509,24 +587,26 @@ def rf_cochannel(rfp: RFPlan, comp, frame0=0, offset_num: int = 1,
             f"{rfp.row_samples}"
         )
     env = ENV_BLANK - (ENV_BLANK - ENV_WHITE) * comp.astype(jnp.float32)
-    z = jnp.zeros((b, l, n, rfp.r), jnp.float32).at[..., 0].set(rfp.r * env)
-    env_rf = fir_same_fft(
-        z.reshape(b, l * rfp.n_rf), rfp.det_taps
-    ).reshape(b, l, rfp.n_rf)
     # offset carrier: cpl2 = cpl_num/2 + offset_num/offset_den
     num = rfp.cpl_num * offset_den + 2 * offset_num
     den = 2 * offset_den
     phi0 = line_phase0(num, den, _abs_rows(frame0, b, l))
     fh = rfp.plan.fs / rfp.row_samples
     fc2 = rfp.fc + offset_num / offset_den * fh
-    ramp2 = jnp.asarray(
-        sample_phase_ramp(fc2, rfp.fs_rf, rfp.n_rf), jnp.float32
+    # composed modulate filter at the OFFSET carrier (the identity needs
+    # the taps modulated at the actual mix frequency; host, per offset)
+    w2 = TWO_PI * fc2 / rfp.fs_rf
+    taps2 = pad_taps_center(
+        rfp.r * np.convolve(_carrier_taps(rfp.tx_taps, -w2), rfp.det_taps),
+        2 * rfp.r,
     )
-    carrier = jnp.cos(phi0[:, :, None] + ramp2[None, None, :])
-    rf = env_rf * carrier
-    return fir_same_fft(
-        rf.reshape(b, l * rfp.n_rf), rfp.tx_taps
+    v = upconv_stream(
+        env.reshape(b, l * n), taps2, rfp.r
     ).reshape(b, l, rfp.n_rf)
+    ph = phi0[:, :, None] + jnp.asarray(
+        sample_phase_ramp(fc2, rfp.fs_rf, rfp.n_rf), jnp.float32
+    )[None, None, :]
+    return jnp.real(v) * jnp.cos(ph) - jnp.imag(v) * jnp.sin(ph)
 
 
 def rf_ghost(rfp: RFPlan, rf, delay_us: float, gain: float):
@@ -704,6 +784,26 @@ def rf_retune(rfp: RFPlan, rf, df: float, frame0=0):
     return jnp.real(shifted).reshape(b, l, n_rf)
 
 
+def _snd_rotate(rfp: RFPlan, zc, frame0, freq_error: float):
+    """(i, q) from the composed sound-takeoff output: the quadrature mix's
+    carrier rotation e^{-j theta} applied at the COMPOSITE rate —
+    i + jq = zc * e^{-j(snd ramp + (-1)^row law + df phase)} (the factor 2
+    already lives in RFPlan.snd_dem_taps)."""
+    b, l, n = zc.shape
+    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
+    if freq_error != 0.0:
+        ph = (jnp.asarray(rfp.snd_ramp_comp, jnp.float32)[None, None, :]
+              + _df_phase(rfp, freq_error, frame0, b, l, comp_rate=True))
+        c, s = jnp.cos(ph) * sign, jnp.sin(ph) * sign
+    else:
+        c = jnp.asarray(np.cos(rfp.snd_ramp_comp),
+                        jnp.float32)[None, None, :] * sign
+        s = jnp.asarray(np.sin(rfp.snd_ramp_comp),
+                        jnp.float32)[None, None, :] * sign
+    zr, zi = jnp.real(zc), jnp.imag(zc)
+    return zr * c + zi * s, zi * c - zr * s
+
+
 def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0, freq_error: float = 0.0):
     """Intercarrier FM sound takeoff: RF (B, L, N*r) -> audio (B, L*N).
 
@@ -715,30 +815,24 @@ def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0, freq_error: float = 0.0):
     carrier, which this parameter emulates.
 
     Sound-channel bandpass, quadrature mix against the closed-form sound
-    carrier, I/Q lowpass, decimation to the composite rate, then the EXACT
-    phase-difference discriminator: dphi = atan2(Im, Re) of z[t]*conj(
-    z[t-1]) — per-sample phase step, no unwrap (|dphi| < pi), and unlike a
-    FIR differentiator it has no design error at the tiny omega/fs of an
-    audio-bandwidth signal (a 31-tap frequency-sampled d/dn measured ~30 dB
-    audio SNR; this form is exact).  Decimating first makes the step r
-    times larger — precision and compute both improve.
+    carrier and I/Q lowpass run as ONE composed complex filter decimated
+    to the composite rate in the frequency domain (RFPlan.snd_dem_taps +
+    dsp/stream.py; the carrier rotation applies after, at the decimated
+    rate).  Then the EXACT phase-difference discriminator: dphi =
+    atan2(Im, Re) of z[t]*conj(z[t-1]) — per-sample phase step, no unwrap
+    (|dphi| < pi), and unlike a FIR differentiator it has no design error
+    at the tiny omega/fs of an audio-bandwidth signal (a 31-tap
+    frequency-sampled d/dn measured ~30 dB audio SNR; this form is
+    exact).  Decimating first makes the step r times larger — precision
+    and compute both improve.
     """
     b, l, n_rf = rf.shape
     n = rfp.row_samples
-    stream = rf.reshape(b, l * n_rf)
-    xs = fir_same_fft(stream, rfp.snd_bpf)
-    ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
-    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
-    phi = ramp[None, None, :]
-    if freq_error != 0.0:
-        phi = phi + _df_phase(rfp, freq_error, frame0, b, l)
-    c = (jnp.cos(phi) * sign).reshape(b, l * n_rf)
-    s = (jnp.sin(phi) * sign).reshape(b, l * n_rf)
-    i = fir_same_fft(xs * (2.0 * c), rfp.snd_lpf)
-    q = fir_same_fft(xs * (-2.0 * s), rfp.snd_lpf)
-    # decimate: i/q are band-limited to the Carson width, far below fs/2
-    i = i.reshape(b, l, n, rfp.r)[..., 0].reshape(b, l * n)
-    q = q.reshape(b, l, n, rfp.r)[..., 0].reshape(b, l * n)
+    zc = conv_decim_stream(
+        rf.reshape(b, l * n_rf), rfp.snd_dem_taps(freq_error), rfp.r
+    ).reshape(b, l, n)
+    i, q = _snd_rotate(rfp, zc, frame0, freq_error)
+    i, q = i.reshape(b, l * n), q.reshape(b, l * n)
     ip = jnp.concatenate([i[:, :1], i[:, :-1]], axis=-1)
     qp = jnp.concatenate([q[:, :1], q[:, :-1]], axis=-1)
     dphi = jnp.arctan2(ip * q - i * qp, i * ip + q * qp)
@@ -792,19 +886,11 @@ def sound_from_rf(rfp: RFPlan, rf, frame0=0):
     """
     b, l, n_rf = rf.shape
     n = rfp.row_samples
-    stream = rf.reshape(1, b * l * n_rf)
-    xs = fir_same_fft(stream, rfp.snd_bpf)
-    ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
-    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
-    base = (jnp.broadcast_to(ramp, (b, l, n_rf))
-            * jnp.ones_like(sign)).reshape(1, b * l * n_rf)
-    sgn = jnp.broadcast_to(sign, (b, l, n_rf)).reshape(1, b * l * n_rf)
-    c = jnp.cos(base) * sgn
-    s = jnp.sin(base) * sgn
-    i = fir_same_fft(xs * (2.0 * c), rfp.snd_lpf)
-    q = fir_same_fft(xs * (-2.0 * s), rfp.snd_lpf)
-    i = i.reshape(b * l * n, rfp.r)[:, 0].reshape(1, b * l * n)
-    q = q.reshape(b * l * n, rfp.r)[:, 0].reshape(1, b * l * n)
+    zc = conv_decim_stream(
+        rf.reshape(1, b * l * n_rf), rfp.snd_dem_taps(), rfp.r
+    ).reshape(b, l, n)
+    i, q = _snd_rotate(rfp, zc, frame0, 0.0)
+    i, q = i.reshape(1, b * l * n), q.reshape(1, b * l * n)
     ip = jnp.concatenate([i[:, :1], i[:, :-1]], axis=-1)
     qp = jnp.concatenate([q[:, :1], q[:, :-1]], axis=-1)
     dphi = jnp.arctan2(ip * q - i * qp, i * ip + q * qp)

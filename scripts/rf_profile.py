@@ -64,37 +64,6 @@ def main(batch: int = 16, iters: int = 30) -> None:
     nfft = 1 << int(np.ceil(np.log2(stream.shape[-1] + 1024)))
     rec("rfft_2e21", jax.jit(lambda x: jnp.fft.rfft(x, n=nfft, axis=-1)),
         stream)
-    K = jnp.asarray(np.fft.rfft(np.pad(rfp.tx_taps, (0, nfft - 1025))))
-    spec = jax.block_until_ready(jax.jit(
-        lambda x: jnp.fft.rfft(x, n=nfft, axis=-1))(stream))
-
-    def _irfft(s):
-        return jnp.fft.irfft(s * K, n=nfft, axis=-1)
-
-    t = measure(_irfft, spec, iters=iters)
-    cases["mult_irfft_2e21"] = {
-        "ms_per_call": round(1e3 * t["seconds_per_call"], 3),
-        "mpix_per_s": round(pixels / t["seconds_per_call"] / 1e6, 1),
-    }
-    print("mult_irfft_2e21", cases["mult_irfft_2e21"], flush=True)
-
-    # zero-stuff + anti-image (modulate's first stage)
-    def _stuff(c):
-        b, l, nn = c.shape
-        z = jnp.zeros((b, l, nn, r), jnp.float32).at[..., 0].set(r * c)
-        return fir_same_fft(z.reshape(b, l * nn * r), rfp.det_taps)
-
-    rec("zero_stuff_plus_lpf", jax.jit(_stuff), comp)
-
-    # carrier mix alone (elementwise at RF rate)
-    carrier = jnp.asarray(np.cos(rfp.ramp), jnp.float32)
-
-    def _mix(x):
-        b = x.shape[0]
-        y = x.reshape(b, lines, rfp.n_rf) * carrier[None, None, :]
-        return y.reshape(b, -1)
-
-    rec("carrier_mix", jax.jit(_mix), stream)
 
     out = {"ts": time.time(), "batch": batch, "iters": iters,
            "shape": [batch, lines, n], "r": r,
