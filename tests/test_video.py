@@ -326,13 +326,74 @@ def test_video_rf_audio_phase_continuous(tmp_path):
     with pytest.raises(ValueError, match="refusing to resume"):
         process_video(plan, src, n, str(tmp_path / "s2"), decoder="notch",
                       chunk=2, rf=True)
-    # guards: audio needs the RF layer; interlaced not wired
+    # guard: audio needs the RF layer
     with pytest.raises(ValueError, match="rf=True"):
         process_video(plan, src, 2, str(tmp_path / "x"), chunk=2,
                       rf_audio=aud)
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        process_video(plan, src, 2, str(tmp_path / "y"), chunk=2,
-                      rf=True, interlaced=True, rf_audio=aud)
+
+
+def test_video_rf_audio_interlaced(tmp_path):
+    """rf_audio composes with interlaced fields (VERDICT r2 item 4): the
+    audio stream slices per FIELD (field-sequential order IS transmission
+    order, so each frame's block splits into consecutive halves), rides
+    the joined-stream FM carrier with the host-f64 prefix phase, and the
+    recovered audio is chunk-size independent at the same quality as the
+    progressive run."""
+    import glob
+
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    n = 4
+    t = np.arange(n * L * TEST_SAMPLES) / plan.fs
+    aud = (0.5 * np.sin(2 * np.pi * 700 * t)
+           + 0.3 * np.sin(2 * np.pi * 4000 * t)).astype(np.float32)
+    outs = {}
+    for chunk in (2, 4):
+        d = str(tmp_path / f"i{chunk}")
+        s = process_video(plan, src, n, d, decoder="notch", chunk=chunk,
+                          rf=True, interlaced=True, rf_audio=aud)
+        assert s["frames_processed_this_run"] == n
+        got = np.concatenate([
+            np.load(p) for p in sorted(glob.glob(d + "/aud_*.npy"))
+        ])
+        assert got.shape == aud.shape
+        crop = 8192
+        e = got[crop:-crop] - aud[crop:-crop]
+        snr = 10 * np.log10(np.mean(aud[crop:-crop] ** 2) / np.mean(e ** 2))
+        assert snr >= 55.0, snr
+        outs[chunk] = got
+    np.testing.assert_allclose(outs[2], outs[4], atol=1e-4, rtol=0)
+
+
+def test_video_scramble_interlaced_chunk_independent(tmp_path):
+    """Scramble composes with interlaced fields (VERDICT r2 item 4): the
+    key schedule hashes the FIELD-SEQUENTIAL absolute line numbering
+    (frame/interlace.py), so chunking cannot move it — and on a clean
+    channel the scrambled-then-descrambled interlaced output is
+    BIT-identical to the plain interlaced run (index ops never touch
+    sample values)."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    outs = {}
+    for chunk in (2, 6):
+        d = str(tmp_path / f"si{chunk}")
+        process_video(plan, src, 6, d, decoder="comb2", chunk=chunk,
+                      interlaced=True, channel={"noise_sigma": 0.02},
+                      scramble=("cutrotate", 0xC0FFEE), save_outputs=True)
+        outs[chunk] = np.concatenate([
+            np.load(f"{d}/rgb_{s:06d}.npy") for s in range(0, 6, chunk)
+        ])
+    np.testing.assert_allclose(outs[2], outs[6], atol=1e-6)
+    d1 = str(tmp_path / "clear")
+    d2 = str(tmp_path / "scr")
+    process_video(plan, src, 4, d1, decoder="comb2", chunk=4,
+                  interlaced=True, save_outputs=True)
+    process_video(plan, src, 4, d2, decoder="comb2", chunk=4,
+                  interlaced=True, scramble=("linedelay", 7),
+                  save_outputs=True)
+    a = np.load(f"{d1}/rgb_000000.npy")
+    b = np.load(f"{d2}/rgb_000000.npy")
+    assert np.array_equal(a, b)
 
 
 def test_video_satellite_hop_chunk_independent(tmp_path):
