@@ -94,6 +94,21 @@ def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
 
     small = max(2, iters // 5)
 
+    def _fold(acc, out):
+        # fold every output leaf into one running scalar and DROP the
+        # output reference: the window then keeps only (inputs + one
+        # in-flight call's buffers) live instead of count full outputs —
+        # at (16, 576, 1440) SECAM the old outs-list alone was ~4.8 GB
+        # and RESOURCE_EXHAUSTED'd the v5e (r02 chip matrix row 4).  The
+        # fold is 1-2 trivial kernels per call, async-dispatched like the
+        # calls themselves; the data dependency chain still forces every
+        # call when the single end-of-window scalar is read back.
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "dtype")]
+        for l in leaves:
+            acc = acc + jnp.sum(l.ravel()[:4].astype(jnp.float32))
+        return acc
+
     def _window(count: int, salt: int) -> float:
         per_iter = [
             [jax.block_until_ready(a) if hasattr(a, "dtype") else a
@@ -101,8 +116,10 @@ def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
             for i in range(count)
         ]
         t0 = time.perf_counter()
-        outs = [fn(*ai) for ai in per_iter]
-        force(outs)
+        acc = jnp.float32(0.0)
+        for ai in per_iter:
+            acc = _fold(acc, fn(*ai))
+        float(acc)
         return time.perf_counter() - t0
 
     force(fn(*args))  # warmup / compile
