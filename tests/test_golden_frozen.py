@@ -90,6 +90,15 @@ FROZEN = {
     # factor 2 merely became cfg.samples_per_symbol (enforced by the
     # unmodified D2 parity tests passing across this edit).
     "mac.py": "f6c08015baa67284",
+    # transmission.py ADDED 2026-08-19 (round 3, VERDICT r2 item 7):
+    # NEW-FILE oracle for the beyond-reference transmission layers —
+    # naive per-sample NumPy f64 VSB picture chain (explicit zero-stuff,
+    # uncomposed filter-mix-filter cascade, absolute-sample carrier
+    # phase) and satellite FM video chain (explicit fs/4 mixers, separate
+    # I/Q low-passes, f64 midpoint FM integral), written against the
+    # module docstrings' signal math, NOT the dsp/stream.py machinery it
+    # certifies.  No pre-existing golden file touched.
+    "transmission.py": "a61af05c634191cf",
 }
 
 
