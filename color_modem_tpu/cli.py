@@ -540,8 +540,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="broadcast T&M loop: staircase + multiburst through a "
         "channel, report differential gain/phase and frequency response",
     )
-    ms.add_argument("--standard", default="ntsc",
-                    choices=[s for s in STANDARD_NAMES if s != "secam"])
+    ms.add_argument("--standard", default="ntsc", choices=STANDARD_NAMES)
     ms.add_argument("--width", type=int, default=720)
     ms.add_argument("--lines", type=int, default=64)
     ms.add_argument("--noise", type=float, default=0.0)
@@ -1025,28 +1024,64 @@ def main(argv=None) -> int:
             return vhs_playback(plan, comp) if args.vhs else comp
 
         g = frame_line_index(plan, 0, 1, args.lines)
-        stair = through(modulated_staircase(plan, args.lines, args.width))
-        rep = measure_differential(plan, stair, g)
+        is_fm = plan.cfg.is_fm
+        if is_fm:
+            # SECAM (VERDICT r2 item 9): the FM chroma carrier rides the
+            # composite at constant amplitude everywhere, so the raw-
+            # waveform readings would rate the system's own carrier as
+            # distortion.  SECAM plants measured the LUMA path off the
+            # decoded picture (carrier trap included) — decode with the
+            # flagship pairing and take Y; DG/DP stays QAM-only (FM
+            # chroma is immune by design, frame/measure.py).
+            _, dec_fm, _ = make_pipeline(plan, "interp")
+
+            def luma_of(comp):
+                rgb_out = dec_fm(comp, 0)
+                return jnp.einsum(
+                    "c,bcln->bln", jnp.asarray(plan.rgb_to_ycc[0],
+                                               jnp.float32), rgb_out
+                )
+
+            report = {"standard": args.standard,
+                      "dg": None, "dp_deg": None,
+                      "note": "DG/DP omitted: SECAM FM chroma is immune "
+                              "by design; luma measurements are off the "
+                              "decoded picture"}
+        else:
+            stair = through(modulated_staircase(plan, args.lines,
+                                                args.width))
+            rep = measure_differential(plan, stair, g)
+            report = {
+                "standard": args.standard,
+                "dg": round(rep["dg"], 4),
+                "dp_deg": round(rep["dp_deg"], 2),
+                "step_phase_deg": [round(float(v), 2)
+                                   for v in rep["step_phase_deg"]],
+            }
         burst = through(multiburst(plan, args.lines))
-        freq = measure_frequency_response(plan, burst)
-        report = {
-            "standard": args.standard,
-            "dg": round(rep["dg"], 4),
-            "dp_deg": round(rep["dp_deg"], 2),
-            "step_phase_deg": [round(float(v), 2)
-                               for v in rep["step_phase_deg"]],
-            "frequency_response": {f"{f}MHz": round(v, 3)
-                                   for f, v in freq.items()},
-        }
+        freq = measure_frequency_response(
+            plan, luma_of(burst) if is_fm else burst
+        )
+        report["frequency_response"] = {f"{f}MHz": round(v, 3)
+                                        for f, v in freq.items()}
         if args.pulse_bar:
             from color_modem_tpu.frame.measure import (
+                measure_k_rating,
                 measure_pulse_bar,
                 pulse_and_bar,
             )
 
             pb = through(pulse_and_bar(plan, args.lines))
-            pbr = measure_pulse_bar(plan, pb, g)
+            if is_fm:
+                pbr = measure_k_rating(plan, luma_of(pb))
+            else:
+                pbr = measure_pulse_bar(plan, pb, g)
             report["pulse_bar"] = {k: round(v, 3) for k, v in pbr.items()}
+        if args.vectorscope and is_fm:
+            raise SystemExit(
+                "--vectorscope is a QAM instrument (it demodulates the "
+                "quadrature subcarrier); SECAM has no chroma phase plane"
+            )
         if args.vectorscope:
             from color_modem_tpu.frame.measure import vectorscope_image
             from color_modem_tpu.utils.testimages import color_bars

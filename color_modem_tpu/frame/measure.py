@@ -394,6 +394,45 @@ def measure_pulse_bar(
     }
 
 
+def measure_k_rating(plan: ModemPlan, luma: jax.Array) -> dict:
+    """2T K-rating off a DECODED LUMA plane (..., L, N) — the SECAM half
+    of the pulse-and-bar instrument (VERDICT r2 item 9).
+
+    SECAM's FM chroma carrier rides the composite at constant amplitude
+    everywhere — blank, bar and pulse windows included — so the raw
+    waveform reading :func:`measure_pulse_bar` does for QAM standards
+    would rate the system's own carrier as ringing.  SECAM plants read
+    the 2T elements after the receiver's luma path (carrier trap
+    included), which is what this measures: pass the decoded picture's
+    Y plane (``plan.rgb_to_ycc @ rgb``).  The 20T chrominance/luminance
+    inequality stays QAM-only (its subcarrier-envelope readout has no FM
+    counterpart); differential gain/phase stays physically meaningless
+    for FM chroma.
+    """
+    lay = _pb_layout(plan)
+    n = luma.shape[-1]
+    mean_line = jnp.mean(luma.reshape(-1, n).astype(jnp.float32), axis=0)
+
+    def win(name):
+        lo, hi = lay[name]
+        return mean_line[lo:hi]
+
+    base = jnp.mean(win("blank"))
+    bar = jnp.maximum(jnp.mean(win("bar_win")) - base, 1e-6)
+    pulse = jnp.max(win("pulse_win")) - base
+    ratio = pulse / bar
+    k_pb = jnp.abs(ratio - 1.0) / 4.0
+    ring = jnp.maximum(
+        jnp.max(jnp.abs(win("ring_l") - base)),
+        jnp.max(jnp.abs(win("ring_r") - base)),
+    ) / (4.0 * bar)
+    k2t, ratio = np.asarray(jnp.stack([jnp.maximum(k_pb, ring), ratio]))
+    return {
+        "k2t_pct": float(100.0 * k2t),
+        "pulse_bar_ratio": float(ratio),
+    }
+
+
 def bar_vectors(plan: ModemPlan, amplitude: float = 0.75) -> np.ndarray:
     """(6, 2) chroma component targets of the 75% color bars (yellow,
     cyan, green, magenta, red, blue) in the standard's own (c1, c2)

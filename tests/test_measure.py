@@ -395,3 +395,34 @@ def test_pulse_bar_cli(capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     pb = rep["pulse_bar"]
     assert pb["k2t_pct"] < 1.0 and abs(pb["cl_delay_ns"]) < 15.0, pb
+
+
+def test_cli_measure_secam(capsys):
+    """VERDICT r2 item 9: SECAM gets the luma half of the instrument —
+    frequency response + 2T K-rating off the DECODED picture (DG/DP
+    stays QAM-only).  The response must show the authentic wide carrier
+    trap (bell_f0 +- 2 MHz): flat at 1 MHz, dead at 3.58 MHz."""
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["measure", "--standard", "secam", "--lines", "16",
+                 "--pulse-bar"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["dg"] is None and rep["dp_deg"] is None
+    fr = rep["frequency_response"]
+    assert abs(fr["1.0MHz"] - 1.0) < 0.05, fr
+    assert fr["3.58MHz"] < 0.05, fr
+    # 2T energy reaches the trap, so SECAM's pulse/bar ratio is honestly
+    # low and the K-rating high — the instrument must REPORT it, and the
+    # bar (whose energy is ~all below 1 MHz) must survive intact
+    assert 0.4 < rep["pulse_bar"]["pulse_bar_ratio"] < 1.0, rep
+    assert "cl_gain" not in rep["pulse_bar"]
+
+
+def test_cli_measure_secam_vectorscope_rejected(tmp_path):
+    from color_modem_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="QAM instrument"):
+        main(["measure", "--standard", "secam",
+              "--vectorscope", str(tmp_path / "v.png")])
