@@ -1755,9 +1755,9 @@ def main(argv=None) -> int:
         if args.secam_ident:
             if not plan.cfg.is_fm:
                 raise SystemExit("--secam-ident is a SECAM feature")
-            if args.raster or interlaced or svideo:
+            if interlaced or svideo:
                 raise SystemExit(
-                    "--secam-ident does not combine with --raster/"
+                    "--secam-ident does not combine with "
                     "--interlaced/--svideo"
                 )
             from color_modem_tpu.frame.pipeline import frame_line_index
@@ -1769,8 +1769,15 @@ def main(argv=None) -> int:
                     "options; use it alone"
                 )
             ident_rows = 4
+            # with --raster the bottles ride the ACTIVE region of normal
+            # rastered lines (sync/blanking intact), as broadcast
+            ident_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                ident_off = make_raster(plan).n_blank
             g_tx = frame_line_index(plan, args.frame, 1, rgb.shape[1])
-            comp_b = comp_b.at[:, :ident_rows].set(
+            comp_b = comp_b.at[:, :ident_rows, ident_off:].set(
                 secam_mod.ident_lines(plan, g_tx[:, :ident_rows])
             )
         vir_rows = 0
@@ -1780,9 +1787,13 @@ def main(argv=None) -> int:
                     "--vir needs a QAM subcarrier (FM chroma has no "
                     "amplitude/phase to reference)"
                 )
-            if args.raster or interlaced or svideo or args.burst_locked:
+            if interlaced or svideo or args.burst_locked:
+                # interlaced VIR needs the field-sequential correction
+                # plumbing in frame/interlace.py's decode; burst-locked
+                # decoding measures the SAME phase/gain the VIR would —
+                # the two corrections would fight
                 raise SystemExit(
-                    "--vir does not combine with --raster/--interlaced/"
+                    "--vir does not combine with --interlaced/"
                     "--svideo/--burst-locked"
                 )
             if (args.caption or args.teletext or args.secam_ident
@@ -1795,8 +1806,15 @@ def main(argv=None) -> int:
             from color_modem_tpu.frame.vir import vir_lines
 
             vir_rows = 2
+            # with --raster the references ride normal rastered lines'
+            # active region, like the real line 19
+            vir_off = 0
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                vir_off = make_raster(plan).n_blank
             g_vir = frame_line_index(plan, args.frame, 1, rgb.shape[1])
-            comp_b = comp_b.at[:, :vir_rows].set(
+            comp_b = comp_b.at[:, :vir_rows, vir_off:].set(
                 vir_lines(plan, g_vir[:, :vir_rows])
             )
         wss_row = -1
@@ -2473,16 +2491,26 @@ def main(argv=None) -> int:
                 result["color_kill"] = args.color_kill
         elif ident_rows:
             # the receiver's line counter slipped one line; the bottles
-            # tell it the Dr/Db parity anyway
+            # tell it the Dr/Db parity anyway.  With --raster the sync
+            # separator runs first (strip_raster), THEN the data-line
+            # machinery — the real receiver order.
             from color_modem_tpu.frame.pipeline import decode_block
             from color_modem_tpu.modem import secam as secam_mod
 
+            comp_a = comp_b
+            if args.raster:
+                from color_modem_tpu.frame.raster import (
+                    make_raster,
+                    strip_raster,
+                )
+
+                comp_a = strip_raster(make_raster(plan), comp_b)
             rx_g = g_tx + 1
             swap = secam_mod.identify_from_ident(
-                plan, comp_b[:, :ident_rows], rx_g[:, :ident_rows]
+                plan, comp_a[:, :ident_rows], rx_g[:, :ident_rows]
             )
             out = np.asarray(jax.block_until_ready(decode_block(
-                plan, comp_b, rx_g + swap[..., None],
+                plan, comp_a, rx_g + swap[..., None],
                 args.decoder, args.backend,
             )))[0]
             result["secam_ident"] = {
@@ -2492,17 +2520,26 @@ def main(argv=None) -> int:
             }
         elif vir_rows:
             # decode with the VIR-measured picture-level corrections; the
-            # references rode every channel stage above, like real line 19
+            # references rode every channel stage above, like real line 19.
+            # With --raster: sync separation first, then the references.
             from color_modem_tpu.frame.pipeline import frame_line_index
             from color_modem_tpu.frame.vir import (
                 decode_vir_corrected,
                 measure_vir,
             )
 
+            comp_a = comp_b
+            if args.raster:
+                from color_modem_tpu.frame.raster import (
+                    make_raster,
+                    strip_raster,
+                )
+
+                comp_a = strip_raster(make_raster(plan), comp_b)
             g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
-            rep = measure_vir(plan, comp_b[:, :vir_rows], g[:, :vir_rows])
+            rep = measure_vir(plan, comp_a[:, :vir_rows], g[:, :vir_rows])
             pic = np.asarray(jax.block_until_ready(decode_vir_corrected(
-                plan, comp_b, g, vir_rows, args.decoder, args.backend,
+                plan, comp_a, g, vir_rows, args.decoder, args.backend,
             )))[0]
             # keep `out` frame-shaped for the uniform PSNR/data_rows
             # accounting below (the VIR rows themselves are excluded)
