@@ -1787,14 +1787,16 @@ def main(argv=None) -> int:
                     "--vir needs a QAM subcarrier (FM chroma has no "
                     "amplitude/phase to reference)"
                 )
-            if interlaced or svideo or args.burst_locked:
-                # interlaced VIR needs the field-sequential correction
-                # plumbing in frame/interlace.py's decode; burst-locked
-                # decoding measures the SAME phase/gain the VIR would —
-                # the two corrections would fight
+            if svideo or args.burst_locked:
+                # burst-locked decoding measures the SAME phase/gain the
+                # VIR would — the two corrections would fight
                 raise SystemExit(
-                    "--vir does not combine with --interlaced/"
-                    "--svideo/--burst-locked"
+                    "--vir does not combine with --svideo/--burst-locked"
+                )
+            if interlaced and args.decoder in ("comb3d", "comb3dA"):
+                raise SystemExit(
+                    "--vir --interlaced decodes per field with per-field "
+                    "corrections; the temporal combs need frame batches"
                 )
             if (args.caption or args.teletext or args.secam_ident
                     or args.wss or args.vitc):
@@ -1802,7 +1804,6 @@ def main(argv=None) -> int:
                     "--vir shares the top rows with the other data-line "
                     "options; use it alone"
                 )
-            from color_modem_tpu.frame.pipeline import frame_line_index
             from color_modem_tpu.frame.vir import vir_lines
 
             vir_rows = 2
@@ -1813,10 +1814,29 @@ def main(argv=None) -> int:
                 from color_modem_tpu.frame.raster import make_raster
 
                 vir_off = make_raster(plan).n_blank
-            g_vir = frame_line_index(plan, args.frame, 1, rgb.shape[1])
-            comp_b = comp_b.at[:, :vir_rows, vir_off:].set(
-                vir_lines(plan, g_vir[:, :vir_rows])
-            )
+            if interlaced:
+                # one reference line atop EACH field (the real line 19
+                # rode every field's vertical interval); the two rows
+                # weave to the frame's top 2 rows for the accounting
+                from color_modem_tpu.frame.interlace import (
+                    field_line_index,
+                )
+
+                g_vir = field_line_index(
+                    plan, args.frame, 1, rgb.shape[1] // 2
+                )
+                comp_b = comp_b.at[:, :1, vir_off:].set(
+                    vir_lines(plan, g_vir[:, :1])
+                )
+            else:
+                from color_modem_tpu.frame.pipeline import (
+                    frame_line_index,
+                )
+
+                g_vir = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+                comp_b = comp_b.at[:, :vir_rows, vir_off:].set(
+                    vir_lines(plan, g_vir[:, :vir_rows])
+                )
         wss_row = -1
         if args.wss:
             from color_modem_tpu.frame import wss as wss_mod
@@ -2536,11 +2556,44 @@ def main(argv=None) -> int:
                 )
 
                 comp_a = strip_raster(make_raster(plan), comp_b)
-            g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
-            rep = measure_vir(plan, comp_a[:, :vir_rows], g[:, :vir_rows])
-            pic = np.asarray(jax.block_until_ready(decode_vir_corrected(
-                plan, comp_a, g, vir_rows, args.decoder, args.backend,
-            )))[0]
+            if interlaced:
+                # per-FIELD references and corrections: each field's
+                # reference line corrects that field's picture lines
+                # (the per-field form of decode_vir_corrected), then the
+                # corrected fields weave back to the frame
+                import jax.numpy as jnp
+
+                from color_modem_tpu.frame.interlace import (
+                    field_line_index,
+                    weave_fields,
+                )
+                from color_modem_tpu.frame.pipeline import decode_block
+
+                g_f = field_line_index(
+                    plan, args.frame, 1, comp_a.shape[-2]
+                )
+                rep = measure_vir(plan, comp_a[:, :1], g_f[:, :1])
+                g_pic = g_f[:, 1:]
+                ones = jnp.ones(g_pic.shape, jnp.float32)
+                fields = decode_block(
+                    plan, comp_a[:, 1:], g_pic, args.decoder, args.backend,
+                    phase_err=rep["phase_err"][..., None] * ones,
+                    chroma_gain=rep["chroma_gain_corr"][..., None] * ones,
+                )
+                pic = np.asarray(
+                    jax.block_until_ready(weave_fields(fields))
+                )[0]
+            else:
+                g = frame_line_index(plan, args.frame, 1, rgb.shape[1])
+                rep = measure_vir(
+                    plan, comp_a[:, :vir_rows], g[:, :vir_rows]
+                )
+                pic = np.asarray(jax.block_until_ready(
+                    decode_vir_corrected(
+                        plan, comp_a, g, vir_rows, args.decoder,
+                        args.backend,
+                    )
+                ))[0]
             # keep `out` frame-shaped for the uniform PSNR/data_rows
             # accounting below (the VIR rows themselves are excluded)
             out = np.concatenate(

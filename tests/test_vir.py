@@ -134,3 +134,22 @@ def test_cli_vir_over_raster(capsys):
     assert rep["raster"] is True
     assert abs(abs(rep["vir"]["phase_err_deg"]) - 30.0) < 3.0, rep
     assert rep["psnr_db"] > 36.0, rep
+
+
+def test_cli_vir_interlaced_per_field(capsys):
+    """VIR x interlaced: one reference line atop EACH field, per-field
+    corrections through decode_block, fields woven back.  The injected
+    phase error must be read off the field references; composes with
+    --raster too."""
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["roundtrip", "--standard", "ntsc", "--decoder", "comb3",
+                 "--demo", "--pattern", "scene", "--lines", "64",
+                 "--vir", "--interlaced", "--raster",
+                 "--chroma-phase", "25"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["interlaced"] is True and rep["raster"] is True
+    assert abs(abs(rep["vir"]["phase_err_deg"]) - 25.0) < 3.0, rep
+    assert rep["psnr_db"] > 30.0, rep
