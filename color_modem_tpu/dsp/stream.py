@@ -63,6 +63,30 @@ def pick_nblk(t: int) -> int:
     return nblk
 
 
+def _check_rate(r: int, nblk: int) -> None:
+    """The rate-changing helpers partition the pow2 block into r dense
+    sub-blocks (nblk_c = nblk // r), so r must divide the block size —
+    i.e. be a power of two itself.  A truncating division would silently
+    garble _expand_full's periodic replication (round-3 review finding)."""
+    if r < 1 or nblk % r:
+        raise ValueError(
+            f"rate factor r={r} must be a power of two (it has to divide "
+            f"the pow2 FFT block size {nblk}; non-pow2 FFT lengths are "
+            "backend roulette on this relay — CLAUDE.md)"
+        )
+
+
+def _carrier_taps(taps: np.ndarray, w: float) -> np.ndarray:
+    """taps[k] * e^{jw(k - lo)} — the complex-modulated FIR of the
+    identity ``h * (y·e^{jwn}) = e^{jwn} · ((h·e^{-jw·}) * y)`` at the
+    'same'-centering origin lo = (t-1)/2 (odd taps; exact host f64).
+    Shared by frame/rf.py and frame/satellite.py, which compose their
+    filter-mix-filter cascades with it."""
+    t = len(taps)
+    k = np.arange(t, dtype=np.float64) - (t - 1) / 2
+    return np.asarray(taps, np.float64) * np.exp(1j * w * k)
+
+
 def _check_taps(taps) -> np.ndarray:
     taps = np.asarray(taps)
     if taps.ndim != 1 or taps.shape[0] % 2 == 0:
@@ -157,13 +181,14 @@ def upconv_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
     t = taps_c.shape[0]
     if (t - 1) % (2 * r):
         raise ValueError(
-            f"upconv taps: (len-1) must divide 2r = {2*r}, got len {t} — "
+            f"upconv taps: 2r = {2*r} must divide (len-1), got len {t} — "
             "use pad_taps_center"
         )
     lead = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
     tc_in = x2.shape[-1]
     nblk = pick_nblk(t)
+    _check_rate(r, nblk)
     nblk_c = nblk // r
     step = nblk - (t - 1)          # divisible by r (both terms are)
     step_c = step // r
@@ -213,12 +238,13 @@ def upsample_fir_stream(x: jnp.ndarray, taps, r: int) -> jnp.ndarray:
     t = taps.shape[0]
     if (t - 1) % (2 * r):
         raise ValueError(
-            f"upsample taps: (len-1) must divide 2r = {2*r}, got len {t}"
+            f"upsample taps: 2r = {2*r} must divide (len-1), got len {t}"
         )
     lead = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
     tc_in = x2.shape[-1]
     nblk = pick_nblk(t)
+    _check_rate(r, nblk)
     nblk_c = nblk // r
     step = nblk - (t - 1)
     step_c = step // r
@@ -244,7 +270,7 @@ def fir_decim_stream(x: jnp.ndarray, taps, r: int) -> jnp.ndarray:
     t = taps.shape[0]
     if (t - 1) % (2 * r):
         raise ValueError(
-            f"fir_decim taps: (len-1) must divide 2r = {2*r}, got len {t}"
+            f"fir_decim taps: 2r = {2*r} must divide (len-1), got len {t}"
         )
     lead = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
@@ -252,6 +278,7 @@ def fir_decim_stream(x: jnp.ndarray, taps, r: int) -> jnp.ndarray:
     if t_in % r:
         raise ValueError(f"stream length {t_in} not divisible by r={r}")
     nblk = pick_nblk(t)
+    _check_rate(r, nblk)
     nblk_c = nblk // r
     step = nblk - (t - 1)
     step_c = step // r
@@ -279,7 +306,7 @@ def conv_decim_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
     t = taps_c.shape[0]
     if (t - 1) % (2 * r):
         raise ValueError(
-            f"conv_decim taps: (len-1) must divide 2r = {2*r}, got len {t}"
+            f"conv_decim taps: 2r = {2*r} must divide (len-1), got len {t}"
         )
     lead = x.shape[:-1]
     x2 = x.reshape((-1, x.shape[-1]))
@@ -287,6 +314,7 @@ def conv_decim_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
     if t_in % r:
         raise ValueError(f"stream length {t_in} not divisible by r={r}")
     nblk = pick_nblk(t)
+    _check_rate(r, nblk)
     nblk_c = nblk // r
     step = nblk - (t - 1)
     step_c = step // r

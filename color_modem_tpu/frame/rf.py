@@ -66,6 +66,7 @@ from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.apply import fir_same_fft
 from color_modem_tpu.dsp.nco import sample_phase_ramp
 from color_modem_tpu.dsp.stream import (
+    _carrier_taps,
     conv_decim_stream,
     pad_taps_center,
     upconv_stream,
@@ -86,13 +87,9 @@ _TRANSITION = 0.3e6
 _GUARD = 0.2e6
 
 
-def _carrier_taps(taps: np.ndarray, w: float) -> np.ndarray:
-    """taps[k] * e^{jw(k - lo)} — the complex-modulated FIR of the
-    identity  h * (y·e^{jwn}) = e^{jwn} · ((h·e^{-jw·}) * y)  at the
-    'same'-centering origin lo = (t-1)/2 (odd taps; exact host f64)."""
-    t = len(taps)
-    k = np.arange(t, dtype=np.float64) - (t - 1) / 2
-    return np.asarray(taps, np.float64) * np.exp(1j * w * k)
+# _carrier_taps (the modulation-identity tap helper) lives in
+# dsp/stream.py beside the 'same'-centering contract it encodes; imported
+# above, shared with frame/satellite.py.
 
 
 def _nyquist_flank(f, fc: float, f_vestige: float, f_video: float,

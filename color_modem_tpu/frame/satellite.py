@@ -67,6 +67,7 @@ import jax.numpy as jnp
 
 from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.stream import (
+    _carrier_taps,
     conv_complex_stream,
     fir_decim_stream,
     fir_stream,
@@ -75,15 +76,6 @@ from color_modem_tpu.dsp.stream import (
 )
 
 TWO_PI = 2.0 * np.pi
-
-
-def _carrier_taps(taps: np.ndarray, w: float) -> np.ndarray:
-    """taps[k] * e^{jw(k - lo)} at the 'same'-centering origin
-    lo = (t-1)/2 — the complex-modulated FIR of the identity
-    ``h * (y·e^{jwn}) = e^{jwn} · ((h·e^{-jw·}) * y)`` (frame/rf.py:89)."""
-    t = len(taps)
-    k = np.arange(t, dtype=np.float64) - (t - 1) / 2
-    return np.asarray(taps, np.float64) * np.exp(1j * w * k)
 
 
 def preemph_response(f, f1: float, f2: float, g0: float):

@@ -93,8 +93,15 @@ def pytest_collection_modifyitems(config, items):
         skip_full = pytest.mark.skip(
             reason="full tier: run with --full (tests/_full_tier.txt)"
         )
+        # explicit selection overrides the tier: naming a test (or its
+        # function/file::function prefix) on the command line must RUN it,
+        # not silently report '1 skipped' (round-3 review finding) — the
+        # same carve-out the tpu marker gets below
+        explicit = {a.split("[", 1)[0] for a in config.args if "::" in a}
         for item in items:
             if item.nodeid in full_ids:
+                if item.nodeid.split("[", 1)[0] in explicit:
+                    continue
                 item.add_marker(pytest.mark.full)
                 item.add_marker(skip_full)
     # any mark expression mentioning tpu counts as explicit selection

@@ -108,7 +108,7 @@ def test_pad_taps_center_keeps_center():
 
 
 def test_misaligned_taps_rejected(ctaps):
-    with pytest.raises(ValueError, match="divide 2r"):
+    with pytest.raises(ValueError, match="2r = 8 must divide"):
         upconv_stream(jnp.zeros((1, 256)), np.ones(1031), 4)
     with pytest.raises(ValueError, match="odd"):
         fir_stream(jnp.zeros((1, 256)), np.ones(10))
