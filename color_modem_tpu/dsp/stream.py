@@ -165,11 +165,20 @@ def _expand_full(spec: jnp.ndarray, nsrc: int, nfull: int):
     full length-``nfull`` spectrum of the same block zero-stuffed (or,
     with nfull == nsrc, just hermitian-expanded): periodic replication
     X_full[k] = X[k mod nsrc] with the hermitian fold X[m] =
-    conj(X[nsrc-m]) for m > nsrc//2."""
-    k = np.arange(nfull, dtype=np.int32) % nsrc
-    fold = np.minimum(k, nsrc - k).astype(np.int32)
-    out = spec[..., fold]
-    return jnp.where(jnp.asarray(k > nsrc // 2), jnp.conj(out), out)
+    conj(X[nsrc-m]) for m > nsrc//2.
+
+    Built from slices + conj-flip + tiled concat, NOT an index gather —
+    the gather form measured 7.4 vs 6.0 ms at the RF block geometry
+    (2026-08-19 probe; same TPU gather-lowering tax as _blocks)."""
+    if nfull % nsrc:
+        raise ValueError(f"expand: {nsrc} must divide {nfull}")
+    base = jnp.concatenate(
+        [spec, jnp.conj(spec[..., nsrc // 2 - 1 : 0 : -1])], axis=-1
+    )
+    reps = nfull // nsrc
+    if reps == 1:
+        return base
+    return jnp.concatenate([base] * reps, axis=-1)
 
 
 def upconv_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
@@ -253,10 +262,8 @@ def upsample_fir_stream(x: jnp.ndarray, taps, r: int) -> jnp.ndarray:
     spec_c = jnp.fft.rfft(blocks_c, axis=-1)
     # rfft spectrum of the zero-stuffed block: periodic replication of
     # the dense rfft, folded hermitian — only nblk//2+1 bins needed
-    k = np.arange(nblk // 2 + 1, dtype=np.int32) % nblk_c
-    fold = np.minimum(k, nblk_c - k).astype(np.int32)
-    Z = spec_c[..., fold]
-    Z = jnp.where(jnp.asarray(k > nblk_c // 2), jnp.conj(Z), Z)
+    # (slice of the slice-built full expansion, no gather)
+    Z = _expand_full(spec_c, nblk_c, nblk)[..., : nblk // 2 + 1]
     K = np.fft.rfft(np.pad(taps, (0, nblk - t))).astype(np.complex64)
     y = jnp.fft.irfft(Z * K, n=nblk, axis=-1)
     y = y[..., t - 1:].reshape(x2.shape[0], nb * step)[:, : tc_in * r]
