@@ -456,3 +456,49 @@ def make_sharded_palplus_pipeline(
         return dec_sm(enc_sm(rgb, f0), f0)
 
     return encode, decode, roundtrip
+
+
+# --- sharded transmission hop (RF / satellite) ------------------------------
+
+
+def make_sharded_hop_pipeline(plan, mesh: Mesh, hop, decoder: str = "notch",
+                              backend: str = "xla"):
+    """encode -> frame-local transmission hop -> decode over the mesh.
+
+    The RF/satellite hops (frame/rf.py, frame/satellite.py) consume each
+    frame's rows JOINED into one contiguous broadcast-time stream, so they
+    cannot split the line axis: the hop stage shards on the FRAME axis
+    only.  When the mesh also splits lines, the spec change at the stage
+    boundary makes XLA insert the line-axis all-gather before the hop and
+    the re-partition after — the honest price of a frame-global channel
+    stage (it rides ICI on a real slice; per frame it moves one composite
+    frame's bytes, ~2 MB, once each way).  The composite encode/decode
+    stages keep their full (frame, lineblk) sharding and ring halos.
+
+    ``hop(comp, frame0) -> comp`` must be frame-local (batch items
+    independent) and keyed on the ABSOLUTE frame index, e.g.
+    ``lambda c, f0: rf_roundtrip(rfp, c, f0)`` or
+    ``lambda c, f0: fm_demodulate(sp, fm_modulate(sp, c))``.  Sharded
+    output is bit-identical to the unsharded enc->hop->dec chain on the
+    QAM paths (tests/test_sharding.py) — batch items never mix.
+    """
+    enc, dec, _ = make_sharded_pipeline(plan, mesh, decoder, backend)
+    hop_spec = P(FRAME_AXIS, None, None)
+    scalar = P()
+
+    def _hop_blk(comp_blk, frame0):
+        b_blk = comp_blk.shape[0]
+        f0 = frame0 + lax.axis_index(FRAME_AXIS) * jnp.int32(b_blk)
+        return hop(comp_blk, f0)
+
+    hop_sm = jax.shard_map(
+        _hop_blk, mesh=mesh, in_specs=(hop_spec, scalar),
+        out_specs=hop_spec, check_vma=False,
+    )
+
+    @jax.jit
+    def roundtrip(rgb, frame0=0):
+        f0 = jnp.asarray(frame0, jnp.int32)
+        return dec(hop_sm(enc(rgb, f0), f0), f0)
+
+    return enc, dec, roundtrip

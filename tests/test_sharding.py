@@ -237,3 +237,45 @@ def test_sharded_pallas_backend_matches(batch):
     np.testing.assert_allclose(
         np.asarray(rt_p(batch)), np.asarray(rt_x(batch)), atol=5e-4
     )
+
+
+def test_sharded_rf_hop_equals_unsharded(batch):
+    """Transmission hop sharding (round 3): the RF hop is frame-local on
+    the JOINED row stream, so it shards DP over frames only; the spec
+    change at the stage boundary makes XLA re-gather the line axis.  The
+    full enc -> hop -> dec chain must stay bit-identical to unsharded on
+    QAM, at both the pure-DP and the line-split mesh extremes."""
+    from color_modem_tpu.frame.rf import make_rf_plan, rf_roundtrip
+    from color_modem_tpu.parallel.sharded import make_sharded_hop_pipeline
+
+    plan = get_plan("ntsc")
+    rfp = make_rf_plan(plan)
+    hop = lambda c, f0: rf_roundtrip(rfp, c, f0)  # noqa: E731
+    enc_u, dec_u, _ = make_pipeline(plan, "comb3")
+    want = np.asarray(dec_u(hop(enc_u(jnp.asarray(batch), 5), 5), 5))
+    for mesh in (make_mesh(2, 4), make_mesh(1, 8)):
+        _, _, rt_s = make_sharded_hop_pipeline(plan, mesh, hop, "comb3")
+        got = np.asarray(rt_s(jnp.asarray(batch), 5))
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=0,
+                                   err_msg=str(mesh.shape))
+
+
+def test_sharded_satellite_hop_equals_unsharded(batch):
+    """Same gate through the satellite FM hop (frame-periodic, ignores
+    frame0); looser float tolerance — the FM phase integral's megasample
+    cumsum reassociates with the per-device batch shape and the
+    discriminator is phase-sensitive (measured 4.6e-4 = -67 dB, far
+    below every accuracy threshold in the chain)."""
+    from color_modem_tpu.frame import satellite as sat
+    from color_modem_tpu.parallel.sharded import make_sharded_hop_pipeline
+
+    plan = get_plan("ntsc")
+    sp = sat.make_sat_plan(plan.fs, N)
+    hop = lambda c, f0: sat.fm_demodulate(sp, sat.fm_modulate(sp, c))  # noqa: E731
+    enc_u, dec_u, _ = make_pipeline(plan, "comb3")
+    want = np.asarray(dec_u(hop(enc_u(jnp.asarray(batch), 5), 5), 5))
+    for mesh in (make_mesh(4, 2),):
+        _, _, rt_s = make_sharded_hop_pipeline(plan, mesh, hop, "comb3")
+        got = np.asarray(rt_s(jnp.asarray(batch), 5))
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=0,
+                                   err_msg=str(mesh.shape))
