@@ -115,9 +115,13 @@ def _nyquist_flank(f, fc: float, f_vestige: float, f_video: float,
     return flank * roll
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class RFPlan:
-    """Config-time RF geometry + filter taps for one (plan, R) pair."""
+    """Config-time RF geometry + filter taps for one (plan, R) pair.
+
+    ``eq=False`` keeps the object hashable by identity so it can be a
+    ``jax.jit`` static argument (the utils/jitwrap entry points) — the
+    generated field-wise ``__hash__`` would choke on the numpy taps."""
 
     plan: ModemPlan
     r: int                  # oversampling: fs_rf = r * plan.fs
