@@ -179,3 +179,21 @@ def test_cli_scramble_interlaced(capsys):
     # the margin over the shuffled pirate (~16 dB) is narrower than the
     # progressive clean-channel gap; measured 9.6 dB
     assert rep["psnr_db"] - rep["scramble"]["pirate_psnr_db"] > 8.0, rep
+
+
+def test_cli_scramble_satellite(capsys):
+    """Sky's analog Videocrypt really rode Astra's satellite FM: the
+    scrambled composite survives the wideband FM hop (its harsher
+    spectrum costs some transparency — authentic), the keyed receiver
+    descrambles, the pirate's screen stays garbage."""
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["roundtrip", "--standard", "pal", "--decoder",
+                 "delayline", "--demo", "--pattern", "scene",
+                 "--lines", "64", "--scramble", "cutrotate",
+                 "--satellite"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["psnr_db"] > 26.0, rep
+    assert rep["scramble"]["pirate_psnr_db"] < 12.0, rep
