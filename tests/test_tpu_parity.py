@@ -191,3 +191,74 @@ def test_tpu_matches_cpu(tmp_path):
         else:
             assert err.max() < 2e-3, (
                 f"{name}-{decoder}-{backend} rgb: max {err.max():.5f}")
+
+
+_TRANSMISSION_SCRIPT = """
+import sys, numpy as np
+import jax, jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+from color_modem_tpu.frame.pipeline import make_pipeline
+from color_modem_tpu.frame.rf import make_rf_plan, rf_roundtrip
+from color_modem_tpu.frame import satellite as sat
+from color_modem_tpu.modem.plan import make_plan
+from color_modem_tpu.standards import NTSC
+assert jax.default_backend() != "cpu", jax.default_backend()
+rgb = jnp.asarray(np.load(sys.argv[1]))
+plan = make_plan(NTSC(), rgb.shape[-1])
+enc, _, _ = make_pipeline(plan, "notch")
+comp = enc(rgb, 0)
+rfp = make_rf_plan(plan)
+sp = sat.make_sat_plan(plan.fs, rgb.shape[-1])
+outs = {{
+    "comp": np.asarray(comp),
+    "rf": np.asarray(jax.jit(lambda c: rf_roundtrip(rfp, c, 0))(comp)),
+    "sat": np.asarray(jax.jit(
+        lambda c: sat.fm_demodulate(sp, sat.fm_modulate(sp, c)))(comp)),
+}}
+np.savez(sys.argv[2], **outs)
+"""
+
+
+@pytest.mark.tpu
+def test_tpu_transmission_matches_cpu(tmp_path):
+    """Round-3 transmission layers on the chip vs CPU: the composed
+    complex-FIR VSB hop and the satellite FM hop (overlap-save stream
+    engine, frequency-domain rate changes).  Bound 4e-3: the TPU FFT's
+    twiddle precision differs from CPU's through 2-3 stream transforms
+    plus the FM discriminator's phase sensitivity."""
+    from color_modem_tpu.frame import satellite as sat
+    from color_modem_tpu.frame.rf import make_rf_plan, rf_roundtrip
+
+    rgb = np.stack([
+        smooth_scene(TEST_LINES, TEST_SAMPLES, seed=9),
+        smooth_scene(TEST_LINES, TEST_SAMPLES, seed=10),
+    ]).astype(np.float32)
+    rgb_p, out_p = tmp_path / "rgb.npy", tmp_path / "tpu.npz"
+    np.save(rgb_p, rgb)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform" not in f]
+    if flags:
+        env["XLA_FLAGS"] = " ".join(flags)
+    else:
+        env.pop("XLA_FLAGS", None)
+    subprocess.run(
+        [sys.executable, "-c", _TRANSMISSION_SCRIPT.format(repo=repo),
+         str(rgb_p), str(out_p)],
+        check=True, env=env, timeout=1800,
+    )
+    tpu = np.load(out_p)
+    plan = get_plan("ntsc")
+    enc, _, _ = make_pipeline(plan, "notch")
+    comp = enc(jnp.asarray(rgb), 0)
+    np.testing.assert_allclose(tpu["comp"], np.asarray(comp), atol=2e-4,
+                               err_msg="composite")
+    rfp = make_rf_plan(plan)
+    want_rf = np.asarray(rf_roundtrip(rfp, comp, 0))
+    np.testing.assert_allclose(tpu["rf"], want_rf, atol=4e-3, err_msg="rf")
+    sp = sat.make_sat_plan(plan.fs, rgb.shape[-1])
+    want_sat = np.asarray(sat.fm_demodulate(sp, sat.fm_modulate(sp, comp)))
+    np.testing.assert_allclose(tpu["sat"], want_sat, atol=4e-3,
+                               err_msg="satellite")
