@@ -169,7 +169,11 @@ def _expand_full(spec: jnp.ndarray, nsrc: int, nfull: int):
 
     Built from slices + conj-flip + tiled concat, NOT an index gather —
     the gather form measured 7.4 vs 6.0 ms at the RF block geometry
-    (2026-08-19 probe; same TPU gather-lowering tax as _blocks)."""
+    (2026-08-19 probe; same TPU gather-lowering tax as _blocks).  EVEN
+    ``nsrc`` only (all callers use pow2 blocks): for odd nsrc the
+    conj-flip slice would silently drop bin nsrc//2."""
+    if nsrc % 2:
+        raise ValueError(f"expand: nsrc={nsrc} must be even")
     if nfull % nsrc:
         raise ValueError(f"expand: {nsrc} must divide {nfull}")
     base = jnp.concatenate(

@@ -52,7 +52,14 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("name,decoder,make,skip", CASES, ids=lambda v: str(v))
+# STABLE ids (name-decoder): `ids=lambda v: str(v)` stringified the lambda
+# factories with their memory addresses, so nodeids changed every run and
+# tests/_full_tier.txt entries for this file could never match (round-3
+# review finding — the tier skip was silently dead here)
+@pytest.mark.parametrize(
+    "name,decoder,make,skip", CASES,
+    ids=[f"{c[0]}-{c[1]}" for c in CASES],
+)
 def test_line_protocol_matches_batch(name, decoder, make, skip, img):
     comp_b, rgb_b = _batch(name, decoder, img)
     modem = make()

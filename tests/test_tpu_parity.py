@@ -84,6 +84,22 @@ np.savez(sys.argv[2], **outs)
 """
 
 
+
+def _tpu_env():
+    """Subprocess env for the TPU half: drop conftest's CPU pin and strip
+    only its forced-device-count flag, keeping any other XLA_FLAGS, so the
+    machine's default TPU platform registers."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform" not in f]
+    if flags:
+        env["XLA_FLAGS"] = " ".join(flags)
+    else:
+        env.pop("XLA_FLAGS", None)
+    return env
+
+
 @pytest.mark.tpu
 def test_tpu_receiver_dsp_matches_cpu(tmp_path):
     """New receiver-DSP chains on the chip vs CPU: GCR equalization
@@ -106,14 +122,7 @@ def test_tpu_receiver_dsp_matches_cpu(tmp_path):
     rgb_p, out_p = tmp_path / "rgb.npy", tmp_path / "tpu.npz"
     np.save(rgb_p, rgb)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if "xla_force_host_platform" not in f]
-    if flags:
-        env["XLA_FLAGS"] = " ".join(flags)
-    else:
-        env.pop("XLA_FLAGS", None)
+    env = _tpu_env()
     subprocess.run(
         [sys.executable, "-c", _FEATURE_SCRIPT.format(repo=repo),
          str(rgb_p), str(out_p)],
@@ -154,15 +163,7 @@ def test_tpu_matches_cpu(tmp_path):
     out_p = tmp_path / "tpu.npz"
     np.save(rgb_p, rgb)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)  # let the machine's default TPU register
-    # strip only conftest's forced-device-count flag, keep any other flags
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if "xla_force_host_platform" not in f]
-    if flags:
-        env["XLA_FLAGS"] = " ".join(flags)
-    else:
-        env.pop("XLA_FLAGS", None)
+    env = _tpu_env()
     subprocess.run(
         [sys.executable, "-c",
          _SCRIPT.format(repo=repo, cases=CASES), str(rgb_p), str(out_p)],
@@ -236,14 +237,7 @@ def test_tpu_transmission_matches_cpu(tmp_path):
     rgb_p, out_p = tmp_path / "rgb.npy", tmp_path / "tpu.npz"
     np.save(rgb_p, rgb)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    flags = [f for f in env.get("XLA_FLAGS", "").split()
-             if "xla_force_host_platform" not in f]
-    if flags:
-        env["XLA_FLAGS"] = " ".join(flags)
-    else:
-        env.pop("XLA_FLAGS", None)
+    env = _tpu_env()
     subprocess.run(
         [sys.executable, "-c", _TRANSMISSION_SCRIPT.format(repo=repo),
          str(rgb_p), str(out_p)],
