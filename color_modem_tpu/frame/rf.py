@@ -239,6 +239,12 @@ def make_rf_plan(
     carrier — like the real channel, it needs the sharper edge
     (``transition=0.2e6``) to fit.
     """
+    if r < 1 or r & (r - 1):
+        raise ValueError(
+            f"make_rf_plan: oversampling r={r} must be a power of two — "
+            "the stream engine's rate changes partition pow2 FFT blocks "
+            "into r dense sub-blocks (dsp/stream._check_rate)"
+        )
     fs = plan.fs
     fs_rf = r * fs
     # rastered lines are longer rows on the SAME sample clock: pass

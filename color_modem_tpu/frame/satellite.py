@@ -223,6 +223,12 @@ def make_sat_plan(
     chroma always fits; SECAM at 13.5 MHz loses its outermost FM
     sideband tops (use the 1440-sample/27 MHz SECAM geometry).
     """
+    if r < 1 or r & (r - 1):
+        raise ValueError(
+            f"make_sat_plan: oversampling r={r} must be a power of two — "
+            "the stream engine's rate changes partition pow2 FFT blocks "
+            "into r dense sub-blocks (dsp/stream._check_rate)"
+        )
     fs_rf = r * base_fs
     fc = fs_rf / 4.0
     f_base = 0.5 * base_fs

@@ -9,7 +9,7 @@ f64 — no modulation-identity tap composition, no overlap-save blocking,
 no frequency-domain rate changing, no phase-law factoring.  The JAX
 paths derive the same signals through dsp/stream.py's composed complex
 FIRs; parity between the two is what certifies that machinery
-(tests/test_golden_properties.py) — a regression that shifted encoder
+(tests/test_golden_transmission.py) — a regression that shifted encoder
 and decoder consistently would still disagree with this model.
 
 Shared-taps tradeoff (same as golden/mac.py): the filter TAPS come from

@@ -50,8 +50,27 @@ def force(outs) -> float:
 
     leaves = [x for x in jax.tree_util.tree_leaves(outs)
               if hasattr(x, "dtype")]
-    s = sum(jnp.sum(l.ravel()[:4].astype(jnp.float32)) for l in leaves)
+    s = sum(_leaf_scalar(jnp, l) for l in leaves)
     return float(s)
+
+
+def _leaf_scalar(jnp, l):
+    """Fold one output leaf into a real f32 scalar that data-depends on it.
+
+    Complex leaves fold real+imag separately: a bare ``astype(float32)``
+    would silently discard the imaginary half of the forcing dependency
+    (round-3 advisor finding).  NOTE the relay backend cannot run complex
+    ops EAGERLY (CLAUDE.md) — measured functions returning complex arrays
+    must keep those under jit themselves; this fold then only adds
+    real-output ``real``/``imag`` reads, the mildest eager complex ops
+    available (if even those trip the relay, wrap the measured fn to
+    return real parts).
+    """
+    head = l.ravel()[:4]
+    if jnp.issubdtype(l.dtype, jnp.complexfloating):
+        return (jnp.sum(jnp.real(head).astype(jnp.float32))
+                + jnp.sum(jnp.imag(head).astype(jnp.float32)))
+    return jnp.sum(head.astype(jnp.float32))
 
 
 def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
@@ -106,7 +125,7 @@ def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
         leaves = [x for x in jax.tree_util.tree_leaves(out)
                   if hasattr(x, "dtype")]
         for l in leaves:
-            acc = acc + jnp.sum(l.ravel()[:4].astype(jnp.float32))
+            acc = acc + _leaf_scalar(jnp, l)
         return acc
 
     def _window(count: int, salt: int) -> float:

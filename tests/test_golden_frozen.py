@@ -98,7 +98,12 @@ FROZEN = {
     # I/Q low-passes, f64 midpoint FM integral), written against the
     # module docstrings' signal math, NOT the dsp/stream.py machinery it
     # certifies.  No pre-existing golden file touched.
-    "transmission.py": "a61af05c634191cf",
+    # transmission.py updated 2026-08-20 (round 4, DOC-ONLY): the module
+    # docstring's parity-certifier pointer read tests/test_golden_properties
+    # .py but the transmission parity tests live in tests/
+    # test_golden_transmission.py (round-3 advisor finding).  No code line
+    # changed (verified: diff touches one docstring word).
+    "transmission.py": "a3bf79c7ef609db3",
 }
 
 

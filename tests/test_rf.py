@@ -486,8 +486,13 @@ def test_rf_plan_feasibility_checks():
         make_rf_plan(plan, r=2)  # upper sideband would exceed Nyquist
     with pytest.raises(ValueError, match="2fc detection image"):
         make_rf_plan(plan, fc=3.0e6)
-    rfp = make_rf_plan(plan, r=3)  # r=3 is feasible
-    assert rfp.fs_rf == 3 * plan.fs
+    with pytest.raises(ValueError, match="power of two"):
+        # non-pow2 r used to construct fine and then blow up deep inside
+        # the stream engine at first use (dsp/stream._check_rate needs r
+        # to divide the pow2 FFT block) — now refused at design time
+        make_rf_plan(plan, r=3)
+    rfp = make_rf_plan(plan, r=8)  # non-default pow2 r is feasible
+    assert rfp.fs_rf == 8 * plan.fs
 
 
 def test_rf_frame0_continuity_matches_video_chunking():

@@ -258,6 +258,16 @@ def test_sharded_rf_hop_equals_unsharded(batch):
         got = np.asarray(rt_s(jnp.asarray(batch), 5))
         np.testing.assert_allclose(got, want, atol=2e-6, rtol=0,
                                    err_msg=str(mesh.shape))
+    # non-divisible batch (4 frames on the 8-device grid): exercises the
+    # hop_frame FALLBACK branch — frame-axis-only hop sharding with the
+    # line-group devices replicating the hop compute (round-3 advisor
+    # finding: the fallback had no coverage; every other case divides)
+    small = batch[:4]
+    want4 = np.asarray(dec_u(hop(enc_u(jnp.asarray(small), 5), 5), 5))
+    _, _, rt_s = make_sharded_hop_pipeline(plan, make_mesh(2, 4), hop, "comb3")
+    got4 = np.asarray(rt_s(jnp.asarray(small), 5))
+    np.testing.assert_allclose(got4, want4, atol=2e-6, rtol=0,
+                               err_msg="hop_frame fallback (batch 4 on 2x4)")
 
 
 def test_sharded_satellite_hop_equals_unsharded(batch):
