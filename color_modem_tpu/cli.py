@@ -469,6 +469,18 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-chunk GCR ghost cancellation before decode")
     vid.add_argument("--vhs", action="store_true",
                      help="VHS color-under playback signature per chunk")
+    vid.add_argument(
+        "--scramble", default=None,
+        choices=("cutrotate", "linedelay", "shuffle"),
+        help="pay-TV scrambling of every transmitted frame "
+        "(frame/scramble.py), descrambled with the key at the receiver; "
+        "composes with --rf/--satellite (the scrambled composite rides "
+        "the hop — the authentic Videocrypt-on-Astra chain), the channel "
+        "impairments, --caption and --interlaced (no --equalize); keyed "
+        "on the absolute line index, so chunking/resume cannot move it",
+    )
+    vid.add_argument("--scramble-key", type=int, default=0x5EC4E7,
+                     help="scrambling key (any 32-bit integer)")
     vid.add_argument("--nr", type=float, default=None, metavar="SIGMA",
                      help="motion-gated temporal noise reduction with this "
                      "expected noise sigma (explicit by design: the "
@@ -1490,6 +1502,8 @@ def main(argv=None) -> int:
             sat_cnr=args.sat_cnr,
             save_outputs=args.output is not None,
             caption_bits=cap_bits,
+            scramble=((args.scramble, args.scramble_key)
+                      if args.scramble else None),
         )
         if vid_audio is not None and (args.audio_out or vid_st is not None):
             import glob as _glob

@@ -428,6 +428,82 @@ def test_video_satellite_hop_chunk_independent(tmp_path):
     with pytest.raises(ValueError, match="refusing to resume"):
         process_video(plan, src, 4, str(tmp_path / "sn2"), decoder="notch",
                       chunk=2)
+
+
+def test_video_scramble_satellite_chunk_independent(tmp_path):
+    """Scramble composes with the satellite FM hop in the chunked runner
+    (VERDICT r3 item 2 — the authentic Videocrypt-on-Astra chain on real
+    video workloads, previously a ValueError): the scrambled composite
+    rides the hop, the keyed receiver descrambles before decode, and both
+    the key schedule (absolute-line hash) and the hop (frame-local FM)
+    are chunk-exact, so output cannot depend on the chunk layout.  Also
+    asserts what conditional access sells: a pirate decoding the hopped
+    signal WITHOUT the key stays far below the subscriber."""
+    import jax.numpy as jnp
+
+    from color_modem_tpu.frame import satellite as sat
+    from color_modem_tpu.frame.pipeline import frame_line_index, make_pipeline
+    from color_modem_tpu.frame.scramble import scramble as _scr
+    from color_modem_tpu.utils.metrics import psnr
+
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    key = 0xC0FFEE
+    outs, summ = {}, {}
+    for chunk in (2, 3):  # chunk=3 puts a chunk start at an ODD frame
+        d = str(tmp_path / f"ss{chunk}")
+        s = process_video(plan, src, 4, d, decoder="notch", chunk=chunk,
+                          satellite=True, scramble=("cutrotate", key),
+                          save_outputs=True)
+        summ[chunk] = s
+        outs[chunk] = np.concatenate([
+            np.load(os.path.join(d, f))
+            for f in sorted(os.listdir(d)) if f.endswith(".npy")
+        ])
+    # same tolerance story as the plain satellite chunk test: the FM
+    # discriminator amplifies chunk-shape fp scheduling to ~2e-4
+    np.testing.assert_allclose(outs[2], outs[3], atol=1e-3, rtol=0)
+    # the subscriber pays nothing for the scrambling itself (descramble
+    # is bit-exact): within a dB of the unscrambled satellite run
+    clean = process_video(plan, src, 4, str(tmp_path / "clean"),
+                          decoder="notch", chunk=4, satellite=True)
+    assert summ[2]["min_psnr_db"] >= clean["min_psnr_db"] - 1.0, (
+        summ[2], clean)
+    # pirate: the same scrambled signal over the same hop, decoded
+    # without the key (mirrors test_scramble.py's roundtrip gap cases)
+    rgb = np.asarray(src(0, 2))
+    enc, dec, _ = make_pipeline(plan, "notch")
+    comp = enc(jnp.asarray(rgb), 0)
+    g = frame_line_index(plan, 0, 2, L)
+    sp = sat.make_sat_plan(plan.fs, TEST_SAMPLES)
+    hopped = sat.fm_demodulate(
+        sp, sat.fm_modulate(sp, _scr(plan, comp, g, "cutrotate", key))
+    )
+    pirate = psnr(np.asarray(dec(hopped, 0)), rgb)
+    assert summ[2]["min_psnr_db"] - pirate > 8.0, (summ[2], pirate)
+
+
+def test_video_scramble_rf_chunk_independent(tmp_path):
+    """Same composition over the terrestrial RF/VSB hop: scrambled
+    composite through sync detection, descrambled at the receiver —
+    chunk-independent to the linear chain's usual fp-scheduling floor
+    and within a dB of the plain RF run."""
+    plan = get_plan("ntsc")
+    src = synthetic_source(L, TEST_SAMPLES)
+    clean = process_video(plan, src, 4, str(tmp_path / "clean"),
+                          decoder="notch", chunk=4, rf=True)
+    outs = {}
+    for chunk in (2, 3):
+        d = str(tmp_path / f"sr{chunk}")
+        s = process_video(plan, src, 4, d, decoder="notch", chunk=chunk,
+                          rf=True, scramble=("linedelay", 7),
+                          save_outputs=True)
+        assert s["min_psnr_db"] >= clean["min_psnr_db"] - 1.0, (s, clean)
+        outs[chunk] = np.concatenate([
+            np.load(os.path.join(d, f))
+            for f in sorted(os.listdir(d)) if f.endswith(".npy")
+        ])
+    np.testing.assert_allclose(outs[2], outs[3], atol=1e-4, rtol=0)
     # rf and satellite are mutually exclusive layers
     with pytest.raises(ValueError, match="pick one"):
         process_video(plan, src, 2, str(tmp_path / "x"), chunk=2,
@@ -525,6 +601,45 @@ def test_video_caption_stream(tmp_path):
     r1, ok1 = run(str(tmp_path / "a"), 4)
     assert ok1 and r1 == padded, r1
     r2, ok2 = run(str(tmp_path / "b"), 7)
+    assert (r2, ok2) == (r1, ok1)
+
+
+def test_video_scramble_caption(tmp_path):
+    """Captions through a scrambled run (a round-3 refusal, now wired —
+    VERDICT r3 item 2): the caption row scrambles with the picture, and
+    the receiver's data slicer reads the DESCRAMBLED composite (cli.py's
+    'data services descramble bit-exactly like the picture' order), so
+    the streamed text is exact and chunk-independent."""
+    from color_modem_tpu.frame.vbi import cc_pack, cc_unpack
+
+    plan = get_plan("ntsc")
+    text = "PAY TV CAPS"  # 11 chars -> 6 cells = 6 frames
+    n = 6
+    padded = text.ljust(2 * n)
+    bits = np.stack(
+        [np.asarray(cc_pack(padded[2 * i : 2 * i + 2])) for i in range(n)]
+    )
+
+    def run(out, chunk):
+        process_video(
+            plan, synthetic_source(L, TEST_SAMPLES), n, out,
+            decoder="comb3", chunk=chunk, caption_bits=bits,
+            channel={"noise_sigma": 0.01},
+            scramble=("cutrotate", 0xC0FFEE),
+        )
+        import glob
+
+        got, ok = [], True
+        for p in sorted(glob.glob(os.path.join(out, "cc_*.npy"))):
+            for row in np.load(p):
+                s, good = cc_unpack(row)
+                got.append(s)
+                ok = ok and good
+        return "".join(got), ok
+
+    r1, ok1 = run(str(tmp_path / "a"), 4)
+    assert ok1 and r1 == padded, r1
+    r2, ok2 = run(str(tmp_path / "b"), 5)
     assert (r2, ok2) == (r1, ok1)
 
 
