@@ -104,6 +104,17 @@ FROZEN = {
     # test_golden_transmission.py (round-3 advisor finding).  No code line
     # changed (verified: diff touches one docstring word).
     "transmission.py": "a3bf79c7ef609db3",
+    # sound.py ADDED 2026-08-20 (round 4, VERDICT r3 item 4): NEW-FILE
+    # oracle for the analog SOUND cores — naive per-sample NumPy f64
+    # intercarrier FM sound on/off the RF stream (rectangle-rule cumsum,
+    # absolute-sample carrier phase), the MTS pilot + DSB-SC multiplex,
+    # satellite audio subcarriers (midpoint circular FM on integer-
+    # cycles-per-frame carriers, full naive hop chain with the sound
+    # multiplex), and A2's second carrier with its AM-ident pilot —
+    # written against the module docstrings' signal math, NOT the
+    # composed stream-engine machinery it certifies
+    # (tests/test_golden_sound.py).  No pre-existing golden file touched.
+    "sound.py": "68c68b948be78fa1",
 }
 
 

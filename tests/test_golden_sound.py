@@ -1,0 +1,129 @@
+"""Analog-sound oracle parity (VERDICT r3 item 4).
+
+The frozen naive-NumPy chains in golden/sound.py certify the analog
+sound cores — frame/rf.py's intercarrier FM sound, frame/mts.py's
+stereo multiplex, frame/satellite.py's audio subcarriers and
+frame/a2.py's second carrier: an encoder+decoder co-regression (both
+sides shifted consistently) would pass the existing SNR/separation
+property tests but disagree with this model.
+
+Bounds measured 2026-08-20 on the fixtures below (CPU; parity is
+backend-independent): sound_on_rf 111.7 dB, sound_from_rf 74.3, MTS
+encode/decode 136.4/137.2+, satellite fm_modulate-with-audio 69.1,
+audio demod 137.4, a2_on_rf 119.1, a2 takeoff 94.8.  Thresholds sit
+~5-10 dB under (suite convention); the two lowest rows (sound_from_rf,
+sat modulate) are f32-limited through the composed 4097-tap complex
+FIRs / the f32 FM phase integral.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import get_plan
+from color_modem_tpu.frame import a2, mts, rf, satellite as sat
+from color_modem_tpu.frame.pipeline import make_pipeline
+from color_modem_tpu.golden import sound as gs
+from color_modem_tpu.utils.testimages import smooth_scene
+
+L, N = 16, 720
+
+
+def _parity_db(a, b) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    err = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(float(np.var(b)) / max(err, 1e-300))
+
+
+def _tones(b: int, t: int, fs: float, freqs) -> np.ndarray:
+    tt = np.arange(t, dtype=np.float64) / fs
+    return np.stack([
+        0.6 * np.sin(2.0 * np.pi * f * tt) + 0.2 * np.sin(2.0 * np.pi * 2.7 * f * tt)
+        for f in freqs[:b]
+    ]).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def rfp():
+    return rf.make_rf_plan(get_plan("ntsc"))
+
+
+def test_sound_on_rf_matches_golden(rfp):
+    b = 2
+    audio = _tones(b, L * N, rfp.plan.fs, (700.0, 1700.0))
+    rf0 = np.zeros((b, L, rfp.n_rf), np.float32)
+    j = rf.sound_on_rf(rfp, jnp.asarray(rf0), 3, jnp.asarray(audio), 1.234)
+    g = gs.sound_on_rf(rfp, rf0, 3, audio, 1.234)
+    assert _parity_db(j, g) > 100.0
+
+
+def test_sound_from_rf_matches_golden(rfp):
+    b = 2
+    audio = _tones(b, L * N, rfp.plan.fs, (700.0, 1700.0))
+    g_rf = gs.sound_on_rf(
+        rfp, np.zeros((b, L, rfp.n_rf), np.float32), 3, audio, 0.5
+    ).astype(np.float32)
+    j = rf.sound_from_rf(rfp, jnp.asarray(g_rf), 3)
+    g = gs.sound_from_rf(rfp, g_rf, 3)
+    assert _parity_db(j, g) > 65.0
+
+
+def test_mts_matches_golden():
+    plan = get_plan("ntsc")
+    t = 2 * L * N
+    left = _tones(1, t, plan.fs, (900.0,))
+    right = _tones(1, t, plan.fs, (2400.0,))
+    j_enc = mts.mts_encode(plan, jnp.asarray(left), jnp.asarray(right))
+    g_enc = gs.mts_encode(plan.n_samples, left, right)
+    assert _parity_db(j_enc, g_enc) > 120.0
+    a = g_enc.astype(np.float32)
+    taps = mts._channel_lpf(plan.fs)
+    j_l, j_r, j_p = mts.mts_decode(plan, jnp.asarray(a))
+    g_l, g_r, g_p = gs.mts_decode(plan.n_samples, taps, a)
+    assert _parity_db(j_l, g_l) > 120.0
+    assert _parity_db(j_r, g_r) > 120.0
+    np.testing.assert_allclose(np.asarray(j_p), g_p, atol=1e-6)
+
+
+def test_satellite_audio_matches_golden():
+    plan = get_plan("ntsc")
+    sp = sat.make_sat_plan(plan.fs, N, audio_subs=1)
+    rgb = np.stack(
+        [smooth_scene(L, N, seed=s) for s in (0, 1)]
+    ).astype(np.float32)
+    enc, _, _ = make_pipeline(plan, "notch")
+    base = np.asarray(enc(jnp.asarray(rgb), 0))
+    # frame-periodic audio (integer cycles over the L*N frame stream —
+    # the satellite block is ONE PERIOD, CLAUDE.md); f = k*base_fs/n_tot
+    # must stay inside the 15 kHz audio band: k=9 -> ~10.5 kHz here
+    n_tot = L * N
+    k = 9
+    tt = np.arange(n_tot, dtype=np.float64)
+    audio = (0.7 * np.sin(2.0 * np.pi * k * tt / n_tot))[None, None, :]
+    audio = np.broadcast_to(audio, (2, 1, n_tot)).astype(np.float32)
+    j_fm = sat.fm_modulate(sp, jnp.asarray(base), audio=jnp.asarray(audio))
+    g_fm = gs.sat_fm_modulate_audio(sp, base, audio)
+    assert _parity_db(j_fm, g_fm) > 60.0
+    g32 = g_fm.astype(np.float32)
+    j_a = sat.fm_demodulate_audio(sp, jnp.asarray(g32))
+    g_a = gs.sat_fm_demodulate_audio(sp, g32)
+    assert _parity_db(j_a, g_a) > 120.0
+
+
+def test_a2_matches_golden(rfp):
+    a2p = a2.make_a2_plan(rfp)
+    b = 1
+    audio2 = _tones(b, L * N, rfp.plan.fs, (1300.0,))
+    rf0 = np.zeros((b, L, rfp.n_rf), np.float32)
+    j = a2.a2_on_rf(a2p, jnp.asarray(rf0), 3, jnp.asarray(audio2), "stereo")
+    g = gs.a2_on_rf(a2p, rf0, 3, audio2, "stereo")
+    assert _parity_db(j, g) > 105.0
+    g32 = g.astype(np.float32)
+    j_raw, _ = a2._takeoff(
+        a2p, jnp.asarray(g32), a2p.bpf2, a2p.snd2_ramp, 3,
+        sign=a2._carrier2_sign(a2p, 3, b, L),
+    )
+    g_raw = gs.a2_takeoff2(a2p, g32, 3)
+    assert _parity_db(j_raw, g_raw) > 85.0
