@@ -148,8 +148,8 @@ def make_a2_plan(rfp: RFPlan) -> A2Plan:
     )
 
 
-def _ident_phase(a2p: A2Plan, mode: str, frame0, b: int, l: int):
-    """(B, L, N) ident-tone phase, keyed on the absolute row index.
+def _ident_phase_rows(a2p: A2Plan, mode: str, rows: jax.Array):
+    """(..., N) ident-tone phase for an absolute-row index array.
 
     cycles/row = 1/IDENT_DIV exactly (the ident divides fh), so the
     row-start phase is (row / div) mod 1 — integer mod, exact at any
@@ -157,13 +157,17 @@ def _ident_phase(a2p: A2Plan, mode: str, frame0, b: int, l: int):
     """
     n = a2p.rfp.row_samples
     div = IDENT_DIV[mode]
-    rows = _abs_rows(frame0, b, l)
     start = (rows % div).astype(jnp.float32) / np.float32(div)
     in_row = jnp.asarray(
         TWO_PI * np.mod(np.arange(n, dtype=np.float64) / (n * div), 1.0),
         jnp.float32,
     )
-    return (TWO_PI * start)[:, :, None] + in_row[None, None, :]
+    return (TWO_PI * start)[..., None] + in_row
+
+
+def _ident_phase(a2p: A2Plan, mode: str, frame0, b: int, l: int):
+    """(B, L, N) ident-tone phase, keyed on the absolute row index."""
+    return _ident_phase_rows(a2p, mode, _abs_rows(frame0, b, l))
 
 
 def a2_multiplex(a2p: A2Plan, audio2, mode: str, frame0, b: int, l: int):
@@ -232,59 +236,109 @@ def _takeoff(a2p: A2Plan, rf, bpf, ramp, frame0, sign=None):
     return dphi * (rfp.plan.fs / (TWO_PI * rfp.snd_dev)), level
 
 
-def a2_detect_mode(a2p: A2Plan, raw2, frame0, b: int, l: int):
+def a2_detect_mode(a2p: A2Plan, raw2, frame0, b: int, l: int,
+                   group: int = 1):
     """Pilot + ident detection from carrier 2's raw discriminator output.
 
-    Returns ``(pilot_level, {"stereo": power, "dual": power})`` — the
-    pilot level in multiplex units (transmitted: PILOT_DEV/snd_dev =
-    0.05) and the normalized ident envelope power at each candidate
-    frequency.  Decision rule (the receiver IC's): no pilot -> mono;
-    else the larger ident projection wins.
+    Returns ``(pilot_level, powers, resid)`` — the pilot level in
+    multiplex units (transmitted: PILOT_DEV/snd_dev = 0.05), the fitted
+    ident AMPLITUDE per candidate frequency (transmitted: 0.5 * pilot
+    level), and each candidate's normalized fit RESIDUAL power.
+    Decision rule (the receiver IC's): no pilot -> mono; else the
+    candidate whose matched model leaves the smaller residual wins —
+    amplitudes alone cannot decide at sub-cycle windows, where the slow
+    candidate's basis can over-fit a segment of the other tone.
+
+    ``group``: decide over groups of ``group`` consecutive batch items
+    covering consecutive broadcast time — interlaced runs pass 2 so the
+    window is the frame's FIELD PAIR.  The ident tones (fh/133 = 117 Hz
+    vs fh/57 = 274 Hz) are slow against a field: a single 32-row field
+    is a ~quarter-cycle projection window where the two idents stop
+    being orthogonal (measured: the wrong one wins, round-4 full-stack
+    composition probe); joining the pair restores the progressive-window
+    margin.  The absolute-row phase laws are continuous across
+    consecutive items, so grouping is a plain reshape — ``group=1`` is
+    bit-identical to the ungrouped math.  Returned arrays stay (B,)
+    (each group's statistic repeats over its members).
     """
     rfp = a2p.rfp
     n = rfp.row_samples
+    if b % group:
+        raise ValueError(f"a2_detect_mode: group={group} must divide b={b}")
+    bg, lg = b // group, group * l
+    # absolute rows of the grouped blocks: the block starts at row
+    # frame0*l (same origin as _abs_rows) and each grouped item covers
+    # lg consecutive rows
+    rows = (jnp.asarray(frame0, jnp.int32) * jnp.int32(l)
+            + jnp.arange(bg, dtype=jnp.int32)[:, None] * jnp.int32(lg)
+            + jnp.arange(lg, dtype=jnp.int32)[None, :])
+    sign = (1.0 - 2.0 * (rows % 2).astype(jnp.float32))[:, :, None]
     pilot = jnp.asarray(np.cos(a2p.pilot_ramp), jnp.float32)[None, None, :]
     qpil = jnp.asarray(np.sin(a2p.pilot_ramp), jnp.float32)[None, None, :]
-    sign = _row_sign(rfp, frame0, b, l)[:, :, None]
-    pc = (pilot * sign).reshape(b, l * n)
-    ps = (qpil * sign).reshape(b, l * n)
-    i = fir_same_fft(raw2 * (2.0 * pc), a2p.pil_lpf)
-    q = fir_same_fft(raw2 * (-2.0 * ps), a2p.pil_lpf)
-    env = jnp.sqrt(i * i + q * q)            # (B, L*N): pilot AM envelope
+    raw2g = raw2.reshape(bg, lg * n)
+    pc = (pilot * sign).reshape(bg, lg * n)
+    ps = (qpil * sign).reshape(bg, lg * n)
+    # the pilot-envelope filter runs on the JOINED group stream too:
+    # fields are consecutive broadcast time, so the true neighborhood
+    # crosses the field seam
+    i = fir_same_fft(raw2g * (2.0 * pc), a2p.pil_lpf)
+    q = fir_same_fft(raw2g * (-2.0 * ps), a2p.pil_lpf)
+    env = jnp.sqrt(i * i + q * q)            # (Bg, Lg*N): pilot AM envelope
     level = jnp.mean(env, axis=-1)
-    # project the AC part only: the envelope's DC (the pilot level) leaks
-    # into a finite-length projection at a non-integer cycle count and
-    # blurs the stereo/dual decision margin
-    env = env - level[:, None]
-    powers = {}
+    # Least-squares matched fit [DC, cos, sin] per candidate instead of a
+    # naive cos/sin projection: the ident tones are SLOW against a frame
+    # (stereo fh/133 spans only ~0.5 cycle over 64 rows), so the basis is
+    # far from orthogonal over the window and the plain projection's bias
+    # swings with the ident's starting phase — at some absolute rows the
+    # WRONG ident won on a noise-free signal (round-4 full-stack probe,
+    # odd frame0).  Solving the 3x3 normal equations handles the
+    # non-orthogonality exactly; the fitted amplitude is phase-agnostic
+    # and reads the true 0.5*PILOT_DEV/snd_dev = 0.025 at every offset.
+    powers, resid = {}, {}
     for mode in ("stereo", "dual"):
-        ph = _ident_phase(a2p, mode, frame0, b, l).reshape(b, l * n)
-        cc = jnp.mean(env * jnp.cos(ph), axis=-1)
-        ss = jnp.mean(env * jnp.sin(ph), axis=-1)
-        # x2: projection of A*cos onto unit cos averages A/2
-        powers[mode] = 2.0 * jnp.sqrt(cc * cc + ss * ss)
-    return level, powers
+        ph = _ident_phase_rows(a2p, mode, rows).reshape(bg, lg * n)
+        g = jnp.stack(
+            [jnp.ones_like(ph), jnp.cos(ph), jnp.sin(ph)], axis=-1
+        )                                     # (Bg, T, 3)
+        a = jnp.einsum("bti,btj->bij", g, g) / (lg * n)
+        c = jnp.einsum("bti,bt->bi", g, env) / (lg * n)
+        coef = jnp.linalg.solve(a, c[..., None])[..., 0]  # (Bg, 3)
+        powers[mode] = jnp.sqrt(coef[:, 1] ** 2 + coef[:, 2] ** 2)
+        # normalized residual power of the fit: mean(env^2) - c . coef
+        resid[mode] = jnp.mean(env * env, axis=-1) - jnp.sum(
+            c * coef, axis=-1
+        )
+    if group > 1:
+        level = jnp.repeat(level, group)
+        powers = {k: jnp.repeat(v, group) for k, v in powers.items()}
+        resid = {k: jnp.repeat(v, group) for k, v in resid.items()}
+    return level, powers, resid
 
 
-def a2_decode(a2p: A2Plan, rf, frame0=0):
+def a2_decode(a2p: A2Plan, rf, frame0=0, group: int = 1):
     """RF block -> (left, right, info): the full A2 receiver.
 
     Dematrixes with the DETECTED mode: stereo -> (2M - R, R); dual ->
     both programs as-is (left = program 1, right = program 2); mono ->
     both channels carry carrier 1.  ``info`` holds the per-batch-item
     pilot level, ident powers, and the decided mode string per item.
+
+    ``group``: mode-detection window in consecutive batch items (pass 2
+    for interlaced field pairs — see :func:`a2_detect_mode`).
     """
     rfp = a2p.rfp
     b, l, _ = rf.shape
     m, _ = _takeoff(a2p, rf, a2p.bpf1, rfp.snd_ramp, frame0)
     raw2, c2_level = _takeoff(a2p, rf, a2p.bpf2, a2p.snd2_ramp, frame0,
                               sign=_carrier2_sign(a2p, frame0, b, l))
-    pilot, powers = a2_detect_mode(a2p, raw2, frame0, b, l)
+    pilot, powers, resid = a2_detect_mode(a2p, raw2, frame0, b, l, group)
     m = fir_same_fft(m, rfp.aud_lpf)
     r2 = fir_same_fft(raw2, rfp.aud_lpf)     # aud_lpf also strips the pilot
     c2 = np.asarray(c2_level)
     p_st = np.asarray(powers["stereo"])
     p_du = np.asarray(powers["dual"])
+    r_st = np.asarray(resid["stereo"])
+    r_du = np.asarray(resid["dual"])
     modes = []
     left = np.asarray(m).copy()
     right = np.asarray(m).copy()
@@ -292,7 +346,7 @@ def a2_decode(a2p: A2Plan, rf, frame0=0):
     for ib in range(b):
         if c2[ib] < 0.3 * a2p.amp2:          # no second carrier -> mono
             modes.append("mono")
-        elif p_st[ib] >= p_du[ib]:
+        elif r_st[ib] <= r_du[ib]:           # smaller matched-fit residual
             modes.append("stereo")
             left[ib] = 2.0 * left[ib] - r2_np[ib]
             right[ib] = r2_np[ib]
@@ -301,5 +355,6 @@ def a2_decode(a2p: A2Plan, rf, frame0=0):
             right[ib] = r2_np[ib]
     info = {"mode": modes, "carrier2_level": c2,
             "pilot_level": np.asarray(pilot),
-            "ident_power": {"stereo": p_st, "dual": p_du}}
+            "ident_power": {"stereo": p_st, "dual": p_du},
+            "ident_resid": {"stereo": r_st, "dual": r_du}}
     return left, right, info

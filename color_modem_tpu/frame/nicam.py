@@ -459,7 +459,18 @@ def make_nicam_rf_plan(rfp, offset: float = RF_OFFSET_HZ) -> NicamPlan:
     """A NICAM plan living on the RF sample grid, carrier at
     ``FM sound + offset`` — generated directly at the RF rate, so no
     bandpass resampling is ever needed (same reasoning as the RF layer's
-    own closed-form carriers)."""
+    own closed-form carriers).
+
+    The RECEIVER's matched filter is the RRC composed with a sharp
+    channel-selection lowpass: the FM sound carrier sits only 0.5 MHz
+    below NICAM at 2.7x its amplitude (snd_amp 0.2 vs RF_AMP 0.075), and
+    the bare RRC's slow stopband let it through at symbol-error level
+    when both were transmitted (round-4 full-stack probe: 71 parity
+    errors on a clean channel).  The selector is flat across NICAM's
+    (1+beta)*baud/2 ~ 255 kHz band — the raised-cosine ISI nulls at the
+    symbol centers survive to its ripple — and is ~60 dB down at the FM
+    Carson band's near edge, exactly the adjacent-sound selectivity a
+    real NICAM tuner front end provides."""
     fs_rf = rfp.fs_rf
     fc = rfp.f_snd + offset
     half = (1 + RF_BETA) * NOMINAL_BAUD / 2
@@ -476,7 +487,34 @@ def make_nicam_rf_plan(rfp, offset: float = RF_OFFSET_HZ) -> NicamPlan:
         )
     spb = int(round(fs_rf / NOMINAL_BAUD))
     h = _rrc_taps(spb, beta=RF_BETA)
-    return NicamPlan(fs=fs_rf, fc=fc, spb=spb, shaping=h, matched=h)
+    from color_modem_tpu.dsp import design
+
+    # channel selector at complex baseband: pass NICAM's own sidebands
+    # (to ~half + 25 kHz), stop by the FM carrier's Carson band edge
+    # (offset - snd_half); the FM carrier lands at -offset after the mix
+    sel = design.freq_sampled_taps(
+        fs_rf,
+        lambda f: design.raised_cosine_bandpass_response(
+            f, 0.0, half + 25e3, max(offset - snd_half - half - 50e3, 60e3)
+        ),
+        8193,
+    )
+    return NicamPlan(fs=fs_rf, fc=fc, spb=spb, shaping=h,
+                     matched=np.convolve(h, sel))
+
+
+def _head_samples(nplan: NicamPlan) -> int:
+    """Guard before the burst inside an RF block, whole symbols: half the
+    RX matched+selector span, so even the REFERENCE symbol sees the
+    interferers with full filter support.  A burst starting at the block
+    edge put the reference symbol where the truncated 'same' window
+    loses its FM-carrier rejection — the first differential angle landed
+    on the +-45 deg decision boundary and one flipped FAW bit sent the
+    frame-alignment search to a spurious offset (round-4 full-stack
+    probe).  A real NICAM stream is continuous and has no cold start;
+    the guard is this windowed model's equivalent."""
+    half_sym = len(nplan.matched) // (2 * nplan.spb) + 1
+    return half_sym * nplan.spb
 
 
 def nicam_capacity(rfp, rf_shape: tuple) -> int:
@@ -485,7 +523,7 @@ def nicam_capacity(rfp, rf_shape: tuple) -> int:
     nplan = make_nicam_rf_plan(rfp)
     n_total = rf_shape[-2] * rf_shape[-1]
     per_frame = SYMBOLS_PER_FRAME * nplan.spb
-    overhead = (1 + _tail_symbols(nplan)) * nplan.spb
+    overhead = (1 + _tail_symbols(nplan)) * nplan.spb + _head_samples(nplan)
     return max(0, (n_total - overhead) // per_frame)
 
 
@@ -499,14 +537,15 @@ def nicam_on_rf(rfp, rf: jax.Array, left, right) -> jax.Array:
     b, l, nr = rf.shape
     frames = nicam_frames(left, right)
     x = nicam_modulate(nplan, frames)
-    if x.shape[0] > l * nr:
+    head = _head_samples(nplan)  # symbol-aligned guard (see _head_samples)
+    if head + x.shape[0] > l * nr:
         raise ValueError(
-            f"{frames.shape[0]} NICAM frames need {x.shape[0]} RF "
+            f"{frames.shape[0]} NICAM frames need {head + x.shape[0]} RF "
             f"samples, block has {l * nr} — see nicam_capacity"
         )
-    pad = jnp.zeros(l * nr - x.shape[0], jnp.float32)
-    burst = jnp.concatenate([x, pad]).reshape(l, nr)
-    return rf + RF_AMP * burst[None]
+    pad = jnp.zeros(l * nr - x.shape[0] - head, jnp.float32)
+    burst = jnp.concatenate([jnp.zeros(head, jnp.float32), x, pad])
+    return rf + RF_AMP * burst.reshape(l, nr)[None]
 
 
 def nicam_from_rf(rfp, rf: jax.Array, n_frames: int):
