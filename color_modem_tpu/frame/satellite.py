@@ -68,7 +68,7 @@ import jax.numpy as jnp
 from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.stream import (
     _carrier_taps,
-    conv_complex_stream,
+    conv_decim_stream,
     fir_decim_stream,
     fir_stream,
     pad_taps_center,
@@ -121,9 +121,12 @@ class SatPlan:
     interp_taps: np.ndarray   # zero-stuff anti-image LPF (RF rate)
     rx_taps: np.ndarray       # receiver transponder band-pass (RF rate)
     iq_taps: np.ndarray       # post-mixer I/Q low-pass (RF rate)
-    dec_taps: np.ndarray      # pre-decimation low-pass (RF rate)
+    dec_taps: np.ndarray      # pre-decimation low-pass (RF rate; the
+                              # frozen oracle's naive chain uses it)
     pre_taps: np.ndarray      # pre-emphasis (baseband rate)
     de_taps: np.ndarray       # de-emphasis (baseband rate)
+    dec2_taps: np.ndarray | None = None  # pre-decimation low-pass at
+                              # fs_rf/2 (the half-rate demod path)
     # --- analog audio subcarriers (empty tuple = no sound designed) -----
     sub_freqs: tuple = ()     # subcarrier frequencies, Hz (baseband mux)
     sub_dev: float = 85e3     # audio FM deviation per subcarrier, Hz
@@ -170,6 +173,17 @@ class SatPlan:
         """Pre-decimation low-pass for fir_decim_stream (geometry-aligned)."""
         return pad_taps_center(np.asarray(self.dec_taps, np.float64),
                                2 * self.r)
+
+    def h_demod2_taps(self) -> np.ndarray:
+        """The :meth:`h_demod_taps` complex FIR geometry-aligned for the
+        half-rate front end (conv_decim_stream r=2)."""
+        return pad_taps_center(self.h_demod_taps(), 4)
+
+    def dec_down2_taps(self) -> np.ndarray:
+        """Pre-decimation low-pass at fs_rf/2 for the half-rate demod's
+        final fir_decim_stream (r//2), geometry-aligned."""
+        return pad_taps_center(np.asarray(self.dec2_taps, np.float64),
+                               max(2 * (self.r // 2), 2))
 
 
 #: Analog-satellite audio subcarrier ladder (Hz): the classic 6.50 MHz
@@ -283,6 +297,10 @@ def make_sat_plan(
     )
     iq = design.lowpass_taps(fs_rf, 0.5 * bw, ntaps_rf)
     dec = design.lowpass_taps(fs_rf, base_cut, ntaps_rf)
+    # half-rate demod decimation filter: same time span at fs_rf/2
+    dec2 = design.lowpass_taps(
+        fs_rf / 2.0, base_cut, 2 * design.DEFAULT_NTAPS + 1
+    )
     f1 = f_emph
     f2 = f1 / g_emph
     pre = design.freq_sampled_taps(
@@ -325,7 +343,7 @@ def make_sat_plan(
         deviation=deviation, center=center, dispersal=dispersal,
         total_lines=total_lines,
         interp_taps=interp, rx_taps=rx, iq_taps=iq, dec_taps=dec,
-        pre_taps=pre, de_taps=de,
+        pre_taps=pre, de_taps=de, dec2_taps=dec2,
         sub_freqs=sub_freqs, sub_dev=sub_dev, sub_amp=sub_amp,
         audio_bw=audio_bw, mux_lpf=mux_lpf, sub_lpf=sub_lpf,
         aud_rx=aud_rx, aud_pre=aud_pre,
@@ -521,6 +539,11 @@ def _demod_multiplex(sp: SatPlan, rf: jax.Array) -> jax.Array:
     b, l, n_rf = rf.shape
     if n_rf != sp.n_rf:
         raise ValueError(f"rows have {n_rf} RF samples, plan expects {sp.n_rf}")
+    if sp.r < 2 or sp.dec2_taps is None:
+        raise ValueError(
+            "the half-rate demod needs r >= 2 and a plan with dec2_taps "
+            "(rebuild the SatPlan with make_sat_plan)"
+        )
     # Stream-edge treatment: a zero edge means zero CARRIER, and a dead
     # carrier makes the discriminator spray wideband noise that the
     # decimation LPF smears into the first line — line 0's data burst sits
@@ -532,26 +555,38 @@ def _demod_multiplex(sp: SatPlan, rf: jax.Array) -> jax.Array:
     pad = _EDGE_PAD * sp.r
 
     stream = _wrap_pad(rf.astype(jnp.float32).reshape(b, l * n_rf), pad)
-    # band-pass + fs/4 quadrature mix + I/Q low-pass as ONE complex FIR;
-    # w[n] = e^{+j(pi/2)n}·z[n] (pad % 4 == 0 keeps the pattern phase)
-    w = conv_complex_stream(stream, sp.h_demod_taps())
-    i, q = w.real, w.imag
-
-    # symmetric discriminator on z: z[n+1]conj(z[n-1]) = -w[n+1]conj(w[n-1])
-    # (the e^{-j2(pi/2)} = -1 rotation residue), computed on the padded
-    # stream so every kept sample has true neighbors; edge-held ends are
-    # in the cropped margin
+    # HALF-RATE front end (round 4, VERDICT r3 item 1): the composed
+    # complex FIR already bandlimits z to the I/Q low-pass's +-bw/2 <
+    # fs_rf/4, so the front end can decimate by 2 INSIDE the
+    # frequency-domain conv — the c2c ifft runs at HALF rate, and every
+    # downstream stage (the arctan2 discriminator's elementwise chain,
+    # the decimation conv) touches half the samples.  Feeding the stream
+    # ADVANCED by one sample keeps the ODD complex-baseband samples:
+    #   a[m] = (h * s1)[2m] = w[2m+1] = j(-1)^m z(2m+1)
+    # so adjacent products pair z(2m+3) with z(2m+1) — the same 2-sample
+    # spacing as the full-rate symmetric discriminator (|dphi| < pi at
+    # the Carson deviation) reading f_inst at exactly the EVEN RF times
+    # 2m+2: no fractional delay appears anywhere, and a final one-sample
+    # (integer, exact) shift puts index m on time 2m for the decimation
+    # grid.  The one-sample advance/shift edge-holds land inside the
+    # cropped pad margin.
+    s1 = jnp.concatenate([stream[..., 1:], stream[..., -1:]], axis=-1)
+    a = conv_decim_stream(s1, sp.h_demod2_taps(), 2)
+    i, q = a.real, a.imag
+    # adjacent-product discriminator: a[m+1]conj(a[m]) = -z(2m+3)z*(2m+1)
+    # (the |j|^2 (-1)^(2m+1) rotation residue), angle/(2 RF samples)
     ip = jnp.concatenate([i[..., 1:], i[..., -1:]], axis=-1)
-    im = jnp.concatenate([i[..., :1], i[..., :-1]], axis=-1)
     qp = jnp.concatenate([q[..., 1:], q[..., -1:]], axis=-1)
-    qm = jnp.concatenate([q[..., :1], q[..., :-1]], axis=-1)
-    re = -(ip * im + qp * qm)
-    imag = -(qp * im - ip * qm)
+    re = -(ip * i + qp * q)
+    imag = -(qp * i - ip * q)
     f_dev = jnp.arctan2(imag, re) * jnp.float32(sp.fs_rf / (2.0 * TWO_PI))
+    # f_dev[m] reads time 2m+2; delay one half-rate sample -> time 2m
+    f_dev = jnp.concatenate([f_dev[..., :1], f_dev[..., :-1]], axis=-1)
 
     v = f_dev / jnp.float32(sp.deviation) + jnp.float32(sp.center)
-    # low-pass + decimate in one pass (the ifft runs at the baseband rate)
-    v = fir_decim_stream(v, sp.dec_down_taps(), sp.r)
+    # low-pass + decimate the remaining r//2 in one pass (the ifft runs
+    # at the baseband rate)
+    v = fir_decim_stream(v, sp.dec_down2_taps(), sp.r // 2)
     pc = pad // sp.r
     return v[..., pc : pc + l * sp.n_base]                   # crop
 

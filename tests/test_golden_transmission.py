@@ -11,6 +11,15 @@ backend-independent): rf_modulate 59.2 dB, rf_demodulate 47.3, fm_modulate
 convention).  The rf numbers are f32-limited through the 2049-tap composed
 complex FIRs; the fm demod chain has no phase integral so it parities at
 the conv-reassociation floor.
+
+fm_demodulate re-measured 2026-08-20 after the HALF-RATE demod rework
+(satellite._demod_multiplex decimates the complex baseband by 2 inside
+the front-end conv; VERDICT r3 item 1): 100.5 dB on this fixture, 107.0
+on the audio-subcarrier fixture — the oracle keeps the naive FULL-RATE
+chain, so the residual is the half-rate path's designed approximation
+(decimating z with the composed filter's ~-60 dB stopband + reading
+f_inst on the even grid only), still ~50 dB above every accuracy
+threshold in the chain.  Thresholds lowered accordingly.
 """
 
 import numpy as np
@@ -71,7 +80,7 @@ def test_fm_demodulate_matches_golden(comp):
     g_fm = gt.fm_modulate(sp, comp).astype(np.float32)
     j = sat.fm_demodulate(sp, jnp.asarray(g_fm))
     g = gt.fm_demodulate(sp, g_fm)
-    assert _parity_db(j, g) > 115.0
+    assert _parity_db(j, g) > 95.0
 
 
 def test_fm_roundtrip_mux_matches_golden(comp):
@@ -85,4 +94,4 @@ def test_fm_roundtrip_mux_matches_golden(comp):
     assert _parity_db(j_fm, g_fm) > 60.0
     j_v = sat.fm_demodulate(sp, jnp.asarray(g_fm.astype(np.float32)))
     g_v = gt.fm_demodulate(sp, g_fm.astype(np.float32))
-    assert _parity_db(j_v, g_v) > 115.0
+    assert _parity_db(j_v, g_v) > 95.0
