@@ -315,6 +315,22 @@ def a2_detect_mode(a2p: A2Plan, raw2, frame0, b: int, l: int,
     return level, powers, resid
 
 
+def _decode_arrays(a2p: A2Plan, rf, frame0, group: int = 1):
+    """The array-compute half of :func:`a2_decode` (both takeoffs, mode
+    statistics, audio low-passing) — split out so it can self-jit off-CPU
+    (fir_same_fft's kernel-spectrum multiply is an eager complex op, which
+    the relay cannot dispatch outside jit; utils/jitwrap note)."""
+    rfp = a2p.rfp
+    b, l, _ = rf.shape
+    m, _ = _takeoff(a2p, rf, a2p.bpf1, rfp.snd_ramp, frame0)
+    raw2, c2_level = _takeoff(a2p, rf, a2p.bpf2, a2p.snd2_ramp, frame0,
+                              sign=_carrier2_sign(a2p, frame0, b, l))
+    pilot, powers, resid = a2_detect_mode(a2p, raw2, frame0, b, l, group)
+    m = fir_same_fft(m, rfp.aud_lpf)
+    r2 = fir_same_fft(raw2, rfp.aud_lpf)     # aud_lpf also strips the pilot
+    return m, r2, c2_level, pilot, powers, resid
+
+
 def a2_decode(a2p: A2Plan, rf, frame0=0, group: int = 1):
     """RF block -> (left, right, info): the full A2 receiver.
 
@@ -326,14 +342,10 @@ def a2_decode(a2p: A2Plan, rf, frame0=0, group: int = 1):
     ``group``: mode-detection window in consecutive batch items (pass 2
     for interlaced field pairs — see :func:`a2_detect_mode`).
     """
-    rfp = a2p.rfp
-    b, l, _ = rf.shape
-    m, _ = _takeoff(a2p, rf, a2p.bpf1, rfp.snd_ramp, frame0)
-    raw2, c2_level = _takeoff(a2p, rf, a2p.bpf2, a2p.snd2_ramp, frame0,
-                              sign=_carrier2_sign(a2p, frame0, b, l))
-    pilot, powers, resid = a2_detect_mode(a2p, raw2, frame0, b, l, group)
-    m = fir_same_fft(m, rfp.aud_lpf)
-    r2 = fir_same_fft(raw2, rfp.aud_lpf)     # aud_lpf also strips the pilot
+    b = rf.shape[0]
+    m, r2, c2_level, pilot, powers, resid = _decode_arrays(
+        a2p, rf, frame0, group
+    )
     c2 = np.asarray(c2_level)
     p_st = np.asarray(powers["stereo"])
     p_du = np.asarray(powers["dual"])
@@ -358,3 +370,12 @@ def a2_decode(a2p: A2Plan, rf, frame0=0, group: int = 1):
             "ident_power": {"stereo": p_st, "dual": p_du},
             "ident_resid": {"stereo": r_st, "dual": r_du}}
     return left, right, info
+
+
+# --- public-entry jit (relay eager-complex limitation; utils/jitwrap) ---
+# The takeoff/detect compute runs fir_same_fft (eager complex kernel
+# multiply — frame/nicam.py note); a2_on_rf/a2_multiplex are real
+# elementwise and stay plain.
+from color_modem_tpu.utils.jitwrap import plan_jit as _plan_jit
+
+_decode_arrays = _plan_jit(_decode_arrays, static=("group",))

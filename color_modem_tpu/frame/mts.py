@@ -94,3 +94,11 @@ def mts_decode(plan: ModemPlan, a, row_samples: int | None = None):
     d = fir_same_fft(a * jnp.cos(2.0 * ph), taps)
     pilot = 2.0 * jnp.mean(a * jnp.sin(ph), axis=-1)
     return s + d, s - d, pilot
+
+
+# --- public-entry jit (relay eager-complex limitation; utils/jitwrap) ---
+# mts_decode runs fir_same_fft (eager complex kernel multiply — see
+# frame/nicam.py note); mts_encode is real elementwise and stays plain.
+from color_modem_tpu.utils.jitwrap import plan_jit as _plan_jit
+
+mts_decode = _plan_jit(mts_decode, static=("row_samples",))

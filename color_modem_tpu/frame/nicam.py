@@ -288,8 +288,12 @@ def parse_frames(frames: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class NicamPlan:
+    # eq=False: hash by identity so the plan can be a jax.jit static
+    # argument (utils/jitwrap) — the generated field-wise __hash__ would
+    # choke on the numpy taps (same convention as RFPlan/ModemPlan)
+
     fs: float               # sample rate (the composite grid's)
     fc: float               # carrier, Hz
     spb: int                # samples per symbol (integer by design)
@@ -368,28 +372,35 @@ def nicam_modulate(nplan: NicamPlan, frames: jax.Array,
         [_DQPSK_PHASE[k] for k in range(4)], jnp.float32
     )[dibit]
     sym_phase = jnp.cumsum(step)
-    z = jnp.exp(1j * sym_phase.astype(jnp.complex64))
-    z = jnp.concatenate([jnp.ones(1, jnp.complex64), z])  # reference symbol
-    n_sym = z.shape[0] + _tail_symbols(nplan)
-    # impulse train at symbol centers, shaped by the TX RRC
-    up = jnp.zeros(n_sym * nplan.spb, jnp.complex64)
-    up = up.at[: z.shape[0] * nplan.spb : nplan.spb].set(z)
-    i = fir_same_fft(jnp.real(up), nplan.shaping) * nplan.spb
-    q = fir_same_fft(jnp.imag(up), nplan.shaping) * nplan.spb
+    # real (i, q) pair instead of a complex phasor: every op here runs
+    # EAGERLY, and complex lowering is backend roulette through the
+    # relay (CLAUDE.md; the complex-exp graph hit UNIMPLEMENTED on a
+    # sampled backend 2026-08-20) — the complex numbers only ever
+    # carried (cos, sin) pairs
+    zi = jnp.concatenate([jnp.ones(1, jnp.float32), jnp.cos(sym_phase)])
+    zq = jnp.concatenate([jnp.zeros(1, jnp.float32), jnp.sin(sym_phase)])
+    n_sym = zi.shape[0] + _tail_symbols(nplan)
+    # impulse trains at symbol centers, shaped by the TX RRC
+    upi = jnp.zeros(n_sym * nplan.spb, jnp.float32)
+    upq = jnp.zeros(n_sym * nplan.spb, jnp.float32)
+    upi = upi.at[: zi.shape[0] * nplan.spb : nplan.spb].set(zi)
+    upq = upq.at[: zq.shape[0] * nplan.spb : nplan.spb].set(zq)
+    i = fir_same_fft(upi, nplan.shaping) * nplan.spb
+    q = fir_same_fft(upq, nplan.shaping) * nplan.spb
     n = i.shape[0]
     w = (TWO_PI * nplan.fc / nplan.fs * jnp.arange(n, dtype=jnp.float32)
          + jnp.float32(carrier_phase))
     return i * jnp.cos(w) - q * jnp.sin(w)
 
 
-def _symbol_samples(nplan: NicamPlan, x: jax.Array) -> jax.Array:
-    """Passband -> complex symbol-rate samples (known timing grid)."""
+def _symbol_samples(nplan: NicamPlan, x: jax.Array):
+    """Passband -> symbol-rate (i, q) pair (known timing grid; real
+    arrays — see nicam_modulate's eager-complex note)."""
     n = x.shape[-1]
     w = TWO_PI * nplan.fc / nplan.fs * jnp.arange(n, dtype=jnp.float32)
     zi = fir_same_fft(x * (2.0 * jnp.cos(w)), nplan.matched)
     zq = fir_same_fft(x * (-2.0 * jnp.sin(w)), nplan.matched)
-    z = (zi + 1j * zq)[..., :: nplan.spb]
-    return z
+    return zi[..., :: nplan.spb], zq[..., :: nplan.spb]
 
 
 def nicam_demodulate(
@@ -402,9 +413,11 @@ def nicam_demodulate(
     364 symbol offsets in one matmul; the peak sets the frame boundary.
     Works with any static carrier phase (differential) and any integer
     symbol offset (the search)."""
-    z = _symbol_samples(nplan, x)
-    d = z[..., 1:] * jnp.conj(z[..., :-1])
-    ang = jnp.angle(d)
+    zi, zq = _symbol_samples(nplan, x)
+    # d = z[1:] * conj(z[:-1]) in real arithmetic (eager-complex note)
+    dre = zi[..., 1:] * zi[..., :-1] + zq[..., 1:] * zq[..., :-1]
+    dim = zq[..., 1:] * zi[..., :-1] - zi[..., 1:] * zq[..., :-1]
+    ang = jnp.arctan2(dim, dre)
     quad = jnp.round(ang / (np.pi / 2)).astype(jnp.int32) % 4
     # inverse of _DQPSK_PHASE: quadrant q (step q*90deg) -> dibit
     dibit = jnp.asarray([0, 2, 3, 1], jnp.int32)[quad]
@@ -583,3 +596,17 @@ def nicam_roundtrip(plan: ModemPlan, left, right, *,
         x = x + noise_sigma * rms * jax.random.normal(key, x.shape)
     rx_frames, lock = nicam_demodulate(nplan, x, n_frames=frames.shape[0])
     return parse_frames(rx_frames) + (lock,)
+
+
+# --- public-entry jit (relay eager-complex limitation; utils/jitwrap) ---
+# Every NICAM passband path runs fir_same_fft, whose kernel-spectrum
+# multiply is an EAGER complex op when called outside jit — UNIMPLEMENTED
+# through the relay (CLAUDE.md; first hit when the round-4 full-stack
+# render moved NICAM onto the chip).  The bit plumbing (compand, frames,
+# parse) is real int math and stays eager.
+from color_modem_tpu.utils.jitwrap import plan_jit as _plan_jit
+
+nicam_modulate = _plan_jit(nicam_modulate, static=("carrier_phase",))
+nicam_demodulate = _plan_jit(nicam_demodulate, static=("n_frames",))
+nicam_on_rf = _plan_jit(nicam_on_rf)
+nicam_from_rf = _plan_jit(nicam_from_rf, static=("n_frames",))
