@@ -256,3 +256,107 @@ def test_tpu_transmission_matches_cpu(tmp_path):
     want_sat = np.asarray(sat.fm_demodulate(sp, sat.fm_modulate(sp, comp)))
     np.testing.assert_allclose(tpu["sat"], want_sat, atol=4e-3,
                                err_msg="satellite")
+
+
+_SOUND_SCRIPT = """
+import sys, numpy as np
+import jax, jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+from color_modem_tpu.frame import a2, mts, nicam, rf
+from color_modem_tpu.modem.plan import make_plan
+from color_modem_tpu.standards import ALL_STANDARDS
+assert jax.default_backend() != "cpu", jax.default_backend()
+L, W = {lines!r}, {samples!r}
+plan = make_plan(ALL_STANDARDS["pal"](), W)
+rfp = rf.make_rf_plan(plan)
+rf0 = jnp.zeros((1, L, rfp.n_rf), jnp.float32)
+cap = nicam.nicam_capacity(rfp, (1, L, rfp.n_rf))
+na = nicam.BLOCK * cap
+ta = np.arange(na) / 32000.0
+nl = (0.6 * np.sin(2 * np.pi * 440 * ta)).astype(np.float32)
+nr = (0.5 * np.sin(2 * np.pi * 880 * ta)).astype(np.float32)
+sig = nicam.nicam_on_rf(rfp, rf0, nl, nr)
+gl, gr, rep, lock = nicam.nicam_from_rf(rfp, sig, cap)
+a2p = a2.make_a2_plan(rfp)
+t = np.arange(L * W) / plan.fs
+audL = (0.6 * np.sin(2 * np.pi * 800 * t)).astype(np.float32)[None]
+audR = (0.5 * np.sin(2 * np.pi * 2300 * t)).astype(np.float32)[None]
+# carrier 1 must actually transmit (the mono sum on a blanking-level
+# picture) — discriminating a DEAD carrier sprays noise by design
+comp0 = jnp.zeros((1, L, W), jnp.float32)
+base = rf.rf_modulate(rfp, comp0, 3, jnp.asarray(0.5 * (audL + audR)))
+sig2 = a2.a2_on_rf(a2p, base, 3, jnp.asarray(audR), "stereo")
+l2, r2, info = a2.a2_decode(a2p, sig2, 3)
+ml = (0.7 * np.sin(2 * np.pi * 900 * t)).astype(np.float32)[None]
+mr = (0.5 * np.sin(2 * np.pi * 2400 * t)).astype(np.float32)[None]
+menc = mts.mts_encode(plan, jnp.asarray(ml), jnp.asarray(mr))
+dl, dr, pil = mts.mts_decode(plan, menc)
+np.savez(
+    sys.argv[1],
+    nicam_l=np.asarray(gl), nicam_r=np.asarray(gr),
+    nicam_parity=np.asarray(rep["parity_errors"]),
+    a2_l=np.asarray(l2), a2_r=np.asarray(r2),
+    a2_stereo=np.int32(info["mode"][0] == "stereo"),
+    mts_enc=np.asarray(menc), mts_l=np.asarray(dl), mts_r=np.asarray(dr),
+    mts_pilot=np.asarray(pil),
+)
+"""
+
+
+@pytest.mark.tpu
+def test_tpu_sound_matches_cpu(tmp_path):
+    """Round-4 sound subsystems on the chip vs CPU: NICAM's real-i/q
+    DQPSK passband, A2's jitted takeoff/detect core and the MTS
+    multiplex — the paths made chip-safe in round 4 (self-jitting
+    entry points around the relay's eager-complex limitation).  NICAM
+    must be bit-transparent on BOTH backends (audio equal to the shared
+    companding floor); the analog audio chains match to the usual
+    TPU-vs-CPU FFT-twiddle bound."""
+    from color_modem_tpu.frame import a2, mts, nicam, rf
+
+    out_p = tmp_path / "tpu.npz"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "-c", _SOUND_SCRIPT.format(
+            repo=repo, lines=TEST_LINES, samples=TEST_SAMPLES),
+         str(out_p)],
+        check=True, env=_tpu_env(), timeout=1800,
+    )
+    tpu = np.load(out_p)
+    plan = get_plan("pal")
+    rfp = rf.make_rf_plan(plan)
+    rf0 = jnp.zeros((1, TEST_LINES, rfp.n_rf), jnp.float32)
+    cap = nicam.nicam_capacity(rfp, (1, TEST_LINES, rfp.n_rf))
+    na = nicam.BLOCK * cap
+    ta = np.arange(na) / 32000.0
+    nl = (0.6 * np.sin(2 * np.pi * 440 * ta)).astype(np.float32)
+    nr = (0.5 * np.sin(2 * np.pi * 880 * ta)).astype(np.float32)
+    sig = nicam.nicam_on_rf(rfp, rf0, nl, nr)
+    gl, gr, rep, _ = nicam.nicam_from_rf(rfp, sig, cap)
+    assert int(np.asarray(tpu["nicam_parity"]).sum()) == 0
+    assert int(np.asarray(rep["parity_errors"]).sum()) == 0
+    # bit-transparent on both backends -> decoded audio identical to the
+    # (shared) companding quantization, i.e. essentially equal
+    np.testing.assert_allclose(tpu["nicam_l"], np.asarray(gl), atol=1e-5)
+    np.testing.assert_allclose(tpu["nicam_r"], np.asarray(gr), atol=1e-5)
+    a2p = a2.make_a2_plan(rfp)
+    t = np.arange(TEST_LINES * TEST_SAMPLES) / plan.fs
+    audL = (0.6 * np.sin(2 * np.pi * 800 * t)).astype(np.float32)[None]
+    audR = (0.5 * np.sin(2 * np.pi * 2300 * t)).astype(np.float32)[None]
+    comp0 = jnp.zeros((1, TEST_LINES, TEST_SAMPLES), jnp.float32)
+    base = rf.rf_modulate(rfp, comp0, 3, jnp.asarray(0.5 * (audL + audR)))
+    sig2 = a2.a2_on_rf(a2p, base, 3, jnp.asarray(audR), "stereo")
+    l2, r2, info = a2.a2_decode(a2p, sig2, 3)
+    assert int(tpu["a2_stereo"]) == 1 and info["mode"] == ["stereo"]
+    np.testing.assert_allclose(tpu["a2_l"], np.asarray(l2), atol=4e-3,
+                               err_msg="a2 left")
+    np.testing.assert_allclose(tpu["a2_r"], np.asarray(r2), atol=4e-3,
+                               err_msg="a2 right")
+    ml = (0.7 * np.sin(2 * np.pi * 900 * t)).astype(np.float32)[None]
+    mr = (0.5 * np.sin(2 * np.pi * 2400 * t)).astype(np.float32)[None]
+    menc = mts.mts_encode(plan, jnp.asarray(ml), jnp.asarray(mr))
+    dl, dr, pil = mts.mts_decode(plan, menc)
+    np.testing.assert_allclose(tpu["mts_enc"], np.asarray(menc), atol=2e-4)
+    np.testing.assert_allclose(tpu["mts_l"], np.asarray(dl), atol=2e-3)
+    np.testing.assert_allclose(tpu["mts_r"], np.asarray(dr), atol=2e-3)
+    np.testing.assert_allclose(tpu["mts_pilot"], np.asarray(pil), atol=1e-4)
