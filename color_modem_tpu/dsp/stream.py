@@ -185,6 +185,58 @@ def _expand_full(spec: jnp.ndarray, nsrc: int, nfull: int):
     return jnp.concatenate([base] * reps, axis=-1)
 
 
+def _fold_product_half(X: jnp.ndarray, K: np.ndarray, nblk: int, r: int,
+                       out_bins: int | None = None) -> jnp.ndarray:
+    """Alias-folded kernel product computed from the rfft HALF spectrum.
+
+    ``W[k] = (1/r) * sum_i Z_full[k + i*nblk/r] * K[k + i*nblk/r]`` where
+    ``Z_full`` is the full hermitian spectrum of the real block —
+    ``X[j]`` for j <= nblk/2, ``conj(X[nblk-j])`` above.  Each segment is
+    a static slice of X (or its conj-flip), so the full-length expansion
+    is NEVER materialized: the old ``_expand_full`` + full-size multiply
+    + reshape-fold built two nblk-length complex intermediates per block
+    that XLA did not fuse away — the direct fold measured the composed
+    demod convs 32-38% faster on the v5e (same-process interleaved A/B,
+    2026-08-20; r04 evidence addendum).  The segment sum runs in the same
+    i = 0..r-1 order as the old reshape-fold, so results are bit-identical.
+
+    ``out_bins`` truncates the output to the first bins (the real-taps
+    decimation case feeds a half-spectrum irfft and needs nblk_c//2+1).
+    pow2 ``r`` only (``_check_rate``), so segments never straddle the
+    Nyquist bin.
+    """
+    from jax import lax
+
+    nblk_c = nblk // r
+    half = nblk // 2
+    m = nblk_c if out_bins is None else out_bins
+    W = None
+    for i in range(r):
+        j0 = i * nblk_c
+        Ki = jnp.asarray(K[j0 : j0 + m])
+        if j0 + m - 1 <= half:
+            Zi = lax.slice_in_dim(X, j0, j0 + m, axis=-1)
+        elif j0 >= half:
+            hi = nblk - j0        # <= half, and bin j0 maps to conj(X[hi])
+            Zi = jnp.conj(jnp.flip(
+                lax.slice_in_dim(X, hi - m + 1, hi + 1, axis=-1), -1
+            ))
+        else:  # unreachable for pow2 r (r=1 keeps m <= half+1)
+            raise ValueError(f"fold segment {i} straddles the Nyquist bin")
+        W = Zi * Ki if W is None else W + Zi * Ki
+    return W * jnp.complex64(1.0 / r)
+
+
+def _hermitian_base(spec_c: jnp.ndarray, nsrc: int) -> jnp.ndarray:
+    """rfft half spectrum (.., nsrc//2+1) -> full length-``nsrc`` spectrum
+    (one small conj-flip concat; even ``nsrc`` only)."""
+    if nsrc % 2:
+        raise ValueError(f"hermitian base: nsrc={nsrc} must be even")
+    return jnp.concatenate(
+        [spec_c, jnp.conj(spec_c[..., nsrc // 2 - 1 : 0 : -1])], axis=-1
+    )
+
+
 def upconv_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
     """Zero-stuff (..., Tc) real by ``r`` and 'same'-filter with complex
     ``taps_c`` (host numpy, odd length, (len-1) % (2r) == 0) in one pass.
@@ -210,11 +262,19 @@ def upconv_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
     # lead at the stuffed rate ((t-1)//2 RF samples, r-aligned)
     blocks_c = _blocks(x2, (t - 1) // (2 * r), step_c, nb, nblk_c)
     spec_c = jnp.fft.rfft(blocks_c, axis=-1)
-    Z = _expand_full(spec_c, nblk_c, nblk)
     K = np.fft.fft(np.pad(taps_c.astype(np.complex128), (0, nblk - t))).astype(
         np.complex64
     )
-    w = jnp.fft.ifft(Z * K, axis=-1)
+    # the zero-stuffed block's spectrum is the PERIODIC replication of
+    # the dense block's: multiply each replica segment against the SMALL
+    # hermitian base instead of materializing the tiled full spectrum
+    # (one nblk-length complex intermediate fewer per block)
+    base = _hermitian_base(spec_c, nblk_c)
+    W = jnp.concatenate(
+        [base * jnp.asarray(K[i * nblk_c : (i + 1) * nblk_c])
+         for i in range(r)], axis=-1
+    )
+    w = jnp.fft.ifft(W, axis=-1)
     w = w[..., t - 1:].reshape(x2.shape[0], nb * step)[:, : tc_in * r]
     return w.reshape(lead + (tc_in * r,))
 
@@ -264,12 +324,21 @@ def upsample_fir_stream(x: jnp.ndarray, taps, r: int) -> jnp.ndarray:
     nb = -(-tc_in // step_c)
     blocks_c = _blocks(x2, (t - 1) // (2 * r), step_c, nb, nblk_c)
     spec_c = jnp.fft.rfft(blocks_c, axis=-1)
-    # rfft spectrum of the zero-stuffed block: periodic replication of
-    # the dense rfft, folded hermitian — only nblk//2+1 bins needed
-    # (slice of the slice-built full expansion, no gather)
-    Z = _expand_full(spec_c, nblk_c, nblk)[..., : nblk // 2 + 1]
     K = np.fft.rfft(np.pad(taps, (0, nblk - t))).astype(np.complex64)
-    y = jnp.fft.irfft(Z * K, n=nblk, axis=-1)
+    # rfft spectrum of the zero-stuffed block: periodic replication of
+    # the dense rfft — only nblk//2+1 bins needed, built as r/2 segment
+    # products against the SMALL hermitian base + the lone Nyquist bin
+    # (never materializing the full replication)
+    if r == 1:
+        W = spec_c * jnp.asarray(K)
+    else:
+        base = _hermitian_base(spec_c, nblk_c)
+        half = nblk // 2
+        segs = [base * jnp.asarray(K[i * nblk_c : (i + 1) * nblk_c])
+                for i in range(r // 2)]
+        segs.append(base[..., :1] * jnp.asarray(K[half : half + 1]))
+        W = jnp.concatenate(segs, axis=-1)
+    y = jnp.fft.irfft(W, n=nblk, axis=-1)
     y = y[..., t - 1:].reshape(x2.shape[0], nb * step)[:, : tc_in * r]
     return y.astype(x.dtype).reshape(lead + (tc_in * r,))
 
@@ -295,14 +364,15 @@ def fir_decim_stream(x: jnp.ndarray, taps, r: int) -> jnp.ndarray:
     step_c = step // r
     nb = -(-(t_in // r) // step_c)
     blocks = _blocks(x2, (t - 1) // 2, step, nb, nblk)
-    Z = _expand_full(jnp.fft.rfft(blocks, axis=-1), nblk, nblk)
+    X = jnp.fft.rfft(blocks, axis=-1)
     K = np.fft.fft(np.pad(taps.astype(np.complex128), (0, nblk - t))).astype(
         np.complex64
     )
-    W = (Z * K).reshape(Z.shape[:-1] + (r, nblk_c)).sum(-2) * (1.0 / r)
-    # real input, real taps: the decimated spectrum is hermitian — take
-    # the first nblk_c//2+1 bins and irfft
-    w = jnp.fft.irfft(W[..., : nblk_c // 2 + 1], n=nblk_c, axis=-1)
+    # real input, real taps: the decimated spectrum is hermitian — fold
+    # ONLY the first nblk_c//2+1 bins, straight from the rfft half
+    # spectrum (_fold_product_half), and irfft
+    W = _fold_product_half(X, K, nblk, r, out_bins=nblk_c // 2 + 1)
+    w = jnp.fft.irfft(W, n=nblk_c, axis=-1)
     ov_c = (t - 1) // r
     w = w[..., ov_c:].reshape(x2.shape[0], nb * step_c)[:, : t_in // r]
     return w.astype(x.dtype).reshape(lead + (t_in // r,))
@@ -331,12 +401,14 @@ def conv_decim_stream(x: jnp.ndarray, taps_c, r: int) -> jnp.ndarray:
     step_c = step // r
     nb = -(-(t_in // r) // step_c)
     blocks = _blocks(x2, (t - 1) // 2, step, nb, nblk)
-    spec = jnp.fft.rfft(blocks, axis=-1)
-    Z = _expand_full(spec, nblk, nblk)
+    X = jnp.fft.rfft(blocks, axis=-1)
     K = np.fft.fft(np.pad(taps_c.astype(np.complex128), (0, nblk - t))).astype(
         np.complex64
     )
-    W = (Z * K).reshape(Z.shape[:-1] + (r, nblk_c)).sum(-2) * (1.0 / r)
+    # alias fold directly from the rfft half spectrum (bit-identical to
+    # the old hermitian-expand + reshape-fold, 32-38% faster measured —
+    # _fold_product_half docstring)
+    W = _fold_product_half(X, K, nblk, r)
     w = jnp.fft.ifft(W, axis=-1)
     ov_c = (t - 1) // r
     w = w[..., ov_c:].reshape(x2.shape[0], nb * step_c)[:, : t_in // r]
