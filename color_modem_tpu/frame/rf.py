@@ -882,15 +882,14 @@ def sound_on_rf(rfp: RFPlan, rf, frame0, audio, phi0=0.0):
     return rf + rfp.snd_amp * snd
 
 
-def sound_from_rf(rfp: RFPlan, rf, frame0=0):
-    """Contiguous-batch sound takeoff: RF (B, L, N*r) -> audio (B, L*N).
+def _sound_disc(rfp: RFPlan, rf, frame0):
+    """Joined-chunk FM sound discriminator: RF (B, L, N*r) -> the
+    instantaneous audio (1, B*L*N) BEFORE the audio low-pass.
 
-    The receive mirror of :func:`sound_on_rf`: every stream filter (sound
-    band-pass, I/Q low-pass, audio low-pass) runs over the joined chunk
-    stream, so frame boundaries inside a chunk see their true neighbors
-    and only the chunk edges carry filter warm-up — which the video
-    runner hides under its one-frame overlap fetch.
-    """
+    Shared core of :func:`sound_from_rf` / :func:`sound_from_rf_halo`:
+    composed sound-takeoff conv decimated to the composite rate, carrier
+    derotation, exact phase-difference discriminator over the joined
+    stream."""
     b, l, n_rf = rf.shape
     n = rfp.row_samples
     zc = conv_decim_stream(
@@ -901,8 +900,64 @@ def sound_from_rf(rfp: RFPlan, rf, frame0=0):
     ip = jnp.concatenate([i[:, :1], i[:, :-1]], axis=-1)
     qp = jnp.concatenate([q[:, :1], q[:, :-1]], axis=-1)
     dphi = jnp.arctan2(ip * q - i * qp, i * ip + q * qp)
-    audio = dphi * (rfp.plan.fs / (2.0 * np.pi * rfp.snd_dev))
-    return fir_same_fft(audio, rfp.aud_lpf).reshape(b, l * n)
+    return dphi * (rfp.plan.fs / (2.0 * np.pi * rfp.snd_dev))
+
+
+def sound_from_rf(rfp: RFPlan, rf, frame0=0):
+    """Contiguous-batch sound takeoff: RF (B, L, N*r) -> audio (B, L*N).
+
+    The receive mirror of :func:`sound_on_rf`: every stream filter (sound
+    band-pass, I/Q low-pass, audio low-pass) runs over the joined chunk
+    stream, so frame boundaries inside a chunk see their true neighbors
+    and only the chunk edges carry filter warm-up — which the video
+    runner hides under its one-frame overlap fetch.
+    """
+    b, l, n_rf = rf.shape
+    audio = _sound_disc(rfp, rf, frame0)
+    return fir_same_fft(audio, rfp.aud_lpf).reshape(b, l * rfp.row_samples)
+
+
+def sound_from_rf_halo(rfp: RFPlan, rf, frame0=0, halo: int = 1,
+                       head_dead=None, tail_dead=None):
+    """Sound takeoff on a frame-halo-extended chunk (B+2*halo, L, N*r) ->
+    audio (B, L*N) for the OWN frames only — the sharded hop's receive side
+    (parallel/sharded.py::make_sharded_rf_sound_pipeline).
+
+    The first/last ``halo`` frames are neighbor context: the stream
+    filters see them (so own-frame audio within filter reach of a device
+    boundary is computed from its TRUE broadcast-time neighborhood), and
+    the returned audio crops them.
+
+    ``head_dead`` / ``tail_dead`` (traced bools): the GLOBAL first/last
+    device's halo frames carry no signal (zeros — there is no broadcast
+    before the batch), and a dead carrier's discriminated phase is
+    meaningless noise near the halo/own boundary (the takeoff conv's
+    non-causal taps leak own signal into the halo, whose angle is O(1)
+    garbage at tiny magnitude).  Zeroing the discriminator output over
+    the dead halo before the audio low-pass reproduces EXACTLY what the
+    unsharded chunk's ``fir_same_fft`` zero padding supplies past the
+    stream ends — bit-honest global edges, seamless interior ones.
+    """
+    b_ext, l, n_rf = rf.shape
+    n = rfp.row_samples
+    b = b_ext - 2 * halo
+    audio = _sound_disc(rfp, rf, frame0)                  # (1, b_ext*l*n)
+    if head_dead is not None or tail_dead is not None:
+        pos = jnp.arange(b_ext * l * n, dtype=jnp.int32)[None, :]
+        keep = jnp.ones_like(audio, dtype=bool)
+        if head_dead is not None:
+            # "< halo*l*n + 1": the unsharded chunk's discriminator
+            # edge-holds its first sample (prev == current -> dphi = 0
+            # exactly); the halo path's first own sample instead reads the
+            # dead halo's leakage tail as predecessor — mask it to the
+            # same exact zero (measured: the one sample was the whole
+            # 1.3e-4 equivalence residual at the global stream start)
+            keep &= ~(head_dead & (pos < halo * l * n + 1))
+        if tail_dead is not None:
+            keep &= ~(tail_dead & (pos >= (halo + b) * l * n))
+        audio = jnp.where(keep, audio, 0.0)
+    out = fir_same_fft(audio, rfp.aud_lpf).reshape(b_ext, l * n)
+    return out[halo : halo + b]
 
 
 def rf_roundtrip(rfp: RFPlan, comp, frame0=0, audio=None):
@@ -931,6 +986,7 @@ rf_demodulate = _plan_jit(
 )
 rf_demodulate_sound = _plan_jit(rf_demodulate_sound, static=("freq_error",))
 sound_from_rf = _plan_jit(sound_from_rf)
+sound_from_rf_halo = _plan_jit(sound_from_rf_halo, static=("halo",))
 rf_cochannel = _plan_jit(rf_cochannel, static=("offset_num", "offset_den"))
 rf_retune = _plan_jit(rf_retune, static=("df",))
 recover_carrier_frequency = _plan_jit(

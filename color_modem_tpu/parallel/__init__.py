@@ -16,8 +16,11 @@ from color_modem_tpu.parallel.mesh import (  # noqa: F401
     rgb_sharding,
 )
 from color_modem_tpu.parallel.sharded import (  # noqa: F401
+    make_sharded_hop_audio_pipeline,
+    make_sharded_hop_pipeline,
     make_sharded_interlaced_pipeline,
     make_sharded_palplus_pipeline,
     make_sharded_pipeline,
+    make_sharded_rf_sound_pipeline,
     required_halo,
 )

@@ -521,3 +521,177 @@ def make_sharded_hop_pipeline(plan, mesh: Mesh, hop, decoder: str = "notch",
         return dec(hop_sm(comp, f0), f0)
 
     return enc, dec, roundtrip
+
+
+def make_sharded_hop_audio_pipeline(plan, mesh: Mesh, hop,
+                                    decoder: str = "notch",
+                                    backend: str = "xla"):
+    """:func:`make_sharded_hop_pipeline` for FRAME-LOCAL hops that carry an
+    audio stream alongside the video — the satellite link with its FM
+    subcarrier ladder (frame/satellite.py: per-frame circular FM, so each
+    batch item's audio block is ONE PERIOD and shards with its frame; no
+    cross-device state exists by construction).
+
+    ``hop(comp_blk, aud_blk, frame0) -> (comp, aud_rx)`` must be
+    frame-local in BOTH streams; audio is ``(B, K, S)`` (or ``(B, S)``,
+    normalized to K=1), one block of ``S`` baseband samples per frame per
+    designed subcarrier.  Returns ``roundtrip(rgb, audio, frame0) ->
+    (rgb, aud_rx)``; the batch-grid sharding and the frame-axis fallback
+    mirror the video-only factory.
+    """
+    import math
+
+    enc, dec, _ = make_sharded_pipeline(plan, mesh, decoder, backend)
+    scalar = P()
+    n_line = int(mesh.devices.shape[1])
+    total = int(math.prod(mesh.devices.shape))
+
+    def _mk_hop(flat: bool):
+        def _hop_blk(comp_blk, aud_blk, frame0):
+            b_blk = comp_blk.shape[0]
+            dev = lax.axis_index(FRAME_AXIS)
+            if flat:
+                dev = dev * n_line + lax.axis_index(LINE_AXIS)
+            return hop(comp_blk, aud_blk, frame0 + dev * jnp.int32(b_blk))
+
+        ax = (FRAME_AXIS, LINE_AXIS) if flat else FRAME_AXIS
+        cspec, aspec = P(ax, None, None), P(ax, None, None)
+        return jax.shard_map(
+            _hop_blk, mesh=mesh, in_specs=(cspec, aspec, scalar),
+            out_specs=(cspec, aspec), check_vma=False,
+        )
+
+    hop_flat, hop_frame = _mk_hop(True), _mk_hop(False)
+
+    @jax.jit
+    def roundtrip(rgb, audio, frame0=0):
+        f0 = jnp.asarray(frame0, jnp.int32)
+        aud = jnp.asarray(audio, jnp.float32)
+        if aud.ndim == 2:
+            aud = aud[:, None, :]
+        comp = enc(rgb, f0)
+        hop_sm = hop_flat if rgb.shape[0] % total == 0 else hop_frame
+        comp, aud_rx = hop_sm(comp, aud, f0)
+        return dec(comp, f0), aud_rx
+
+    return enc, dec, roundtrip
+
+
+def make_sharded_rf_sound_pipeline(plan, mesh: Mesh, rfp,
+                                   decoder: str = "notch",
+                                   backend: str = "xla"):
+    """encode -> RF hop CARRYING THE JOINED-STREAM FM SOUND -> decode, over
+    the mesh: the one subsystem family whose state crosses the batch.
+
+    The intercarrier sound carrier runs over the chunk's frames JOINED as
+    one broadcast-time stream (frame/rf.py::sound_on_rf): its deviation
+    integral is a cumsum ACROSS frames — exactly the batch-crossing
+    sequential dependency frame-DP sharding would silently break.  The
+    same prefix-phase trick that made the chunked video runner
+    chunk-independent (host-f64 phi0 per chunk, frame/video.py) makes it
+    shard-clean, done here with collectives instead of the host:
+
+    * **transmit** — each device integrates its own sub-batch's deviation
+      locally and seeds it with ``phi0`` = the exclusive prefix of the
+      per-device deviation sums around the flat device ring: ONE
+      ``all_gather`` of a scalar per device, then a masked sum (reduced
+      mod 2pi, like the video runner's host prefix).  A device's phase
+      therefore differs from the unsharded joined cumsum only by f32
+      reassociation — a quasi-static offset the FM discriminator is
+      insensitive to.
+    * **receive** — the sound takeoff's stream filters (composed 8193-tap
+      complex conv at RF rate + 8193-tap audio low-pass, ~8 lines of
+      total warm-up) need true neighbor context at device boundaries:
+      each device fetches ONE neighbor frame of RF each way around the
+      same flat ring (two ``ppermute``; the video runner's "one-frame
+      overlap fetch" as a collective), demodulates the extended stream
+      (frame/rf.py::sound_from_rf_halo) and crops.  The global first/last
+      devices get ZERO halo frames with the discriminator masked dead
+      over them — reproducing the unsharded stream ends exactly.
+
+    Video stays frame-local (``rf_modulate``/``rf_demodulate`` per-frame
+    streams) and shards like :func:`make_sharded_hop_pipeline`'s flat
+    path; the composite encode/decode stages keep their full
+    (frame, lineblk) sharding and ring halos.  Requires the batch to
+    divide the flat device count (the sound ring needs every device to
+    hold the same number of consecutive frames).
+
+    Returns ``(encode, decode, roundtrip)`` with
+    ``roundtrip(rgb, audio, frame0) -> (rgb, audio_rx)``; ``audio`` is
+    (B, L*N) in [-1, 1] at the composite rate, consecutive frames of one
+    stream.  Sharded output matches the unsharded
+    modulate -> sound_on_rf -> sound_from_rf/demodulate chain to float
+    tolerance (tests/test_sharding.py measures it), not bit: the stream
+    FFTs' fp schedule depends on the per-device batch shape.
+    """
+    import math
+
+    from color_modem_tpu.frame.rf import (
+        TWO_PI,
+        rf_demodulate,
+        rf_modulate,
+        sound_from_rf_halo,
+        sound_on_rf,
+    )
+
+    enc, dec, _ = make_sharded_pipeline(plan, mesh, decoder, backend)
+    scalar = P()
+    n_line = int(mesh.devices.shape[1])
+    total = int(math.prod(mesh.devices.shape))
+    axes = (FRAME_AXIS, LINE_AXIS)
+
+    def _hop_blk(comp_blk, aud_blk, frame0):
+        b_blk = comp_blk.shape[0]
+        dev = (lax.axis_index(FRAME_AXIS) * n_line
+               + lax.axis_index(LINE_AXIS))
+        f0 = frame0 + dev * jnp.int32(b_blk)
+        rf = rf_modulate(rfp, comp_blk, f0)
+        # transmit: per-device deviation-phase prefix around the flat ring
+        local = jnp.float32(TWO_PI * rfp.snd_dev / rfp.plan.fs) * jnp.sum(
+            aud_blk
+        )
+        totals = lax.all_gather(local, axes)                 # (total,)
+        phi0 = jnp.sum(
+            jnp.where(jnp.arange(total, dtype=jnp.int32) < dev, totals, 0.0)
+        ) % jnp.float32(TWO_PI)
+        rf = sound_on_rf(rfp, rf, f0, aud_blk, phi0)
+        comp_rx = rf_demodulate(rfp, rf, f0)
+        # receive: one-frame RF halo each way (zeros at the global ends)
+        if total > 1:
+            down = [(i, (i + 1) % total) for i in range(total)]
+            up = [(i, (i - 1) % total) for i in range(total)]
+            from_prev = lax.ppermute(rf[-1:], axes, down)
+            from_next = lax.ppermute(rf[:1], axes, up)
+        else:
+            from_prev = from_next = jnp.zeros_like(rf[:1])
+        zero = jnp.zeros_like(rf[:1])
+        head = jnp.where(dev == 0, zero, from_prev)
+        tail = jnp.where(dev == total - 1, zero, from_next)
+        rf_ext = jnp.concatenate([head, rf, tail], axis=0)
+        aud_rx = sound_from_rf_halo(
+            rfp, rf_ext, f0 - 1, 1,
+            head_dead=(dev == 0), tail_dead=(dev == total - 1),
+        )
+        return comp_rx, aud_rx
+
+    spec3 = P(axes, None, None)
+    spec2 = P(axes, None)
+    hop_sm = jax.shard_map(
+        _hop_blk, mesh=mesh, in_specs=(spec3, spec2, scalar),
+        out_specs=(spec3, spec2), check_vma=False,
+    )
+
+    @jax.jit
+    def roundtrip(rgb, audio, frame0=0):
+        if rgb.shape[0] % total:
+            raise ValueError(
+                f"batch {rgb.shape[0]} must divide the {total}-device grid "
+                "— the joined-stream sound ring gives every device an "
+                "equal consecutive sub-batch"
+            )
+        f0 = jnp.asarray(frame0, jnp.int32)
+        comp = enc(rgb, f0)
+        comp, aud_rx = hop_sm(comp, jnp.asarray(audio, jnp.float32), f0)
+        return dec(comp, f0), aud_rx
+
+    return enc, dec, roundtrip
