@@ -750,8 +750,12 @@ def main(argv=None) -> int:
 
     if getattr(args, "palplus", False):
         # PALplus is its own transmission geometry (letterbox + helper
-        # bars), so it short-circuits the composable roundtrip plumbing;
-        # only the white-noise channel rides along.
+        # bars), so it short-circuits the composable roundtrip plumbing —
+        # but the real service was a 625i broadcast over terrestrial RF,
+        # so the transmission stack composes (VERDICT r4 item 2):
+        # --interlaced (one helper reference per FIELD), --raster (sync/
+        # burst on every row incl. the bars), --rf/--rf-noise (the VSB
+        # hop), plus the white-noise composite channel.
         import time as _time
 
         t0 = _time.perf_counter()
@@ -763,7 +767,7 @@ def main(argv=None) -> int:
         honored = {
             "cmd", "standard", "decoder", "width", "frame", "backend",
             "input", "demo", "pattern", "lines", "output", "composite",
-            "noise", "palplus",
+            "noise", "palplus", "interlaced", "raster", "rf", "rf_noise",
         }
         defaults = vars(build_parser().parse_args(["roundtrip", "--demo"]))
         blocked = sorted(
@@ -773,9 +777,11 @@ def main(argv=None) -> int:
         )
         if blocked:
             raise SystemExit(
-                "--palplus composes with --noise only; remove "
-                + " ".join(blocked)
+                "--palplus composes with --interlaced/--raster/--rf/"
+                "--rf-noise/--noise only; remove " + " ".join(blocked)
             )
+        if args.rf_noise > 0.0 and not args.rf:
+            raise SystemExit("--rf-noise needs --rf")
         import numpy as np
         import jax
         import jax.numpy as jnp
@@ -783,6 +789,7 @@ def main(argv=None) -> int:
         from color_modem_tpu.frame.image_io import save_composite, save_rgb
         from color_modem_tpu.frame.palplus import (
             PalPlusGeometry,
+            make_interlaced_palplus_pipeline,
             make_palplus_pipeline,
         )
         from color_modem_tpu.modem.plan import make_plan
@@ -796,11 +803,40 @@ def main(argv=None) -> int:
             )
         try:
             PalPlusGeometry(rgb.shape[1])
+            if args.interlaced and rgb.shape[1] % 16:
+                raise ValueError(
+                    "interlaced PALplus needs lines divisible by 16, "
+                    f"got {rgb.shape[1]}"
+                )
         except ValueError as e:
             raise SystemExit(f"--palplus: {e}")
         plan = make_plan(cfg, args.width)
-        enc, dec, _ = make_palplus_pipeline(plan, args.decoder, args.backend)
+        make = (make_interlaced_palplus_pipeline if args.interlaced
+                else make_palplus_pipeline)
+        enc, dec, _ = make(plan, args.decoder, args.backend,
+                           raster=args.raster)
+        units = 2 if args.interlaced else 1
         comp = enc(jnp.asarray(rgb)[None], args.frame)
+        if args.rf:
+            from color_modem_tpu.frame.rf import (
+                make_rf_plan, rf_demodulate, rf_modulate,
+            )
+
+            rf_kw = {}
+            if args.raster:
+                from color_modem_tpu.frame.raster import make_raster
+
+                rf_kw["row_samples"] = make_raster(plan).n_total
+            rfp = make_rf_plan(plan, **rf_kw)
+            # absolute leading-axis index (fields when interlaced) keys
+            # the carrier row law, as in frame/video.py
+            g0 = args.frame * units
+            rf_sig = rf_modulate(rfp, comp, g0)
+            if args.rf_noise > 0.0:
+                rf_sig = rf_sig + args.rf_noise * jax.random.normal(
+                    jax.random.PRNGKey(1), rf_sig.shape, jnp.float32
+                )
+            comp = rf_demodulate(rfp, rf_sig, g0)
         if args.noise > 0.0:
             comp = comp + args.noise * jax.random.normal(
                 jax.random.PRNGKey(0), comp.shape, jnp.float32
@@ -816,6 +852,9 @@ def main(argv=None) -> int:
             "psnr_without_helper_db": round(psnr(out_lb, rgb), 2),
             "lines": int(rgb.shape[1]),
         }
+        for k in ("interlaced", "raster", "rf"):
+            if getattr(args, k):
+                result[k] = True
         if args.output:
             save_rgb(args.output, out)
             result["output"] = args.output
@@ -1376,6 +1415,42 @@ def main(argv=None) -> int:
         out_m = np.asarray(mac_mod.decode(mplan, sig, g))
         save_rgb(os.path.join(args.out, "d2mac.png"), out_m)
         report["d2mac"] = round(psnr(out_m, rgb), 2)
+        # PALplus row (VERDICT r4 item 2): the 625i service over the full
+        # authentic stack — interlaced, rastered, VSB RF hop — rendered on
+        # a zone plate (vertical frequencies sweep through the helper
+        # band), with the conventional-receiver zoom beside it so the
+        # helper's purchase is visible
+        if (args.lines or 576) % 16 == 0:
+            from color_modem_tpu.frame.palplus import (
+                make_interlaced_palplus_pipeline,
+            )
+            from color_modem_tpu.frame.raster import make_raster
+            from color_modem_tpu.frame.rf import (
+                make_rf_plan, rf_demodulate, rf_modulate,
+            )
+            from color_modem_tpu.utils.testimages import zone_plate
+
+            pp_lines = args.lines or 576
+            pp_plan = make_plan(ALL_STANDARDS["pal"](), args.width)
+            rgb_pp = (load_rgb(args.input, size=(args.width, pp_lines))
+                      if args.input else
+                      zone_plate(pp_lines, args.width).astype(np.float32))
+            enc_pp, dec_pp, _ = make_interlaced_palplus_pipeline(
+                pp_plan, "comb3", args.backend, raster=True
+            )
+            comp_pp = enc_pp(np.asarray(rgb_pp)[None], 0)
+            rfp_pp = make_rf_plan(
+                pp_plan, row_samples=make_raster(pp_plan).n_total
+            )
+            comp_pp = rf_demodulate(
+                rfp_pp, rf_modulate(rfp_pp, comp_pp, 0), 0
+            )
+            for tag, use_h in (("palplus", True), ("palplus_zoom", False)):
+                out_pp = np.asarray(
+                    dec_pp(comp_pp, 0, use_helper=use_h)
+                )[0]
+                save_rgb(os.path.join(args.out, f"{tag}.png"), out_pp)
+                report[tag] = round(psnr(out_pp, rgb_pp), 2)
         if args.fullstack:
             # the full-stack "authentic broadcast" row (VERDICT r3 item
             # 7), rendered through the SAME one-shot roundtrip CLI the
@@ -1398,8 +1473,16 @@ def main(argv=None) -> int:
                     "--output",
                     os.path.join(args.out, "pal_fullstack.png"),
                 ])
+            if rc != 0:
+                # surface the sub-roundtrip's real failure, not the
+                # JSONDecodeError its missing output would cause below
+                # (round-4 advisor finding; a bare assert also vanishes
+                # under python -O)
+                raise SystemExit(
+                    f"gallery --fullstack: sub-roundtrip failed (rc={rc});"
+                    f" output:\n{buf.getvalue()}"
+                )
             rep_fs = json.loads(buf.getvalue().strip().splitlines()[-1])
-            assert rc == 0
             report["pal_fullstack"] = rep_fs["psnr_db"]
             report["pal_fullstack_pirate"] = (
                 rep_fs["scramble"]["pirate_psnr_db"]

@@ -210,18 +210,40 @@ def _fold_product_half(X: jnp.ndarray, K: np.ndarray, nblk: int, r: int,
     nblk_c = nblk // r
     half = nblk // 2
     m = nblk_c if out_bins is None else out_bins
+    if r == 1:
+        # no aliasing to fold: the product is the plain full (or truncated)
+        # hermitian spectrum times K.  (Round-4 advisor finding: the
+        # general segment walk below would hit the straddle guard at
+        # m = nblk even though r=1 is perfectly well-defined.)
+        return _hermitian_base(X, nblk)[..., :m] * jnp.asarray(K[:m])
     W = None
     for i in range(r):
         j0 = i * nblk_c
         Ki = jnp.asarray(K[j0 : j0 + m])
         if j0 + m - 1 <= half:
             Zi = lax.slice_in_dim(X, j0, j0 + m, axis=-1)
-        elif j0 >= half:
+        elif j0 == half:
+            # this segment STARTS on the Nyquist bin: take that one bin
+            # from X[half] directly instead of conj(X[half]), so the
+            # bit-identity with the old full-expansion fold holds
+            # unconditionally — not only when the backend's rfft returns
+            # an exactly-zero Nyquist imaginary part (round-4 advisor
+            # finding); the remaining bins are the usual conj-flip
+            Zi = jnp.concatenate(
+                [
+                    lax.slice_in_dim(X, half, half + 1, axis=-1),
+                    jnp.conj(jnp.flip(
+                        lax.slice_in_dim(X, half - m + 1, half, axis=-1), -1
+                    )),
+                ],
+                axis=-1,
+            )
+        elif j0 > half:
             hi = nblk - j0        # <= half, and bin j0 maps to conj(X[hi])
             Zi = jnp.conj(jnp.flip(
                 lax.slice_in_dim(X, hi - m + 1, hi + 1, axis=-1), -1
             ))
-        else:  # unreachable for pow2 r (r=1 keeps m <= half+1)
+        else:  # unreachable for pow2 r > 1 (m <= nblk_c <= half)
             raise ValueError(f"fold segment {i} straddles the Nyquist bin")
         W = Zi * Ki if W is None else W + Zi * Ki
     return W * jnp.complex64(1.0 / r)

@@ -224,21 +224,40 @@ def make_palplus_pipeline(
     decoder: str = "comb3",
     backend: str = "xla",
     helper_gain: float = 1.0,
+    raster: bool = False,
 ):
     """Jitted ``(encode, decode, roundtrip)`` closures, batch-first like
     :func:`frame.pipeline.make_pipeline`.  Frame height comes from the
     input (must be divisible by 8; geometry proportions like the full
-    raster)."""
+    raster).
+
+    ``raster``: sync + burst in each line's blanking interval
+    (frame/raster.py) — the bars carry normal sync/burst like the real
+    PALplus raster did; ``encode`` then returns ``(..., L, n_total)``
+    rows and ``decode`` strips the blanking first.  ``roundtrip`` skips
+    the raster (strip(add(x)) == x exactly, as in pipeline.py)."""
     _check_plan(plan, plan.cfg.active_lines)
+    rp = None
+    if raster:
+        from color_modem_tpu.frame.raster import (
+            add_raster, make_raster, strip_raster,
+        )
+
+        rp = make_raster(plan)
 
     @jax.jit
     def encode(rgb, frame0=0):
         b, _, l, _ = rgb.shape
         g = frame_line_index(plan, frame0, b, l)
-        return encode_palplus(plan, rgb, g, backend, helper_gain)
+        comp = encode_palplus(plan, rgb, g, backend, helper_gain)
+        if rp is not None:
+            comp = add_raster(plan, rp, comp, g)
+        return comp
 
     @partial(jax.jit, static_argnames=("use_helper",))
     def decode(comp, frame0=0, use_helper=True):
+        if rp is not None:
+            comp = strip_raster(rp, comp)
         b, l = comp.shape[0], comp.shape[-2]
         g = frame_line_index(plan, frame0, b, l)
         return decode_palplus(
@@ -252,6 +271,200 @@ def make_palplus_pipeline(
         comp = encode_palplus(plan, rgb, g, backend, helper_gain)
         return decode_palplus(
             plan, comp, g, decoder, backend, helper_gain, use_helper
+        )
+
+    return encode, decode, roundtrip
+
+
+# --- interlaced PALplus (625i service, VERDICT r4 item 2) -------------------
+
+
+def _check_interlaced(plan: ModemPlan, n_lines: int) -> PalPlusGeometry:
+    geo = _check_plan(plan, n_lines)
+    if n_lines % 16:
+        # bar = L/8 must be EVEN so each field carries bar/2 top and bar/2
+        # bottom bar rows (the broadcast 576: bar = 72, 36 rows per field)
+        raise ValueError(
+            f"interlaced PALplus needs lines divisible by 16, got {n_lines}"
+        )
+    return geo
+
+
+def encode_palplus_fields(
+    plan: ModemPlan,
+    rgb: jax.Array,
+    frame0,
+    backend: str = "xla",
+    helper_gain: float = 1.0,
+) -> jax.Array:
+    """(B, 3, L, N) full-height 16:9 RGB frames -> (2B, L/2, N)
+    field-sequential PALplus composite.
+
+    The vertical filter bank runs FRAME-based (the real system's Film
+    Mode — PALplus processed whole frames when the source was film, which
+    is exactly this framework's progressive-source model); transmission is
+    field-sequential: frame row ``j`` goes to field ``j % 2``, so each
+    field carries ``3L/8`` letterbox picture rows between ``bar/2``-row
+    bars, and the helper lines split alternately across the field pair —
+    one helper reference per FIELD (L=576: 216 picture + 72 helper lines
+    per field, the broadcast 430+2x72 split scaled to the clean
+    power-of-two geometry, module docstring).  Every transmitted row is
+    keyed by its FIELD line index (frame/interlace.py), so the subcarrier
+    phase law, V-switch and the helper's carrier all follow transmission
+    order, and a conventional interlaced receiver sees a normal letterbox
+    broadcast."""
+    from color_modem_tpu.frame.interlace import (
+        field_line_index, split_fields,
+    )
+
+    b, _, l, _ = rgb.shape
+    geo = _check_interlaced(plan, l)
+    rgb = rgb.astype(jnp.float32)
+    ycc = apply_mat3(plan.rgb_to_ycc, rgb)
+    _, helper = helper_encode(geo, ycc[..., 0, :, :])
+    helper = fir_same(helper, _helper_taps(plan))
+    rgb_pic = clamp01(resample_lines(rgb, geo.l_pic))
+
+    # full-height frame-row planes: picture rows in place, helper line h on
+    # its bar row (top bars carry h < bar, bottom bars h >= bar); the zero
+    # rows of each plane are the other plane's rows
+    n = rgb.shape[-1]
+    zb = jnp.zeros(rgb.shape[:-3] + (3, geo.bar, n), jnp.float32)
+    rgb_full = jnp.concatenate([zb, rgb_pic, zb], axis=-2)
+    zp = jnp.zeros(helper.shape[:-2] + (geo.l_pic, n), jnp.float32)
+    hlp_full = jnp.concatenate(
+        [helper[..., : geo.bar, :], zp, helper[..., geo.bar :, :]], axis=-2
+    )
+
+    rgb_f = split_fields(rgb_full)                      # (2B, 3, L/2, N)
+    hlp_f = split_fields(hlp_full)                      # (2B, L/2, N)
+    g = field_line_index(plan, frame0, b, l // 2)
+    comp = encode_block(plan, rgb_f, g, backend)
+    # the bar rows carry ONLY the helper DSB (the progressive layout,
+    # encode_palplus): mask the encoded black rows out rather than trust
+    # encode(black) == 0, then add the clipped helper (which is zero on
+    # pic rows because hlp_full is)
+    hb, pr = geo.bar // 2, geo.l_pic // 2
+    row = jnp.arange(l // 2)
+    is_bar = (row < hb) | (row >= hb + pr)
+    phi = carrier_phase(plan, g)
+    bars = jnp.clip(
+        jnp.float32(helper_gain) * hlp_f * jnp.sin(phi),
+        -HELPER_CLIP, HELPER_CLIP,
+    )
+    return jnp.where(is_bar[:, None], 0.0, comp) + bars
+
+
+def decode_palplus_fields(
+    plan: ModemPlan,
+    comp_fields: jax.Array,
+    frame0,
+    decoder: str = "comb3",
+    backend: str = "xla",
+    helper_gain: float = 1.0,
+    use_helper: bool = True,
+) -> jax.Array:
+    """(2B, L/2, N) field-sequential PALplus composite -> (B, 3, L, N)
+    reconstructed full-height frames (inverse of
+    :func:`encode_palplus_fields`; ``use_helper=False`` is the
+    conventional-receiver zoom control, as in :func:`decode_palplus`)."""
+    from color_modem_tpu.frame.interlace import (
+        field_line_index, weave_fields,
+    )
+
+    b2, rows, n = comp_fields.shape[0], comp_fields.shape[-2], \
+        comp_fields.shape[-1]
+    l = 2 * rows
+    geo = _check_interlaced(plan, l)
+    comp_fields = comp_fields.astype(jnp.float32)
+    g = field_line_index(plan, frame0, b2 // 2, rows)
+    hb, pr = geo.bar // 2, geo.l_pic // 2
+
+    # picture: decode the pic rows ONLY (so the comb stencils reflect
+    # inside the picture instead of combing helper bars), weave fields
+    pic_f = comp_fields[..., hb : hb + pr, :]
+    rgb_pic = weave_fields(
+        decode_block(plan, pic_f, g[..., hb : hb + pr], decoder, backend)
+    )                                                   # (B, 3, 3L/4, N)
+    up = resample_lines(rgb_pic, geo.l_full)
+    if not use_helper:
+        return clamp01(up)
+
+    # helper: product-detect each field's bar rows, weave the field pair
+    # back into the progressive helper line order (frame bar row j lives
+    # in field j % 2 — exactly the weave)
+    bars_f = jnp.concatenate(
+        [comp_fields[..., :hb, :], comp_fields[..., hb + pr :, :]], axis=-2
+    )
+    g_bars = jnp.concatenate([g[..., :hb], g[..., hb + pr :]], axis=-1)
+    phi = carrier_phase(plan, g_bars)
+    helper_f = fir_same(2.0 * bars_f * jnp.sin(phi), _helper_taps(plan))
+    helper_f = helper_f / jnp.float32(helper_gain)      # (2B, bar, N)
+    helper = jnp.concatenate(
+        [weave_fields(helper_f[..., :hb, :]),
+         weave_fields(helper_f[..., hb:, :])], axis=-2
+    )                                                   # (B, L/4, N)
+
+    ycc = apply_mat3(plan.rgb_to_ycc, up)
+    y = ycc[..., 0, :, :] + jnp.asarray(
+        _row_sign(geo.l_full)
+    ) * resample_lines(helper, geo.l_full)
+    ycc = jnp.stack([y, ycc[..., 1, :, :], ycc[..., 2, :, :]], axis=-3)
+    return clamp01(apply_mat3(plan.ycc_to_rgb, ycc))
+
+
+def make_interlaced_palplus_pipeline(
+    plan: ModemPlan,
+    decoder: str = "comb3",
+    backend: str = "xla",
+    helper_gain: float = 1.0,
+    raster: bool = False,
+):
+    """Jitted ``(encode, decode, roundtrip)`` for the interlaced PALplus
+    service: ``encode (B,3,L,N) -> (2B, L/2, N)`` field-sequential
+    composite (rastered rows when ``raster``), ``decode`` reconstructs
+    full-height frames.  The composition endpoint of VERDICT r4 item 2 —
+    PALplus was a 625i service broadcast over terrestrial RF, and the
+    field composite this returns feeds frame/rf.py like any other."""
+    from color_modem_tpu.frame.interlace import field_line_index
+
+    _check_interlaced(plan, plan.cfg.active_lines)
+    rp = None
+    if raster:
+        from color_modem_tpu.frame.raster import (
+            add_raster, make_raster, strip_raster,
+        )
+
+        rp = make_raster(plan)
+
+    @jax.jit
+    def encode(rgb, frame0=0):
+        comp = encode_palplus_fields(
+            plan, rgb, frame0, backend, helper_gain
+        )
+        if rp is not None:
+            g = field_line_index(
+                plan, frame0, rgb.shape[0], rgb.shape[-2] // 2
+            )
+            comp = add_raster(plan, rp, comp, g)
+        return comp
+
+    @partial(jax.jit, static_argnames=("use_helper",))
+    def decode(comp_fields, frame0=0, use_helper=True):
+        if rp is not None:
+            comp_fields = strip_raster(rp, comp_fields)
+        return decode_palplus_fields(
+            plan, comp_fields, frame0, decoder, backend, helper_gain,
+            use_helper,
+        )
+
+    @partial(jax.jit, static_argnames=("use_helper",))
+    def roundtrip(rgb, frame0=0, use_helper=True):
+        comp = encode_palplus_fields(
+            plan, rgb, frame0, backend, helper_gain
+        )
+        return decode_palplus_fields(
+            plan, comp, frame0, decoder, backend, helper_gain, use_helper
         )
 
     return encode, decode, roundtrip

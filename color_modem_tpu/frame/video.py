@@ -160,15 +160,13 @@ def process_video(
     received composite inside the jitted step and each finished chunk
     persists its decoded bits as ``cc_<start>.npy`` (resume-friendly,
     like the rgb outputs); frame PSNR then excludes the data row.
-    Progressive runs only (a field-cadenced caption channel would need
-    its own framing).
+    Interlaced runs are field-cadenced like real line-21 (VERDICT r4
+    item 3): frame i's cell rides row 0 of its FIRST field (the field-1
+    caption service; field 2's line 284 carried the rarely-used CC3/CC4
+    and stays picture here), keyed by the absolute frame index so
+    chunking stays free; the woven data row is still frame row 0, so the
+    PSNR exclusion is identical.
     """
-    if caption_bits is not None and interlaced:
-        raise ValueError(
-            "caption_bits: progressive runs only — line-21 cells go on "
-            "frame row 0; a field-cadenced caption channel would need "
-            "its own framing"
-        )
     os.makedirs(out_dir, exist_ok=True)
     manifest = ChunkManifest(out_dir) if resume else None
     if lines is None:
@@ -245,15 +243,33 @@ def process_video(
         _cap_bits = jnp.asarray(np.asarray(caption_bits), jnp.int32)
         _base_enc = enc_f
 
-        def enc_f(rgb, frame0):  # noqa: F811 — caption-carrying variant
-            comp = _base_enc(rgb, frame0)
-            idx = jnp.clip(
-                jnp.asarray(frame0, jnp.int32)
-                + jnp.arange(comp.shape[0], dtype=jnp.int32),
-                0, _cap_bits.shape[0] - 1,
-            )
-            wave = encode_data_line(plan, cap_spec, _cap_bits[idx])
-            return comp.at[:, 0, :].set(wave)
+        if interlaced:
+
+            def enc_f(rgb, frame0):  # noqa: F811 — field-cadenced line 21
+                # field-sequential blocks order [f0p0, f0p1, f1p0, ...]
+                # (interlace.split_fields): the EVEN blocks are each
+                # frame's FIRST field — its row 0 carries the frame's cell
+                comp = _base_enc(rgb, frame0)
+                b = comp.shape[0] // 2
+                idx = jnp.clip(
+                    jnp.asarray(frame0, jnp.int32)
+                    + jnp.arange(b, dtype=jnp.int32),
+                    0, _cap_bits.shape[0] - 1,
+                )
+                wave = encode_data_line(plan, cap_spec, _cap_bits[idx])
+                return comp.at[0::2, 0, :].set(wave)
+
+        else:
+
+            def enc_f(rgb, frame0):  # noqa: F811 — caption-carrying variant
+                comp = _base_enc(rgb, frame0)
+                idx = jnp.clip(
+                    jnp.asarray(frame0, jnp.int32)
+                    + jnp.arange(comp.shape[0], dtype=jnp.int32),
+                    0, _cap_bits.shape[0] - 1,
+                )
+                wave = encode_data_line(plan, cap_spec, _cap_bits[idx])
+                return comp.at[:, 0, :].set(wave)
 
         def roundtrip(rgb, frame0, aud=None, phi0=None):  # noqa: F811 —
             # rebuilt: the library roundtrip predates the caption wrap
@@ -544,10 +560,13 @@ def process_video(
         return (temporal_nr(out, nr_sigma) if nr else out), comp, aud_rx
 
     def _rx_caption(comp):
-        """Receiver: slice the caption cells off the received row 0."""
+        """Receiver: slice the caption cells off the received row 0 —
+        of every frame (progressive) or of each frame's first field
+        (interlaced; one decoded cell per FRAME either way)."""
         if cap_spec is None:
             return jnp.zeros((0,), jnp.int32)
-        bits, _ = decode_data_line(plan, cap_spec, comp[:, 0, :])
+        rows = comp[0::2, 0, :] if interlaced else comp[:, 0, :]
+        bits, _ = decode_data_line(plan, cap_spec, rows)
         return bits
 
     def _aud_out(aud_rx, b):

@@ -46,12 +46,25 @@ def force(outs) -> float:
     a scalar that data-depends on every output.  One fused scalar keeps the
     readback cost to a single ~0.1 s tunnel round trip.
     """
-    import jax.numpy as jnp
-
     leaves = [x for x in jax.tree_util.tree_leaves(outs)
               if hasattr(x, "dtype")]
-    s = sum(_leaf_scalar(jnp, l) for l in leaves)
-    return float(s)
+    return float(_fold_leaves(leaves))
+
+
+@jax.jit
+def _fold_leaves(leaves):
+    """One real f32 scalar data-depending on every leaf — UNDER JIT, so
+    the complex ``real``/``imag`` reads never dispatch eagerly (the relay
+    backend cannot run ANY complex op eagerly, CLAUDE.md; round-4 advisor
+    finding: the previous eager fold was a latent on-chip crash for
+    complex-returning measured functions).  jit caches one trace per leaf
+    list structure; the call sites here reuse a handful of structures."""
+    import jax.numpy as jnp
+
+    s = jnp.float32(0.0)
+    for l in leaves:
+        s = s + _leaf_scalar(jnp, l)
+    return s
 
 
 def _leaf_scalar(jnp, l):
@@ -59,12 +72,7 @@ def _leaf_scalar(jnp, l):
 
     Complex leaves fold real+imag separately: a bare ``astype(float32)``
     would silently discard the imaginary half of the forcing dependency
-    (round-3 advisor finding).  NOTE the relay backend cannot run complex
-    ops EAGERLY (CLAUDE.md) — measured functions returning complex arrays
-    must keep those under jit themselves; this fold then only adds
-    real-output ``real``/``imag`` reads, the mildest eager complex ops
-    available (if even those trip the relay, wrap the measured fn to
-    return real parts).
+    (round-3 advisor finding).
     """
     head = l.ravel()[:4]
     if jnp.issubdtype(l.dtype, jnp.complexfloating):
@@ -124,9 +132,7 @@ def measure(fn, *args, iters: int = 20, bytes_moved: int | None = None,
         # call when the single end-of-window scalar is read back.
         leaves = [x for x in jax.tree_util.tree_leaves(out)
                   if hasattr(x, "dtype")]
-        for l in leaves:
-            acc = acc + _leaf_scalar(jnp, l)
-        return acc
+        return acc + _fold_leaves(leaves)
 
     def _window(count: int, salt: int) -> float:
         per_iter = [

@@ -115,6 +115,16 @@ FROZEN = {
     # composed stream-engine machinery it certifies
     # (tests/test_golden_sound.py).  No pre-existing golden file touched.
     "sound.py": "68c68b948be78fa1",
+    # palplus.py ADDED 2026-08-20 (round 5, VERDICT r4 item 7): NEW-FILE
+    # oracle for the PALplus letterbox + vertical-helper pair
+    # (frame/palplus.py) — per-scanline NumPy f64 with explicit per-line
+    # QAM modulation/product detection at the letterbox's in-frame line
+    # numbers, the vertical filter bank evaluated column-by-column in f64
+    # via the shared dsp.design.resample_matrix (the golden/mac.py
+    # sharing precedent), helper transport taps from the caller (the
+    # golden/sound.py shared-taps rule).  No pre-existing golden file
+    # touched.
+    "palplus.py": "82b354480a21c68c",
 }
 
 

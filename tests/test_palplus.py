@@ -156,6 +156,72 @@ def test_sharded_palplus_refuses_line_sharding():
         make_sharded_palplus_pipeline(PLAN, make_mesh(frame=2, lineblk=4))
 
 
+def test_interlaced_roundtrip_helper_gain():
+    """The 625i service (VERDICT r4 item 2): field-sequential PALplus with
+    the helper lines split across the field pair must still buy the
+    helper-band detail back over the conventional zoom.  The absolute
+    level sits below the progressive path — the interlaced comb decoder
+    combs transmitted-adjacent lines (spatially 2 apart), the authentic
+    interlace cost — but the helper GAIN is what the system sells."""
+    from color_modem_tpu.frame.palplus import make_interlaced_palplus_pipeline
+
+    rgb = _vertical_detail_scene()
+    _, _, rt = make_interlaced_palplus_pipeline(PLAN, "comb3")
+    with_h = np.asarray(rt(jnp.asarray(rgb), 0, use_helper=True))
+    without = np.asarray(rt(jnp.asarray(rgb), 0, use_helper=False))
+    p_h = psnr(with_h[..., INTERIOR, :], rgb[..., INTERIOR, :])
+    p_n = psnr(without[..., INTERIOR, :], rgb[..., INTERIOR, :])
+    assert p_h > 25.0, p_h
+    assert p_h - p_n > 8.0, (p_h, p_n)
+
+
+def test_interlaced_raster_rf_helper_gain():
+    """The full authentic broadcast stack: interlaced PALplus, rastered
+    rows (sync/burst on the bars too), VSB RF hop — the helper survives
+    every layer (measured: the hop costs < 0.1 dB)."""
+    from color_modem_tpu.frame.palplus import make_interlaced_palplus_pipeline
+    from color_modem_tpu.frame.raster import make_raster
+    from color_modem_tpu.frame.rf import (
+        make_rf_plan, rf_demodulate, rf_modulate,
+    )
+
+    rgb = _vertical_detail_scene()
+    enc, dec, _ = make_interlaced_palplus_pipeline(PLAN, "comb3", raster=True)
+    comp = enc(jnp.asarray(rgb), 0)
+    rfp = make_rf_plan(PLAN, row_samples=make_raster(PLAN).n_total)
+    comp_rx = rf_demodulate(rfp, rf_modulate(rfp, comp, 0), 0)
+    with_h = np.asarray(dec(comp_rx, 0, use_helper=True))
+    without = np.asarray(dec(comp_rx, 0, use_helper=False))
+    p_h = psnr(with_h[..., INTERIOR, :], rgb[..., INTERIOR, :])
+    p_n = psnr(without[..., INTERIOR, :], rgb[..., INTERIOR, :])
+    assert p_h > 25.0, p_h
+    assert p_h - p_n > 8.0, (p_h, p_n)
+
+
+def test_interlaced_line_count_gate():
+    from color_modem_tpu.frame.palplus import encode_palplus_fields
+
+    with pytest.raises(ValueError, match="divisible by 16"):
+        encode_palplus_fields(
+            PLAN, jnp.zeros((1, 3, 40, 720), jnp.float32), 0
+        )
+
+
+def test_cli_palplus_full_stack(capsys):
+    """roundtrip --palplus --interlaced --raster --rf (the VERDICT r4
+    item-2 'Done' line) runs green with the helper machinery intact."""
+    import json
+
+    from color_modem_tpu.cli import main
+
+    assert main(["roundtrip", "--standard", "pal", "--decoder", "comb3",
+                 "--demo", "--pattern", "scene", "--lines", "64",
+                 "--palplus", "--interlaced", "--raster", "--rf"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["palplus"] and rep["interlaced"] and rep["raster"] and rep["rf"]
+    assert rep["psnr_db"] > 20.0, rep
+
+
 def test_cli_palplus(capsys):
     import json
 

@@ -74,6 +74,22 @@ def test_conv_decim_stream_matches_conv_then_decimate(ctaps):
     np.testing.assert_allclose(got, ref, atol=3e-4 * np.abs(ref).max())
 
 
+def test_conv_decim_stream_r1(ctaps):
+    """r=1 (no rate change) must behave as a plain complex 'same' filter —
+    it used to hit the fold's Nyquist-straddle guard at trace time
+    (round-4 advisor finding)."""
+    x = RNG.standard_normal((2, 90_000)).astype(np.float32)
+    got = np.asarray(conv_decim_stream(jnp.asarray(x), ctaps, 1))
+    ref = _batch_same(x, ctaps)
+    np.testing.assert_allclose(got, ref, atol=3e-4 * np.abs(ref).max())
+    # and fir_decim's r=1 half-spectrum path
+    h = pad_taps_center(RNG.standard_normal(517), 2)
+    got_r = np.asarray(fir_decim_stream(jnp.asarray(x), h, 1))
+    np.testing.assert_allclose(
+        got_r, _batch_same(x, h), atol=3e-4 * np.abs(x).max()
+    )
+
+
 def test_conv_complex_stream_matches_direct(ctaps):
     x = RNG.standard_normal((2, 90_000)).astype(np.float32)
     got = np.asarray(conv_complex_stream(jnp.asarray(x), ctaps))

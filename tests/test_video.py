@@ -643,15 +643,43 @@ def test_video_scramble_caption(tmp_path):
     assert (r2, ok2) == (r1, ok1)
 
 
-def test_video_caption_interlaced_refused(tmp_path):
+def test_video_caption_interlaced_chunk_independent(tmp_path):
+    """Field-cadenced line 21 in the chunked runner (a round-4 refusal,
+    now wired — VERDICT r4 item 3): frame i's caption cell rides row 0
+    of its FIRST field, keyed by the absolute frame index, exactly as
+    the one-shot full-stack CLI already decodes it — so an interlaced
+    run streams the same exact text at any chunk size."""
+    from color_modem_tpu.frame.vbi import cc_pack, cc_unpack
+
     plan = get_plan("ntsc")
-    bits = np.zeros((4, 16), np.int32)
-    with pytest.raises(ValueError, match="progressive"):
-        process_video(
-            plan, synthetic_source(L, TEST_SAMPLES), 4,
-            str(tmp_path / "x"), chunk=2, interlaced=True,
-            caption_bits=bits,
+    text = "FIELD CADENCE"  # 13 chars -> 7 cells = 7 frames
+    n = 7
+    padded = text.ljust(2 * n)
+    bits = np.stack(
+        [np.asarray(cc_pack(padded[2 * i : 2 * i + 2])) for i in range(n)]
+    )
+
+    def run(out, chunk):
+        summary = process_video(
+            plan, synthetic_source(L, TEST_SAMPLES), n, out,
+            decoder="comb3", chunk=chunk, interlaced=True,
+            caption_bits=bits, channel={"noise_sigma": 0.01},
         )
+        import glob
+
+        got, ok = [], True
+        for p in sorted(glob.glob(os.path.join(out, "cc_*.npy"))):
+            for row in np.load(p):
+                s, good = cc_unpack(row)
+                got.append(s)
+                ok = ok and good
+        return "".join(got), ok, summary["min_psnr_db"]
+
+    r1, ok1, q1 = run(str(tmp_path / "a"), 4)
+    assert ok1 and r1 == padded, r1
+    assert q1 > 25.0, q1  # the data row is excluded from picture PSNR
+    r2, ok2, _ = run(str(tmp_path / "b"), 5)
+    assert (r2, ok2) == (r1, ok1)
 
 
 def test_cli_video_rf_stereo(tmp_path, capsys):
