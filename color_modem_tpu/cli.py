@@ -1491,6 +1491,37 @@ def main(argv=None) -> int:
                 k: rep_fs[k]["exact"]
                 for k in ("caption", "teletext", "wss", "vitc")
             }
+            # the satellite variant of the same stack (VERDICT r4 item 8):
+            # the authentic Astra plan — Videocrypt-scrambled service-laden
+            # PAL over the FM hop with two audio subcarriers
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = main([
+                    "roundtrip", "--standard", "pal", "--decoder", "comb3",
+                    "--demo", "--pattern", "scene", "--lines", "576",
+                    "--width", "1440", "--raster", "--interlaced",
+                    "--teletext", "FULL STACK|VIA ASTRA",
+                    "--wss", "16:9 full (anamorphic)",
+                    "--vitc", "01:02:03:04", "--caption", "FULL STACK",
+                    "--scramble", "cutrotate",
+                    "--satellite", "--sat-stereo",
+                    "--output",
+                    os.path.join(args.out, "pal_fullstack_satellite.png"),
+                ])
+            if rc != 0:
+                raise SystemExit(
+                    f"gallery --fullstack satellite: sub-roundtrip failed "
+                    f"(rc={rc}); output:\n{buf.getvalue()}"
+                )
+            rep_sat = json.loads(buf.getvalue().strip().splitlines()[-1])
+            report["pal_fullstack_satellite"] = rep_sat["psnr_db"]
+            report["pal_fullstack_satellite_audio"] = (
+                rep_sat["satellite"].get("audio_snr_db")
+            )
+            report["pal_fullstack_satellite_services"] = {
+                k: rep_sat[k]["exact"]
+                for k in ("caption", "teletext", "wss", "vitc")
+            }
         print(json.dumps({"out": args.out, "psnr_db": report}))
         return 0
 
@@ -2130,9 +2161,19 @@ def main(argv=None) -> int:
             if args.sat_cnr is not None:
                 sat_rf = sat_mod.awgn(sp, sat_rf, key, args.sat_cnr)
             comp_b = sat_mod.fm_demodulate(sp, sat_rf)
+            sat_transparency = float(
+                psnr(np.asarray(comp_b), np.asarray(comp_tx))
+            )
+            result["satellite"] = {
+                "deviation_mhz": round(sp.deviation / 1e6, 1),
+                "fs_rf_mhz": round(sp.fs_rf / 1e6, 2),
+                "transparency_db": round(sat_transparency, 2),
+                **({"cnr_db": args.sat_cnr}
+                   if args.sat_cnr is not None else {}),
+            }
             print(
                 "satellite FM hop: transparency "
-                f"{psnr(np.asarray(comp_b), np.asarray(comp_tx)):.1f} dB"
+                f"{sat_transparency:.1f} dB"
                 + (f" at CNR {args.sat_cnr} dB" if args.sat_cnr is not None
                    else " (noise-free)")
             )
@@ -2149,6 +2190,8 @@ def main(argv=None) -> int:
                                       / max(np.mean(err ** 2), 1e-30))
                     ), 1))
                 subs_mhz = [round(f / 1e6, 2) for f in sp.sub_freqs]
+                result["satellite"]["subcarriers_mhz"] = subs_mhz
+                result["satellite"]["audio_snr_db"] = snrs
                 print(
                     f"satellite sound: {k_subs} FM subcarrier(s) at "
                     f"{subs_mhz} MHz, audio SNR {snrs} dB"

@@ -92,8 +92,17 @@ def freq_sampled_taps(
     and truncated.  Works for non-linear-phase responses (SECAM pre-emphasis,
     anti-cloche) because only Hermitian symmetry — not phase linearity — is
     assumed.
+
+    The grid auto-widens when ``ntaps`` approaches ``nfft``: a long FIR
+    exists to realize structure FINER than the default grid's fs/8192
+    (round-5 finding: the satellite 50 us audio de-emphasis at 27 MHz sat
+    on a 3.3 kHz design grid against its 3.18 kHz corner, and the
+    circularly-wrapped truncation aliased its tail — audio SNR read 42/31
+    dB where the fs-resolved design reads 90+).
     """
     _check_odd(ntaps)
+    while nfft < 4 * ntaps:
+        nfft *= 2
     freqs = np.fft.rfftfreq(nfft, d=1.0 / fs)
     H = np.asarray(response(freqs), dtype=np.complex128)
     h_full = np.fft.irfft(H, n=nfft)

@@ -331,9 +331,13 @@ def make_rf_plan(
     # The audio lowpass runs at the COMPOSITE rate, so its transition width
     # is ~4*fs/ntaps: 2049 taps at 13.5 MHz put a 26 kHz transition right
     # across the audio band (measured: a 7 kHz tone lost ~6% -> 32 dB
-    # two-tone SNR).  8193 taps narrow it to ~6.6 kHz: the passband is flat
-    # through audio_bw and the FFT-conv cost is unchanged.
-    aud_lpf = design.lowpass_taps(fs, audio_bw + 3e3, 8193)
+    # two-tone SNR).  8193 taps at 13.5 MHz narrow it to ~6.6 kHz — and
+    # the count scales with fs (fixed time span) so the 27 MHz/1440
+    # grid keeps the same passband flatness; the FFT-conv cost is
+    # unchanged either way.
+    aud_lpf = design.lowpass_taps(
+        fs, audio_bw + 3e3, 8192 * max(1, round(fs / 13.5e6)) + 1
+    )
     return RFPlan(
         plan=plan, r=r, row_samples=n, fc=fc, cpl_num=cpl_num,
         f_vestige=f_vestige, f_video=f_video,

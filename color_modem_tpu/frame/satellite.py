@@ -324,19 +324,24 @@ def make_sat_plan(
             fl0 = sorted(sub_freqs)
             cut = min(cut, 0.55 * min(b - a for a, b in zip(fl0, fl0[1:])))
         sub_lpf = design.lowpass_taps(base_fs, cut, ntaps_b)
-        # 8193 taps at the baseband rate: the 50 us emphasis corner sits
-        # at 3.18 kHz, far below a short FIR's frequency resolution
-        # (~4*fs/ntaps); 8193 resolves it and is one FFT pass regardless
-        # (the same tradeoff as frame/rf.py's audio low-pass).
+        # The audio emphasis/LPF taps scale with the BASEBAND RATE (fixed
+        # ~600 us time span): the 50 us emphasis corner at 3.18 kHz needs
+        # the FIR's frequency resolution, which is ~4*fs/ntaps — a fixed
+        # 8193 resolves it at 13.5 MHz but at the 27 MHz grid it halves
+        # the resolution and clipped the de-emphasis tail: measured 35/31
+        # dB subcarrier audio where the fs-scaled design reads 92/62
+        # (round-5 full-stack-over-satellite probe).  One FFT pass either
+        # way (the same tradeoff as frame/rf.py's audio low-pass).
+        nt_aud = 8192 * max(1, round(base_fs / 13.5e6)) + 1
         aud_rx = design.freq_sampled_taps(
             base_fs,
             lambda f: design.raised_cosine_bandpass_response(
                 f, 0.0, audio_bw + 3e3, 6e3
             ) / _emph50_mag(f, audio_bw),
-            8193,
+            nt_aud,
         )
         aud_pre = design.freq_sampled_taps(
-            base_fs, lambda f: _emph50_mag(f, audio_bw), 8193
+            base_fs, lambda f: _emph50_mag(f, audio_bw), nt_aud
         )
     return SatPlan(
         base_fs=base_fs, n_base=n_base, r=r, fs_rf=fs_rf, n_rf=r * n_base,

@@ -150,9 +150,16 @@ def wst_spec(plan: ModemPlan) -> DataLineSpec:
     return DataLineSpec(
         f_bit=f_bit,
         n_bits=PACKET_BITS,
-        run_in_cycles=8,           # stands in for the 16-bit 10101010 run-in
+        run_in_cycles=8,           # 8 cycles at f_bit/2 = the real 16-bit
+        #                            10101010 run-in (run_in_alt)
         level=0.66,                # spec data level: 66% of white
         start_bits=_FRAMING_LSB_FIRST,
+        # the authentic alternating run-in + 100% cosine roll-off pulse
+        # shaping (ETS 300 706): full-rate WST then fits real ~5-6 MHz
+        # video channels — the f_bit sine run-in needed bandwidth ABOVE
+        # 6.94 MHz, which no real channel (nor the satellite sound
+        # multiplex's video low-pass) provides (round-5 full-stack probe)
+        run_in_alt=True,
     )
 
 

@@ -45,9 +45,18 @@ class DataLineSpec:
 
     f_bit: float          # bit rate, Hz (and run-in sine frequency)
     n_bits: int           # payload bits per line
-    run_in_cycles: int    # clock run-in length, cycles of f_bit
+    run_in_cycles: int    # clock run-in length, cycles of the run-in tone
     level: float          # data "1" amplitude in luma units
     start_bits: tuple     # framing pattern between run-in and payload
+    #: run-in style.  False = a sine burst AT f_bit (EIA-608's real line-21
+    #: run-in, fine at caption rates) — but it needs channel bandwidth
+    #: ABOVE the bit rate, which no real channel offers at teletext rates.
+    #: True = the alternating 10101010 NRZ run-in real WST transmits: its
+    #: fundamental sits at f_bit/2, inside every channel that can carry
+    #: the data at all, and one run-in cycle spans TWO bit periods.  The
+    #: payload eye then tolerates spec-true (100 % cosine roll-off) pulse
+    #: shaping — see _shaping_taps.
+    run_in_alt: bool = False
 
     def samples_per_bit(self, fs: float) -> float:
         return fs / self.f_bit
@@ -112,7 +121,8 @@ def teletext_spec(plan: ModemPlan, n_bits: int = 64) -> DataLineSpec:
 
 def _layout(plan: ModemPlan, spec: DataLineSpec):
     spb = spec.samples_per_bit(plan.fs)
-    run_in = spec.run_in_cycles * spb
+    # an alternating (1010...) run-in cycle spans TWO bit periods
+    run_in = spec.run_in_cycles * spb * (2 if spec.run_in_alt else 1)
     start = len(spec.start_bits) * spb
     total = run_in + start + spec.n_bits * spb
     if total > plan.n_samples:
@@ -129,9 +139,23 @@ def _layout(plan: ModemPlan, spec: DataLineSpec):
 
 
 def _shaping_taps(plan: ModemPlan, spec: DataLineSpec) -> np.ndarray:
-    # band-limit the NRZ edges; the cutoff must sit ABOVE f_bit — the
-    # clock run-in is a tone at exactly f_bit and slicing needs its
-    # amplitude intact (a 0.8x cutoff killed clock recovery)
+    if spec.run_in_alt:
+        # spec-true 100 % cosine roll-off pulse shaping (ETS 300 706 §6.2
+        # transmits WST this way): spectrum cos^2(pi f / 2 f_bit), zero
+        # beyond f_bit, -6 dB at the f_bit/2 Nyquist point — zero ISI at
+        # the bit centers, and ~all the energy below ~0.7 f_bit, so the
+        # line survives the real-world ~5-6 MHz video channels (e.g. the
+        # satellite sound multiplex's video low-pass) that annihilate
+        # rectangular NRZ at 6.94 Mbit/s
+        def rc(f):
+            fa = np.minimum(np.abs(np.asarray(f, np.float64)), spec.f_bit)
+            return (np.cos(0.5 * np.pi * fa / spec.f_bit) ** 2
+                    ).astype(np.complex128)
+
+        return design.freq_sampled_taps(plan.fs, rc, 63)
+    # sine-burst run-in (EIA-608 style): the clock tone sits AT f_bit, so
+    # the cutoff must stay above it — slicing needs its amplitude intact
+    # (a 0.8x cutoff killed clock recovery)
     return design.lowpass_taps(plan.fs, 1.4 * spec.f_bit, 63)
 
 
@@ -144,9 +168,17 @@ def encode_data_line(
         raise ValueError(f"expected {spec.n_bits} bits, got {bits.shape[-1]}")
     spb, run_in, start = _layout(plan, spec)
     m = np.arange(plan.n_samples, dtype=np.float64)
-    # clock run-in: raised sine around level/2, one cycle per bit period
     in_run = m < run_in
-    clock = 0.5 * (1.0 - np.cos(TWO_PI * m / spb))  # peaks at bit centers
+    if spec.run_in_alt:
+        # the real WST run-in: alternating 1,0,1,0 NRZ bit cells (a square
+        # at f_bit/2; the shaping FIR below band-limits it to ~its
+        # fundamental, which peaks at the even bits' centers)
+        clock = (np.floor(m / spb).astype(np.int64) % 2 == 0).astype(
+            np.float64
+        )
+    else:
+        # sine-burst run-in at f_bit, one cycle per bit, peaks at centers
+        clock = 0.5 * (1.0 - np.cos(TWO_PI * m / spb))
     run_wave = np.where(in_run, clock, 0.0)
     # start + payload bit cells
     cell = np.floor((m - run_in) / spb).astype(np.int64)
@@ -190,23 +222,52 @@ def decode_data_line(
          & (np.arange(plan.n_samples) < run_in - 0.5 * spb)),
         jnp.float32,
     )
-    # run-in phase: clock = -cos(2 pi m / spb) around its mean; a line
-    # DELAYED by t correlates to (zi, zq) = C (cos, -sin)(2 pi t / spb)
-    ang = TWO_PI / spb * m
-    zi = jnp.sum(w * x * -jnp.cos(ang), axis=-1)
-    zq = jnp.sum(w * x * jnp.sin(ang), axis=-1)
-    tau = -spb / TWO_PI * jnp.arctan2(zq, zi)  # + = line arrived late
-    amp = 2.0 * jnp.hypot(zi, zq) / jnp.sum(w)  # = level/2
-    level = 2.0 * amp
+    if spec.run_in_alt:
+        # the 1010... run-in's fundamental is sin(pi m / spb) (period 2
+        # bits, peaks at the even bits' centers m = (2k+1/2) spb); a line
+        # DELAYED by t correlates to (zi, zq) = C (cos, sin)(pi t / spb).
+        # The 2-bit phase ambiguity is harmless: every channel timing
+        # error this framework models is well under one bit period.
+        ang = np.pi / spb * m
+        zi = jnp.sum(w * x * jnp.sin(ang), axis=-1)
+        zq = jnp.sum(w * x * -jnp.cos(ang), axis=-1)
+        tau = spb / np.pi * jnp.arctan2(zq, zi)  # + = line arrived late
+        # |fundamental| of the level/0 square is (2/pi)*level, and the
+        # spec's OWN pulse shaping attenuates f_bit/2 by a known factor
+        # (the 100% roll-off cosine spectrum is -6 dB there) while data
+        # runs ride its unit DC gain — divide the calibration by the
+        # design response so the slicing threshold lands mid-eye
+        taps = _shaping_taps(plan, spec)
+        k = np.arange(len(taps), dtype=np.float64) - (len(taps) - 1) / 2
+        h_half = float(np.sum(
+            np.asarray(taps, np.float64)
+            * np.cos(TWO_PI * (0.5 * spec.f_bit / plan.fs) * k)
+        ))
+        amp = 2.0 * jnp.hypot(zi, zq) / jnp.sum(w)
+        level = (np.pi / 2.0 / max(h_half, 1e-6)) * amp
+    else:
+        # run-in phase: clock = -cos(2 pi m / spb) around its mean; a line
+        # DELAYED by t correlates to (zi, zq) = C (cos, -sin)(2 pi t / spb)
+        ang = TWO_PI / spb * m
+        zi = jnp.sum(w * x * -jnp.cos(ang), axis=-1)
+        zq = jnp.sum(w * x * jnp.sin(ang), axis=-1)
+        tau = -spb / TWO_PI * jnp.arctan2(zq, zi)  # + = line arrived late
+        amp = 2.0 * jnp.hypot(zi, zq) / jnp.sum(w)  # = level/2
+        level = 2.0 * amp
     n_start = len(spec.start_bits)
     centers = (
         run_in
         + (n_start + jnp.arange(spec.n_bits, dtype=jnp.float32) + 0.5) * spb
         + tau[..., None]
     )
-    # integrate-and-dump: mean over the middle 60% of each bit period
+    # integrate-and-dump: mean over the middle 60% of each bit period —
+    # except for cosine-shaped (run_in_alt) pulses, whose zero-ISI point
+    # is the bit CENTER: integrate only the middle 30% there (a wide
+    # window reads the neighbor pulses' 0.23-level tails at its edges and
+    # measured a 0.10 eye where the narrow window reads 0.24)
+    frac = 0.15 if spec.run_in_alt else 0.3
     offs = jnp.arange(
-        -np.floor(0.3 * spb), np.floor(0.3 * spb) + 1.0, dtype=jnp.float32
+        -np.floor(frac * spb), np.floor(frac * spb) + 1.0, dtype=jnp.float32
     )
     idx = jnp.clip(
         jnp.round(centers[..., None] + offs).astype(jnp.int32),

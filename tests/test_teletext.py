@@ -125,7 +125,7 @@ def test_corrupted_char_flags_parity(plan):
     # force one character cell to all-ones (0x7F + wrong parity bit):
     # 8 ones is even parity, so the decoder must flag it
     spb = spec.samples_per_bit(plan.fs)
-    run_in = spec.run_in_cycles * spb
+    run_in = spec.run_in_cycles * spb * 2  # alt run-in: 2 bits per cycle
     start = len(spec.start_bits) * spb
     # char 2 ('L') of the payload = byte 2+2=4 -> bits 32..40 after framing
     lo = int(run_in + start + 32 * spb)
