@@ -54,6 +54,15 @@ def _fixture(frames: int, lines: int, samples: int = 720) -> np.ndarray:
     ]).astype(np.float32)
 
 
+def _sound_fixture(plan, frames: int, lines: int) -> np.ndarray:
+    """(frames, lines*N) two-tone soundtrack — consecutive frames of one
+    broadcast stream, deterministic across processes."""
+    t = np.arange(frames * lines * plan.n_samples) / plan.fs
+    return (0.6 * np.sin(2 * np.pi * 700.0 * t)
+            + 0.3 * np.sin(2 * np.pi * 4300.0 * t)).astype(
+        np.float32).reshape(frames, lines * plan.n_samples)
+
+
 def reference_outputs(frames: int = SMOKE_FRAMES,
                       lines: int = SMOKE_LINES):
     """Single-process unsharded (encode, roundtrip) for the smoke fixture."""
@@ -67,6 +76,32 @@ def reference_outputs(frames: int = SMOKE_FRAMES,
     enc, _, rt = make_pipeline(plan, SMOKE_DECODER)
     x = jnp.asarray(_fixture(frames, lines))
     return np.asarray(enc(x, 0)), np.asarray(rt(x, 0))
+
+
+def sound_reference_outputs(frames: int, lines: int):
+    """Single-process UNSHARDED RF-hop-with-sound (rgb, audio) reference
+    for the sound fixture — the chain make_sharded_rf_sound_pipeline must
+    reproduce across processes (float tolerance; the stream FFTs' fp
+    schedule depends on the per-device batch shape)."""
+    import jax.numpy as jnp
+
+    from color_modem_tpu.frame.pipeline import make_pipeline
+    from color_modem_tpu.frame.rf import (
+        make_rf_plan, rf_demodulate, rf_modulate, sound_from_rf,
+        sound_on_rf,
+    )
+    from color_modem_tpu.modem.plan import make_plan
+    from color_modem_tpu.standards import ALL_STANDARDS
+
+    plan = make_plan(ALL_STANDARDS[SMOKE_STANDARD](), 720)
+    rfp = make_rf_plan(plan)
+    enc, dec, _ = make_pipeline(plan, SMOKE_DECODER)
+    x = jnp.asarray(_fixture(frames, lines))
+    aud = jnp.asarray(_sound_fixture(plan, frames, lines))
+    rf = rf_modulate(rfp, enc(x, 0), 0)
+    rf = sound_on_rf(rfp, rf, 0, aud, 0.0)
+    return (np.asarray(dec(rf_demodulate(rfp, rf, 0), 0)),
+            np.asarray(sound_from_rf(rfp, rf, 0)))
 
 
 def sharded_reference_outputs(frames: int, lines: int,
@@ -170,6 +205,37 @@ def worker_main(process_id: int, num_processes: int, port: int,
             )
         return d
 
+    # --- RF hop + joined-stream FM sound across the processes ----------
+    # The round-5 sound sharding's collectives (the exclusive-prefix
+    # all_gather and the neighbor-frame ppermute ring over the FLAT
+    # device grid) must ride Gloo across process boundaries like the
+    # video halos do.  One frame per device (the factory needs the batch
+    # to divide the flat grid).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from color_modem_tpu.frame.rf import make_rf_plan
+    from color_modem_tpu.parallel.mesh import FRAME_AXIS, LINE_AXIS
+    from color_modem_tpu.parallel.sharded import (
+        make_sharded_rf_sound_pipeline,
+    )
+
+    rfp = make_rf_plan(plan)
+    b_snd = num_processes * devices_per_proc
+    snd_rgb = _fixture(b_snd, SMOKE_LINES)
+    snd_aud = _sound_fixture(plan, b_snd, SMOKE_LINES)
+    xs = jax.make_array_from_callback(
+        snd_rgb.shape, sharding, lambda idx: snd_rgb[idx]
+    )
+    aud_sharding = NamedSharding(mesh, P((FRAME_AXIS, LINE_AXIS), None))
+    xa = jax.make_array_from_callback(
+        snd_aud.shape, aud_sharding, lambda idx: snd_aud[idx]
+    )
+    _, _, rt_snd = make_sharded_rf_sound_pipeline(
+        plan, mesh, rfp, SMOKE_DECODER
+    )
+    out_s, aud_s = rt_snd(xs, xa, 0)
+    jax.block_until_ready(aud_s)
+
     od = pathlib.Path(outdir)
     od.mkdir(parents=True, exist_ok=True)
     np.savez(
@@ -177,6 +243,8 @@ def worker_main(process_id: int, num_processes: int, port: int,
         psnr=np.float32(float(quality)),
         **_shards(out, "rt:"),
         **_shards(comp, "enc:"),
+        **_shards(out_s, "rfs:"),
+        **_shards(aud_s, "aud:"),
     )
     print(f"multihost worker {process_id}/{num_processes}: "
           f"psnr={float(quality):.2f} dB, "
@@ -298,8 +366,13 @@ def launch_smoke(
 
     frames = smoke_frames(num_processes)
     ref_enc, ref_rt = reference_outputs(frames, SMOKE_LINES)
+    b_snd = num_processes * devices_per_proc
+    ref_snd_rgb, ref_snd_aud = sound_reference_outputs(b_snd, SMOKE_LINES)
     out = np.full_like(ref_rt, np.nan)
     enc = np.full_like(ref_enc, np.nan)
+    out_s = np.full_like(ref_snd_rgb, np.nan)
+    aud = np.full_like(ref_snd_aud, np.nan)
+    dsts = {"rt": out, "enc": enc, "rfs": out_s, "aud": aud}
     psnrs = []
     for i in range(num_processes):
         z = np.load(pathlib.Path(od) / f"proc{i}.npz")
@@ -308,19 +381,22 @@ def launch_smoke(
             if key == "psnr":
                 continue
             tag, _, idx = key.partition(":")
-            dst = out if tag == "rt" else enc
+            dst = dsts[tag]
             starts = [int(a) for a in idx.split(";")]
             sls = tuple(
                 slice(st, st + ext) for st, ext in zip(starts, z[key].shape)
             )
             dst[sls] = z[key]
-    assert not np.isnan(out).any(), "reassembly left holes — bad shard index"
-    assert not np.isnan(enc).any(), "reassembly left holes — bad shard index"
+    for tag, dst in dsts.items():
+        assert not np.isnan(dst).any(), (
+            f"reassembly left holes in {tag} — bad shard index")
     senc, srt = sharded_reference_outputs(
         frames, SMOKE_LINES, (num_processes, devices_per_proc)
     )
     return {"out": out, "ref": ref_rt, "enc": enc, "ref_enc": ref_enc,
             "sharded_enc": senc, "sharded_rt": srt,
+            "snd_out": out_s, "snd_aud": aud,
+            "ref_snd_out": ref_snd_rgb, "ref_snd_aud": ref_snd_aud,
             "psnr": psnrs, "logs": logs}
 
 

@@ -70,3 +70,14 @@ def test_two_process_sharded_roundtrip_matches_single_process():
     # XLA CPU fp scheduling; measured max 1.8e-7 at this geometry)
     np.testing.assert_allclose(r["enc"], r["ref_enc"], atol=1e-6, rtol=0)
     np.testing.assert_allclose(r["out"], r["ref"], atol=1e-6, rtol=0)
+    # RF hop + joined-stream FM sound ACROSS PROCESSES (round 5): the
+    # sound sharding's collectives — the exclusive-prefix all_gather and
+    # the neighbor-frame ppermute ring over the flat grid — rode Gloo;
+    # video and audio must match the unsharded joined chain at the
+    # in-process tolerances (tests/test_sharding.py: 6.5e-6 / 1.6e-6)
+    np.testing.assert_allclose(
+        r["snd_out"], r["ref_snd_out"], atol=2e-5, rtol=0,
+        err_msg="rf+sound video across processes")
+    np.testing.assert_allclose(
+        r["snd_aud"], r["ref_snd_aud"], atol=1e-5, rtol=0,
+        err_msg="rf+sound audio across processes")
