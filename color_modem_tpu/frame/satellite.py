@@ -53,6 +53,20 @@ TPU-first design, mirroring frame/rf.py's conventions:
   ``angle(z[n+1] conj(z[n-1])) * fs/(4 pi)`` — no unwrap, no Hilbert, and
   the symmetric form reads f_inst at exactly sample n (the same
   half-sample argument as the SECAM decoder).
+
+Measured-and-rejected (round 5): a DECIMATING audio takeoff in the
+frame/rf.py style (mix + I/Q low-pass composed into one conv_decim pass
+at base_fs/8-16, discriminator + audio filters at ~1.7 MHz, the wider
+discriminator window's sinc droop folded inverse into the decimated
+filter design, interpolation back to the base rate).  It works — audio
+SNR within ~1 dB below 12 kHz — but its parity against the frozen
+full-rate oracle (golden/sound.py) tops out at ~60-73 dB: the in-band
+flatness of the three cascaded realizable FIRs (decimated de-emphasis x
+interpolation LPF vs the oracle's single aud_rx) is the floor, far
+under the 107 dB the full-rate chain records
+(tests/test_golden_sound.py's >100 dB bar).  The ~1.5x satellite-row
+speedup it offered was judged not worth weakening the co-regression
+oracle for the whole audio chain; the full-rate takeoff stands.
 """
 
 from __future__ import annotations
