@@ -41,11 +41,17 @@ def _best(measure, fn, *args, iters):
 
 
 def _snr(ref, out):
+    """AC-compare: subtract EACH signal's own mean.  Subtracting only the
+    ref mean (an earlier version) charged DC-exact chains (NICAM) a false
+    error equal to the test tone's non-integer-period mean — the rf-sound
+    row's first NICAM-right reading (42.2 dB) was that artifact; the raw
+    error is ~3 LSB14 = the ~57-60 dB companding floor."""
     import numpy as np
 
     ref = np.asarray(ref, np.float64)
     ref = ref - ref.mean()
-    err = np.asarray(out, np.float64) - ref
+    out = np.asarray(out, np.float64)
+    err = (out - out.mean()) - ref
     return round(10.0 * np.log10(
         np.mean(ref ** 2) / max(np.mean(err ** 2), 1e-30)
     ), 1)
