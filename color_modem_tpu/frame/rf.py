@@ -64,6 +64,7 @@ import jax.numpy as jnp
 
 from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.apply import fir_same_fft
+from color_modem_tpu.dsp.stream import fir_stream
 from color_modem_tpu.dsp.nco import sample_phase_ramp
 from color_modem_tpu.dsp.stream import (
     _carrier_taps,
@@ -848,7 +849,12 @@ def rf_demodulate_sound(rfp: RFPlan, rf, frame0=0, freq_error: float = 0.0):
     qp = jnp.concatenate([q[:, :1], q[:, :-1]], axis=-1)
     dphi = jnp.arctan2(ip * q - i * qp, i * ip + q * qp)
     audio = dphi * (rfp.plan.fs / (2.0 * np.pi * rfp.snd_dev))
-    return fir_same_fft(audio, rfp.aud_lpf)
+    # overlap-save, not one giant padded transform: the 8193-tap audio
+    # LPF over a megasample stream pays ~1.5x pow2 padding as a single
+    # fir_same_fft — the r05 chip profile read 11.7 ms for this one
+    # stage (results/sound_profile_r05.json); fir_stream blocks it at
+    # ~1.14x (exact same linear convolution, float-reassociated)
+    return fir_stream(audio, rfp.aud_lpf)
 
 
 def sound_on_rf(rfp: RFPlan, rf, frame0, audio, phi0=0.0):
@@ -918,7 +924,8 @@ def sound_from_rf(rfp: RFPlan, rf, frame0=0):
     """
     b, l, n_rf = rf.shape
     audio = _sound_disc(rfp, rf, frame0)
-    return fir_same_fft(audio, rfp.aud_lpf).reshape(b, l * rfp.row_samples)
+    # overlap-save (see rf_demodulate_sound's note on the same stage)
+    return fir_stream(audio, rfp.aud_lpf).reshape(b, l * rfp.row_samples)
 
 
 def sound_from_rf_halo(rfp: RFPlan, rf, frame0=0, halo: int = 1,
@@ -939,7 +946,7 @@ def sound_from_rf_halo(rfp: RFPlan, rf, frame0=0, halo: int = 1,
     non-causal taps leak own signal into the halo, whose angle is O(1)
     garbage at tiny magnitude).  Zeroing the discriminator output over
     the dead halo before the audio low-pass reproduces EXACTLY what the
-    unsharded chunk's ``fir_same_fft`` zero padding supplies past the
+    unsharded chunk's 'same'-conv zero padding supplies past the
     stream ends — bit-honest global edges, seamless interior ones.
     """
     b_ext, l, n_rf = rf.shape
@@ -960,7 +967,7 @@ def sound_from_rf_halo(rfp: RFPlan, rf, frame0=0, halo: int = 1,
         if tail_dead is not None:
             keep &= ~(tail_dead & (pos >= (halo + b) * l * n))
         audio = jnp.where(keep, audio, 0.0)
-    out = fir_same_fft(audio, rfp.aud_lpf).reshape(b_ext, l * n)
+    out = fir_stream(audio, rfp.aud_lpf).reshape(b_ext, l * n)
     return out[halo : halo + b]
 
 
