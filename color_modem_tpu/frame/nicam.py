@@ -57,6 +57,7 @@ import jax
 import jax.numpy as jnp
 
 from color_modem_tpu.dsp.apply import fir_same_fft
+from color_modem_tpu.dsp.stream import fir_stream
 from color_modem_tpu.modem.plan import ModemPlan
 
 TWO_PI = 2.0 * np.pi
@@ -398,8 +399,10 @@ def _symbol_samples(nplan: NicamPlan, x: jax.Array):
     arrays — see nicam_modulate's eager-complex note)."""
     n = x.shape[-1]
     w = TWO_PI * nplan.fc / nplan.fs * jnp.arange(n, dtype=jnp.float32)
-    zi = fir_same_fft(x * (2.0 * jnp.cos(w)), nplan.matched)
-    zq = fir_same_fft(x * (-2.0 * jnp.sin(w)), nplan.matched)
+    # overlap-save for the megasample RF-window streams (exact same
+    # linear convolution; frame/rf.py round-5 note)
+    zi = fir_stream(x * (2.0 * jnp.cos(w)), nplan.matched)
+    zq = fir_stream(x * (-2.0 * jnp.sin(w)), nplan.matched)
     return zi[..., :: nplan.spb], zq[..., :: nplan.spb]
 
 
