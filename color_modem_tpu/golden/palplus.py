@@ -132,6 +132,60 @@ def encode_palplus(
     return comp
 
 
+def encode_palplus_fields(
+    plan,
+    rgb: np.ndarray,
+    helper_taps: np.ndarray,
+    frame: int = 0,
+    helper_gain: float = 1.0,
+) -> np.ndarray:
+    """(3, L, N) full-height RGB -> (2, L/2, N) field-sequential PALplus
+    composite — the naive mirror of frame/palplus.encode_palplus_fields,
+    pinning the TRANSMITTED FORMAT of the 625i service: frame row j goes
+    to field j % 2 (so field p's bars carry helper lines p, p+2, ... —
+    one helper reference per field), and every transmitted row is keyed
+    by its FIELD line number gline = frame*total + p*field_offset + r.
+    A consistent field-mapping shift in both the encoder and decoder
+    would cancel in every round-trip property test; against this model
+    either side's parity breaks."""
+    rgb = np.asarray(rgb, np.float64)
+    _, l_full, n = rgb.shape
+    l_pic, bar, _ = _geometry(l_full)
+    if l_full % 16:
+        raise ValueError(
+            f"interlaced PALplus needs lines divisible by 16, got {l_full}"
+        )
+    cfg = plan.cfg
+    modem = GoldenQamModem(plan)
+    off = (cfg.total_lines + 1) // 2          # interlace field offset
+
+    ycc = np.einsum("dc,cln->dln", plan.rgb_to_ycc, rgb)
+    _, helper = helper_encode(l_full, ycc[0])
+    helper = np.stack([conv_same(h, helper_taps) for h in helper])
+
+    rgb_pic = np.clip(_resample_rows(rgb, l_pic), 0.0, 1.0)
+    ycc_pic = np.einsum("dc,cln->dln", plan.rgb_to_ycc, rgb_pic)
+
+    out = np.empty((2, l_full // 2, n), np.float64)
+    for p in range(2):
+        for r in range(l_full // 2):
+            g = frame * cfg.total_lines + p * off + r
+            fr = 2 * r + p                    # the frame row this field row is
+            if bar <= fr < bar + l_pic:
+                k = fr - bar                  # picture row index
+                out[p, r] = modem.modulate_components(
+                    g, ycc_pic[0, k], ycc_pic[1, k], ycc_pic[2, k]
+                )
+            else:
+                h = fr if fr < bar else fr - l_pic  # helper line index
+                out[p, r] = np.clip(
+                    helper_gain * helper[h] * np.sin(modem.carrier_phase(g)),
+                    -HELPER_CLIP,
+                    HELPER_CLIP,
+                )
+    return out
+
+
 def decode_palplus(
     plan,
     comp: np.ndarray,

@@ -124,7 +124,15 @@ FROZEN = {
     # sharing precedent), helper transport taps from the caller (the
     # golden/sound.py shared-taps rule).  No pre-existing golden file
     # touched.
-    "palplus.py": "82b354480a21c68c",
+    # palplus.py updated 2026-08-20 (round 5, same round as its creation):
+    # ADDITIVE change — encode_palplus_fields, the naive per-line mirror
+    # of the 625i field-sequential transmission format (frame row j on
+    # field j%2, helper lines split alternately across the field pair,
+    # field-line-number keying), pinning the interlaced FORMAT a
+    # consistent encoder+decoder shift would otherwise hide.  No
+    # pre-existing function in the file changed (progressive parity
+    # tests passed unmodified across this edit).
+    "palplus.py": "68768d308eb6962f",
 }
 
 

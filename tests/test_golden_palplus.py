@@ -95,6 +95,39 @@ def test_decode_parity(plan, rgb):
         assert _parity_db(out_j, out_g) > 115.0, use_helper
 
 
+def test_interlaced_encode_parity(plan, rgb):
+    """The 625i transmission FORMAT is oracle-pinned: frame row j on
+    field j%2, helper lines split alternately across the field pair,
+    every row keyed by its field line number.  A consistent field-mapping
+    shift in encoder + decoder cancels in every round-trip property test;
+    here the encoder alone must match the frozen per-line model — and the
+    JAX decoder must recover the ORACLE's composite (inverse consistency
+    without a second golden decode)."""
+    from color_modem_tpu.utils.metrics import psnr
+
+    taps = pp._helper_taps(plan)
+    comp_j = np.asarray(
+        pp.encode_palplus_fields(plan, jnp.asarray(rgb)[None], 3)
+    )[0::1].reshape(2, L // 2, N)  # (2B=2, L/2, N) with B=1
+    comp_g = gp.encode_palplus_fields(plan, rgb, taps, frame=3)
+    assert _parity_db(comp_j, comp_g) > 120.0
+    out = np.asarray(
+        pp.decode_palplus_fields(
+            plan, jnp.asarray(comp_g, jnp.float32), 3, "comb3"
+        )
+    )[0]
+    zoom = np.asarray(
+        pp.decode_palplus_fields(
+            plan, jnp.asarray(comp_g, jnp.float32), 3, "comb3",
+            use_helper=False,
+        )
+    )[0]
+    interior = slice(8, -8)
+    p_h = psnr(out[..., interior, :], np.asarray(rgb)[..., interior, :])
+    p_n = psnr(zoom[..., interior, :], np.asarray(rgb)[..., interior, :])
+    assert p_h - p_n > 8.0, (p_h, p_n)
+
+
 def test_oracle_roundtrip_recovers_helper_band(plan, rgb):
     """Self-check of the oracle (not a parity test): its own round trip
     restores the helper-band detail the zoom path loses — the system
