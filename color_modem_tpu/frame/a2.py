@@ -56,7 +56,6 @@ import jax.numpy as jnp
 
 from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.apply import fir_same_fft
-from color_modem_tpu.dsp.stream import fir_stream
 from color_modem_tpu.dsp.nco import sample_phase_ramp
 from color_modem_tpu.frame.rf import RFPlan, _abs_rows, _row_sign
 
@@ -220,17 +219,14 @@ def _takeoff(a2p: A2Plan, rf, bpf, ramp, frame0, sign=None):
     rfp = a2p.rfp
     b, l, n_rf = rf.shape
     n = rfp.row_samples
-    # overlap-save, not one giant padded transform (the r05 sound-stage
-    # profile found the same pattern costing sound_from_rf 11.7 ms of
-    # its 23 — frame/rf.py note); exact same linear convolutions
-    xs = fir_stream(rf.reshape(b, l * n_rf), bpf)
+    xs = fir_same_fft(rf.reshape(b, l * n_rf), bpf)
     if sign is None:
         sign = _row_sign(rfp, frame0, b, l)[:, :, None]
     rv = jnp.asarray(ramp, jnp.float32)[None, None, :]
     c = (jnp.cos(rv) * sign).reshape(b, l * n_rf)
     s = (jnp.sin(rv) * sign).reshape(b, l * n_rf)
-    i = fir_stream(xs * (2.0 * c), a2p.snd_lpf)
-    q = fir_stream(xs * (-2.0 * s), a2p.snd_lpf)
+    i = fir_same_fft(xs * (2.0 * c), a2p.snd_lpf)
+    q = fir_same_fft(xs * (-2.0 * s), a2p.snd_lpf)
     i = i.reshape(b, l, n, rfp.r)[..., 0].reshape(b, l * n)
     q = q.reshape(b, l, n, rfp.r)[..., 0].reshape(b, l * n)
     level = jnp.mean(jnp.sqrt(i * i + q * q), axis=-1)
@@ -285,8 +281,8 @@ def a2_detect_mode(a2p: A2Plan, raw2, frame0, b: int, l: int,
     # the pilot-envelope filter runs on the JOINED group stream too:
     # fields are consecutive broadcast time, so the true neighborhood
     # crosses the field seam
-    i = fir_stream(raw2g * (2.0 * pc), a2p.pil_lpf)
-    q = fir_stream(raw2g * (-2.0 * ps), a2p.pil_lpf)
+    i = fir_same_fft(raw2g * (2.0 * pc), a2p.pil_lpf)
+    q = fir_same_fft(raw2g * (-2.0 * ps), a2p.pil_lpf)
     env = jnp.sqrt(i * i + q * q)            # (Bg, Lg*N): pilot AM envelope
     level = jnp.mean(env, axis=-1)
     # Least-squares matched fit [DC, cos, sin] per candidate instead of a
@@ -330,8 +326,8 @@ def _decode_arrays(a2p: A2Plan, rf, frame0, group: int = 1):
     raw2, c2_level = _takeoff(a2p, rf, a2p.bpf2, a2p.snd2_ramp, frame0,
                               sign=_carrier2_sign(a2p, frame0, b, l))
     pilot, powers, resid = a2_detect_mode(a2p, raw2, frame0, b, l, group)
-    m = fir_stream(m, rfp.aud_lpf)
-    r2 = fir_stream(raw2, rfp.aud_lpf)       # aud_lpf also strips the pilot
+    m = fir_same_fft(m, rfp.aud_lpf)
+    r2 = fir_same_fft(raw2, rfp.aud_lpf)     # aud_lpf also strips the pilot
     return m, r2, c2_level, pilot, powers, resid
 
 

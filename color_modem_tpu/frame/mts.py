@@ -39,7 +39,6 @@ import jax.numpy as jnp
 
 from color_modem_tpu.dsp import design
 from color_modem_tpu.dsp.apply import fir_same_fft
-from color_modem_tpu.dsp.stream import fir_stream
 from color_modem_tpu.modem.plan import ModemPlan
 
 #: pilot amplitude (BTSC: 5 kHz deviation of a 25 kHz channel = 0.2 of
@@ -91,8 +90,8 @@ def mts_decode(plan: ModemPlan, a, row_samples: int | None = None):
     a = jnp.asarray(a, jnp.float32)
     ph = _phase(plan, a.shape[-1], row_samples)[None, :]
     taps = _channel_lpf(plan.fs)
-    s = fir_stream(a, taps)   # overlap-save on long chunk streams
-    d = fir_stream(a * jnp.cos(2.0 * ph), taps)
+    s = fir_same_fft(a, taps)
+    d = fir_same_fft(a * jnp.cos(2.0 * ph), taps)
     pilot = 2.0 * jnp.mean(a * jnp.sin(ph), axis=-1)
     return s + d, s - d, pilot
 

@@ -57,7 +57,6 @@ import jax
 import jax.numpy as jnp
 
 from color_modem_tpu.dsp.apply import fir_same_fft
-from color_modem_tpu.dsp.stream import fir_stream
 from color_modem_tpu.modem.plan import ModemPlan
 
 TWO_PI = 2.0 * np.pi
@@ -399,10 +398,13 @@ def _symbol_samples(nplan: NicamPlan, x: jax.Array):
     arrays — see nicam_modulate's eager-complex note)."""
     n = x.shape[-1]
     w = TWO_PI * nplan.fc / nplan.fs * jnp.arange(n, dtype=jnp.float32)
-    # overlap-save for the megasample RF-window streams (exact same
-    # linear convolution; frame/rf.py round-5 note)
-    zi = fir_stream(x * (2.0 * jnp.cos(w)), nplan.matched)
-    zq = fir_stream(x * (-2.0 * jnp.sin(w)), nplan.matched)
+    # single padded transform, NOT overlap-save: measured in the fused
+    # rf-sound row, blocking the matched filter cost the whole row ~6
+    # Mpix/s where the giant transform fused better (round-5 whole-row
+    # bisect — the aud_lpf stage measured the OPPOSITE; in-context
+    # fusion decides, not the standalone stage time)
+    zi = fir_same_fft(x * (2.0 * jnp.cos(w)), nplan.matched)
+    zq = fir_same_fft(x * (-2.0 * jnp.sin(w)), nplan.matched)
     return zi[..., :: nplan.spb], zq[..., :: nplan.spb]
 
 

@@ -456,7 +456,8 @@ def rf_modulate(rfp: RFPlan, comp, frame0=0, audio=None, df: float = 0.0):
         # carrier's half-integer row law still factors out of the FM term.
         a_rf = jnp.repeat(
             jnp.asarray(audio, jnp.float32), rfp.r, axis=-1
-        )  # (B, L*N*r) zero-order hold
+        )  # (B, L*N*r) zero-order hold (plain RF-rate integral — the
+        #    telescoped variant regressed the fused row, sound_on_rf note)
         dphi = (2.0 * np.pi * rfp.snd_dev / rfp.fs_rf) * a_rf
         phi_dev = jnp.cumsum(dphi, axis=-1).reshape(b, l, rfp.n_rf)
         ramp = jnp.asarray(rfp.snd_ramp, jnp.float32)
@@ -878,6 +879,13 @@ def sound_on_rf(rfp: RFPlan, rf, frame0, audio, phi0=0.0):
     frames of one stream.
     """
     b, l, n_rf = rf.shape
+    # Deliberately the PLAIN RF-rate integral.  A ZOH-telescoped variant
+    # (composite-rate cumsum + (T_c, r) broadcast expansion) measured
+    # 3.4 ms FASTER standalone but cost the fused rf-sound matrix row
+    # ~15 Mpix/s (round-5 whole-row interleaved bisect, 101.6 -> 86.4):
+    # the repeat+cumsum chain fuses into the row's giant elementwise
+    # graph where the expansion's materialized intermediate does not.
+    # In-context fusion decides, not the standalone stage time.
     a_rf = jnp.repeat(
         jnp.asarray(audio, jnp.float32).reshape(1, b * l * rfp.row_samples),
         rfp.r, axis=-1,
